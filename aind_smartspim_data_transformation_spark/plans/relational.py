@@ -1,0 +1,715 @@
+"""Relational query plans over the synthetic star schema.
+
+The reference has no relational layer (it is a dataflow ETL job —
+SURVEY.md §2.3 "Joins: none in the reference"); this module provides the
+[driver-ext] relational surface: scans, filters, projections, equi /
+semi / anti / non-equi joins, hash aggregation, distinct aggregation,
+rollup / cube / pivot, window functions, top-k, set operations, and the
+scalar-function library (SURVEY.md §2.3-2.8).
+
+Every query here is a *declarative* DataFrame expression: Catalyst does
+predicate pushdown into the parquet scan, column pruning, join
+reordering and broadcast selection; Tungsten runs it in whole-stage
+codegen.  No RDDs, no Python in the hot path.
+
+Scale notes (100 TB posture):
+- Dimension joins (region/nation/supplier) are explicitly
+  ``F.broadcast`` — no shuffle of the fact table for those joins.
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; at scale
+  both sides would be bucketed by orderkey (see SCALE.md) which turns
+  the sort-merge join shuffle-free.
+- Aggregations are partial-agg friendly (sum/avg/count/min/max all have
+  map-side combine); AQE coalesces post-shuffle partitions.
+- Top-k compiles to TakeOrderedAndProject: O(k) memory per partition,
+  no global sort.
+
+Determinism / oracle notes:
+- Every float aggregate is rounded (2-6 dp) in BOTH the Spark plan and
+  the oracle SQL so the order-insensitive value hash is stable across
+  summation orders.
+- Every LIMIT/top-k query carries a unique tie-break key so the result
+  set is order-unique.
+- Column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (flagship; TPC-H Q1 shape).
+# Scan → pushed-down filter → hash agg (8 aggregates) → sort.
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — top-k with deterministic tie-break (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — 5-way join: fact ⋈ fact shuffled, dims broadcast.
+# lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, revenue by nation.
+# ---------------------------------------------------------------------------
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q03_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 / Q5 — semi join (EXISTS) and anti join (NOT EXISTS).
+# ---------------------------------------------------------------------------
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q04_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — non-equi (range predicate) join: parts in a price band per size.
+# Broadcast-nested-loop at test SF; at scale this is a bucketized range
+# join (see operators/asof.py for the pattern).
+# ---------------------------------------------------------------------------
+def q06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        p.join(
+            F.broadcast(s),
+            (p.p_retailprice >= s.s_acctbal / 2) & (p.p_retailprice <= s.s_acctbal),
+            "inner",
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_parts_in_band"),
+             F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q06_SQL = """
+SELECT s_suppkey, s_name, count(*) AS n_parts_in_band,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part JOIN supplier
+  ON p_retailprice >= s_acctbal / 2 AND p_retailprice <= s_acctbal
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — window ranking functions (row_number / rank / dense_rank).
+# ---------------------------------------------------------------------------
+def q07_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    )
+
+
+Q07_SQL = """
+SELECT * FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER w AS rn,
+         rank()       OVER w AS rnk,
+         dense_rank() OVER w AS drnk
+  FROM part
+  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+) WHERE rn <= 3
+ORDER BY p_brand, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — analytic window functions: running sum, lag, lead over a frame.
+# ---------------------------------------------------------------------------
+def q08_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.filter(F.col("o_custkey") < 20)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+            ).alias("running_total"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+            F.lead("o_orderkey", 1).over(w).alias("next_order"),
+            F.first("o_orderkey").over(w).alias("first_order"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+Q08_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       lag(o_orderkey, 1)  OVER w AS prev_order,
+       lead(o_orderkey, 1) OVER w AS next_order,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+FROM orders
+WHERE o_custkey < 20
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — ntile bucketing.
+# ---------------------------------------------------------------------------
+def q09_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_custkey", F.ntile(4).over(w).alias("balance_quartile"))
+        .groupBy("balance_quartile")
+        .agg(F.count("*").alias("n"), F.min("c_custkey").alias("min_key"))
+        .orderBy("balance_quartile")
+    )
+
+
+Q09_SQL = """
+SELECT balance_quartile, count(*) AS n, min(c_custkey) AS min_key
+FROM (SELECT c_custkey,
+             ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS balance_quartile
+      FROM customer)
+GROUP BY balance_quartile ORDER BY balance_quartile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 / Q11 — rollup & cube with grouping indicators.
+# ---------------------------------------------------------------------------
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .orderBy(
+            F.col("g_flag"), F.col("g_status"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+Q10_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+        )
+        .orderBy(
+            F.col("g_status"), F.col("g_prio"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q11_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n,
+       GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — distinct aggregation (exact; approx_count_distinct is exercised
+# in tests, not in the oracle pair, since HLL≠exact by design).
+# ---------------------------------------------------------------------------
+def q12_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — set operations: union / intersect / except.
+# Nations that have customers vs nations that have suppliers.
+# ---------------------------------------------------------------------------
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cn.intersect(sn).withColumn("which", F.lit("both"))
+    cust_only = cn.exceptAll(sn).withColumn("which", F.lit("customer_only"))
+    supp_only = sn.exceptAll(cn).withColumn("which", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only).orderBy("which", "nationkey")
+
+
+Q13_SQL = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS which FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'customer_only' AS which FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS which FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+ORDER BY which, nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — string function library.
+# ---------------------------------------------------------------------------
+def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") < 50)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name_pre5"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.trim(F.lit("  pad  ")).alias("trimmed"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.element_at(F.split(F.col("p_brand"), "#"), -1).cast("int").alias("brand_num"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q14_SQL = """
+SELECT p_partkey,
+       upper(p_name)  AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 5) AS name_pre5,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       trim('  pad  ') AS trimmed,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+       str_split(p_name, ' ')[1] AS first_word,
+       reverse(p_brand) AS brand_rev,
+       CAST(str_split(p_brand, '#')[-1] AS INTEGER) AS brand_num
+FROM part WHERE p_partkey < 50 ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — date/time function library.
+# ---------------------------------------------------------------------------
+def q15_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.min(F.trunc(F.col("o_orderdate"), "month")).alias("first_month"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_dom"),
+        )
+        .orderBy("order_year", "order_quarter")
+    )
+
+
+Q15_SQL = """
+SELECT EXTRACT(year FROM o_orderdate)    AS order_year,
+       EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month,
+       max(EXTRACT(day FROM o_orderdate)) AS max_dom
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — math function library (rounded to absorb libm ulp differences).
+# ---------------------------------------------------------------------------
+def q16_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") < 40)
+        .select(
+            "c_custkey",
+            F.round(F.abs(F.col("c_acctbal")), 2).alias("abs_bal"),
+            F.ceil(F.col("c_acctbal")).cast("long").alias("ceil_bal"),
+            F.floor(F.col("c_acctbal")).cast("long").alias("floor_bal"),
+            F.round(F.sqrt(F.abs(F.col("c_acctbal"))), 6).alias("sqrt_bal"),
+            F.round(F.log(F.abs(F.col("c_acctbal")) + 1), 6).alias("ln_bal"),
+            F.round(F.pow(F.col("c_nationkey").cast("double"), 2), 1).alias("nation_sq"),
+            F.pmod(F.col("c_custkey"), 7).alias("key_mod7"),
+            F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+            F.signum("c_acctbal").alias("bal_sign"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+Q16_SQL = """
+SELECT c_custkey,
+       round(abs(c_acctbal), 2) AS abs_bal,
+       CAST(ceil(c_acctbal) AS BIGINT)  AS ceil_bal,
+       CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+       round(sqrt(abs(c_acctbal)), 6) AS sqrt_bal,
+       round(ln(abs(c_acctbal) + 1), 6) AS ln_bal,
+       round(pow(CAST(c_nationkey AS DOUBLE), 2), 1) AS nation_sq,
+       c_custkey % 7 AS key_mod7,
+       greatest(c_acctbal, 0.0) AS bal_clamped,
+       CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign
+FROM customer WHERE c_custkey < 40 ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — conditional aggregation (CASE WHEN pivot-style).
+# ---------------------------------------------------------------------------
+def q17_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2).alias("f_total"),
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2).alias("o_total"),
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice"))), 2).alias("p_total"),
+            F.count(F.when(F.col("o_totalprice") > 200000, True)).alias("n_big"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q17_SQL = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total,
+       count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — native pivot (groupBy().pivot(values).agg()).
+# ---------------------------------------------------------------------------
+def q18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+Q18_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — scalar subquery: customers above the mean balance.
+# ---------------------------------------------------------------------------
+def q19_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+Q19_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — correlated aggregate subquery via join (decorrelated form):
+# each customer's orders above their own average order value.
+# ---------------------------------------------------------------------------
+def q20_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    oo = o.alias("o")
+    return (
+        oo.join(per_cust.alias("a"), F.col("o.o_custkey") == F.col("a.o_custkey"))
+        .filter(F.col("o.o_totalprice") > F.col("a.cust_avg"))
+        .groupBy(F.col("o.o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_above_avg"),
+             F.round(F.max("o.o_totalprice"), 2).alias("max_price"))
+        .orderBy("custkey")
+    )
+
+
+Q20_SQL = """
+SELECT o_custkey AS custkey, count(*) AS n_above_avg, round(max(o_totalprice), 2) AS max_price
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders a WHERE a.o_custkey = o.o_custkey)
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — array functions over embeddings (array<float> column).
+# ---------------------------------------------------------------------------
+def q21_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 30)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0), lambda s, x: s + x.cast("double")), 4
+            ).alias("sum_vals"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")),
+                4,
+            ).alias("sum_sq"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q21_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_vals,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
+FROM embeddings WHERE vec_id < 30 ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_orders": q02_top_orders,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_semi_join": q04_semi_join,
+    "q05_anti_join": q05_anti_join,
+    "q06_range_join": q06_range_join,
+    "q07_window_rank": q07_window_rank,
+    "q08_window_running": q08_window_running,
+    "q09_ntile": q09_ntile,
+    "q10_rollup": q10_rollup,
+    "q11_cube": q11_cube,
+    "q12_distinct_agg": q12_distinct_agg,
+    "q13_set_ops": q13_set_ops,
+    "q14_string_funcs": q14_string_funcs,
+    "q15_date_funcs": q15_date_funcs,
+    "q16_math_funcs": q16_math_funcs,
+    "q17_case_agg": q17_case_agg,
+    "q18_pivot": q18_pivot,
+    "q19_scalar_subquery": q19_scalar_subquery,
+    "q20_above_avg_orders": q20_above_avg_orders,
+    "q21_array_funcs": q21_array_funcs,
+}
+
+ORACLE: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_top_orders": Q02_SQL,
+    "q03_revenue_by_nation": Q03_SQL,
+    "q04_semi_join": Q04_SQL,
+    "q05_anti_join": Q05_SQL,
+    "q06_range_join": Q06_SQL,
+    "q07_window_rank": Q07_SQL,
+    "q08_window_running": Q08_SQL,
+    "q09_ntile": Q09_SQL,
+    "q10_rollup": Q10_SQL,
+    "q11_cube": Q11_SQL,
+    "q12_distinct_agg": Q12_SQL,
+    "q13_set_ops": Q13_SQL,
+    "q14_string_funcs": Q14_SQL,
+    "q15_date_funcs": Q15_SQL,
+    "q16_math_funcs": Q16_SQL,
+    "q17_case_agg": Q17_SQL,
+    "q18_pivot": Q18_SQL,
+    "q19_scalar_subquery": Q19_SQL,
+    "q20_above_avg_orders": Q20_SQL,
+    "q21_array_funcs": Q21_SQL,
+}

@@ -1,0 +1,73 @@
+"""SparkSession builders tuned for this engine.
+
+Two postures:
+
+- :func:`build_local_session` — what tests / bench / the driver smoke use.
+  ``local[N]`` is a single JVM, so ``spark.driver.memory`` is the only
+  memory knob; shuffle partitions sized to cores, not the 200 default.
+- The same configs are the right *defaults* on a real cluster: AQE
+  (runtime coalescing + skew-join splitting) and Arrow-batched Python
+  UDF transfer are scale posture, not test conveniences.  At 100 TB the
+  session-level knobs that matter are recorded in SCALE.md.
+
+The reference hand-rolls its parallelism (round-robin stack partitioning
+across N independent processes, smartspim_job.py:30-63); here the
+scheduler owns it, so the session config *is* the parallelism model.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Timezone is pinned to UTC so timestamp semantics agree with the
+# DuckDB oracle (duckdb timestamps are UTC-naive).
+_COMMON = {
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime partition coalescing, skew-join handling, plan re-opt.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / toPandas — the only acceptable Python path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep Arrow batches bounded so 128^3 uint16 blocks (~4 MiB) plus
+    # decode overhead fit comfortably in the Python worker.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # Broadcast joins for dim tables (region/nation/customer/supplier
+    # at test SF; on a cluster raise/lower by measurement).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+}
+
+
+def build_local_session(
+    app_name: str = "aind-smartspim-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or get) a local-mode session.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores; shuffle
+    partitions default to the core count (matching parallelism avoids
+    both tiny-partition overhead and under-parallelized shuffles).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+    )
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    for k, v in _COMMON.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
