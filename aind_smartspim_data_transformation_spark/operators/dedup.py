@@ -1,0 +1,313 @@
+"""Deduplication operators over the ``documents`` table.
+
+[driver-ext] LLM-data-pipeline dedup family (SURVEY.md §2.11):
+
+- exact (hash-groupBy),
+- n-gram Jaccard (shingle inverted-index join),
+- MinHash + LSH (shingle → minhash → band → bucket join → verify),
+- SimHash (token-hash bit voting).
+
+Everything is pure DataFrame algebra — no Python in the hot path.  The
+hash family is ``md5(i || '|' || shingle)``: identical strings hash
+identically in Spark and DuckDB, so even the MinHash/LSH pipeline has
+an exact SQL oracle twin (the oracle replays the same algorithm, not a
+brute-force approximation).
+
+Scale posture (100 TB of documents):
+- Exact dedup: one shuffle on a 256-bit digest — the digest groupBy is
+  the canonical web-scale dedup (map-side partial agg applies).
+- Inverted-index Jaccard: shuffle on shingle; hot shingles (stop-grams)
+  are the skew risk — at scale drop shingles whose doc-frequency
+  exceeds a cap before the self-join (AQE skew-join splits the rest).
+- MinHash/LSH: the scale path — candidate generation touches only
+  (n_docs × n_bands) rows instead of all pairs; band self-join
+  shuffles on the band key.
+- SimHash: one explode + one groupBy; 16-bit key join for candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+N_MINHASH = 16
+N_BANDS = 8  # r = 2 rows per band
+JACCARD_THRESHOLD = 0.8
+
+# 3-word shingles, distinct per doc.  toks[i] is 0-based in Spark SQL.
+_SHINGLES = (
+    "array_distinct(transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .select("doc_id", "shingles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup via content digest.
+# ---------------------------------------------------------------------------
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.sha2(F.col("text"), 256).alias("digest")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
+    )
+    return groups.agg(
+        F.count("*").alias("n_distinct_texts"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)).alias(
+            "n_redundant"
+        ),
+    )
+
+
+D01_SQL = """
+WITH groups AS (
+  SELECT sha256(text) AS digest, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+  FROM documents GROUP BY sha256(text)
+)
+SELECT count(*) AS n_distinct_texts,
+       sum(n_copies) AS n_docs,
+       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_redundant
+FROM groups
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2 — n-gram Jaccard near-dup via shingle inverted index.
+# ---------------------------------------------------------------------------
+def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "common", "jaccard")
+        .orderBy("doc1", "doc2")
+    )
+
+
+D02_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, common,
+       round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc1
+JOIN sizes sb ON sb.doc_id = doc2
+WHERE round(common / (sa.n_sh + sb.n_sh - common), 4) >= {JACCARD_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3 — MinHash + LSH near-dup.
+# minhash_i(doc) = min over shingles of md5(i || '|' || shingle);
+# band_j = (minhash_2j, minhash_2j+1); candidates share any band;
+# candidates verified with true Jaccard.  The oracle replays the SAME
+# algorithm (same hash family) — deterministic on both engines.
+# ---------------------------------------------------------------------------
+def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("shingles").alias("sh"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")).alias("bkey"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.bkey")
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc1"), F.col("bb.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("_d2"), F.col("sh").alias("sh2"))
+    common = (
+        cand.join(s1, "doc1")
+        .join(s2, (F.col("doc2") == F.col("_d2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    )
+
+
+_MINHASH_COLS = ",\n         ".join(
+    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(N_MINHASH)
+)
+_BAND_STRUCTS = ", ".join(
+    f"{{'band_id': {j}, 'bkey': h{2 * j} || h{2 * j + 1}}}" for j in range(N_BANDS)
+)
+
+D03_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+), sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT ba.doc_id AS doc1, bb.doc_id AS doc2
+  FROM bands ba JOIN bands bb
+    ON ba.band_id = bb.band_id AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT c.doc1, c.doc2, count(*) AS common
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc1
+  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.sh = s1.sh
+  GROUP BY c.doc1, c.doc2
+)
+SELECT doc1, doc2, round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc1
+JOIN sizes sb ON sb.doc_id = doc2
+WHERE round(common / (sa.n_sh + sb.n_sh - common), 4) >= {JACCARD_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+# ---------------------------------------------------------------------------
+# D4 — SimHash: 16-bit signature by token-hash bit voting; docs sharing
+# a signature are near-dup candidates.  Token hash = first 8 hex chars
+# of md5 as an integer — identical in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(th, {j}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    simhash = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    from pyspark.sql import Window as W
+
+    grp = W.partitionBy("simhash")
+    return (
+        sigs.withColumn("group_size", F.count("*").over(grp))
+        .select("doc_id", "simhash", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+_SIMHASH_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16)
+)
+_SIMHASH_SUM = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+)
+
+D04_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS th
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM tok GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM votes
+)
+SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS group_size
+FROM sigs ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
+    "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
+    "d04_simhash": d04_simhash,
+}
+
+ORACLE: dict[str, str] = {
+    "d01_dedup_exact": D01_SQL,
+    "d02_dedup_ngram_jaccard": D02_SQL,
+    "d03_dedup_minhash_lsh": D03_SQL,
+    "d04_simhash": D04_SQL,
+}

@@ -1,0 +1,162 @@
+"""Multimodal (binary) column operators.
+
+[driver-ext] SURVEY.md §2.11: image/audio/video payloads ride as opaque
+``binary`` columns with a typed metadata struct beside them — exactly
+the chunk-table design used for the imaging plane (SURVEY.md §1.4).
+
+The *plumbing* is real and tested: schemas, Arrow batch shapes,
+``mapInPandas`` decode pipelines, partition sizing.  The *codecs* are
+stubbed: this container has no image/audio libraries, so
+``decode_image_bytes`` raises ``NotImplementedError`` unless handed the
+deterministic fake format produced by :func:`make_fake_image` (a
+16-byte header ``SPKIMG01 | width u32 | height u32`` + raw payload).
+Swap the stub for pillow/imagecodecs on a real cluster — the Spark-side
+code does not change.
+
+Scale posture: binary payloads dominate row size, so
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py)
+bounds Python-worker memory; feature extraction is mapInPandas (one
+Arrow transfer per batch, no per-row pickling).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+_MAGIC = b"SPKIMG01"
+
+
+def make_fake_image(seed_bytes: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake image: header + seed-derived payload (no libs)."""
+    payload = (seed_bytes * ((width * height) // max(len(seed_bytes), 1) + 1))[
+        : width * height
+    ]
+    return _MAGIC + struct.pack("<II", width, height) + payload
+
+
+def decode_image_bytes(data: bytes) -> tuple[int, int, bytes]:
+    """Decode the fake format; real codecs would plug in here.
+
+    Raises ``NotImplementedError`` for any non-fake payload — the
+    explicit stub boundary for this container (no pillow/imagecodecs).
+    """
+    if data[:8] != _MAGIC:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "only the SPKIMG01 fake format is decodable"
+        )
+    width, height = struct.unpack("<II", data[8:16])
+    return width, height, data[16 : 16 + width * height]
+
+
+FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes long, mean_intensity double"
+)
+
+
+def extract_image_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, image: binary).
+
+    One Arrow batch in, one pandas DataFrame out — the canonical
+    multimodal decode shape.  Per-batch (not per-row) Python overhead.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                w, h, payload = decode_image_bytes(bytes(blob))
+                mean = sum(payload) / len(payload) if payload else 0.0
+                out.append((doc_id, w, h, len(blob), round(mean, 6)))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_bytes", "mean_intensity"],
+            )
+
+    return binary_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def documents_as_fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a multimodal table from documents: text → fake image bytes.
+
+    Width/height derive deterministically from doc_id so the pipeline
+    has varied shapes to exercise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 16 + 4).cast("int")
+    h = (F.col("doc_id") % 8 + 2).cast("int")
+    # header assembled JVM-side: magic || width_le || height_le || payload
+    def _le32(col):
+        b = [F.expr(f"char(CAST(shiftright({col}, {8*i}) & 255 AS INT))") for i in range(4)]
+        return F.concat(*b)
+
+    img = F.encode(
+        F.concat(
+            F.lit(_MAGIC.decode("latin-1")),
+            _le32("(doc_id % 16 + 4)"),
+            _le32("(doc_id % 8 + 2)"),
+            F.expr(
+                "substring(rpad(text, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT), 'x'), "
+                "1, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT))"
+            ),
+        ),
+        "ISO-8859-1",
+    )
+    return docs.select("doc_id", img.alias("image"), w.alias("meta_width"), h.alias("meta_height"))
+
+
+# ---------------------------------------------------------------------------
+# M1 — binary column statistics (SQL-expressible; DuckDB oracle).
+# ---------------------------------------------------------------------------
+def m01_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length(blob).alias("n_bytes"),
+            F.sha2(blob, 256).alias("digest"),
+            F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias(
+                "first8_hex"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+M01_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS digest,
+       lower(hex(encode(substring(text, 1, 8)))) AS first8_hex
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M2 — multimodal decode pipeline (rows-only check: mapInPandas is not
+# SQL-expressible; validated by schema/golden tests instead).
+# ---------------------------------------------------------------------------
+def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = documents_as_fake_images(spark, sf_dir)
+    return extract_image_features(imgs.select("doc_id", "image")).orderBy("doc_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "m01_binary_stats": m01_binary_stats,
+    "m02_image_features": m02_image_features,
+}
+
+ORACLE: dict[str, str] = {
+    "m01_binary_stats": M01_SQL,
+    # m02_image_features: intentionally no oracle (mapInPandas decode) —
+    # driver records rows-only; goldens live in tests/test_multimodal.py.
+}

@@ -1,0 +1,240 @@
+"""Similarity search over the ``embeddings`` table (array<float>, d=64).
+
+[driver-ext] SURVEY.md §2.11: brute-force cosine top-k as the exact
+baseline, plus a random-hyperplane LSH (SimHash-for-vectors) bucketed
+variant as the scale path.
+
+Spark-first: the dot product / norm arithmetic is pure ``zip_with`` +
+``aggregate`` column expressions — JVM-side, codegen'd, no Python.
+The LSH hyperplanes are a *deterministic integer formula* (not stored
+random vectors), so the DuckDB oracle can replay them exactly:
+
+    w(i, d) = +1 if ((d*31 + i*17) % 7) % 2 == 0 else -1
+
+Scale posture (billions of vectors):
+- Brute force is O(n) per query with one broadcast of the query vector
+  — no shuffle at all; fine for one-off queries, wrong for QPS.
+- LSH buckets: one groupBy(bucket) shuffle at build; a query then only
+  scans its bucket (partition-pruned if the table is written
+  partitionBy(bucket)).  This is the IVF-style coarse quantizer shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+N_PLANES = 8
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _norm_sq(a: str):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 — brute-force cosine top-k against the query vector.
+# ---------------------------------------------------------------------------
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = _dot("embedding", "qvec") / (
+        F.sqrt(_norm_sq("embedding")) * F.sqrt(_norm_sq("qvec"))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+S01_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round(
+         list_dot_product(embedding::DOUBLE[], qvec)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+FROM embeddings CROSS JOIN q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2 — random-hyperplane LSH bucket assignment.
+# bit_i(v) = [ Σ_d w(i,d) · v[d] > 0 ];  bucket = Σ bit_i << i.
+# ---------------------------------------------------------------------------
+def _bucket_votes(exploded: DataFrame) -> DataFrame:
+    """exploded: (vec_id, d, val) with d 1-based."""
+    aggs = []
+    for i in range(N_PLANES):
+        w = F.when(((F.col("d") * 31 + i * 17) % 7) % 2 == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+        aggs.append(F.sum(w * F.col("val")).alias(f"p{i}"))
+    return exploded.groupBy("vec_id").agg(*aggs)
+
+
+def _bucket_col():
+    b = None
+    for i in range(N_PLANES):
+        bit = F.when(F.col(f"p{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        b = bit if b is None else b + bit
+    return b
+
+
+def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "val")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("val").cast("double").alias("val"))
+    votes = _bucket_votes(exploded)
+    sigs = votes.select("vec_id", _bucket_col().alias("bucket"))
+    from pyspark.sql import Window as W
+
+    return (
+        sigs.withColumn("n_in_bucket", F.count("*").over(W.partitionBy("bucket")))
+        .select("vec_id", "bucket", "n_in_bucket")
+        .orderBy("vec_id")
+    )
+
+
+_VOTE_COLS = ",\n         ".join(
+    f"sum((CASE WHEN ((d*31 + {i}*17) % 7) % 2 = 0 THEN 1.0 ELSE -1.0 END) * val) AS p{i}"
+    for i in range(N_PLANES)
+)
+_BUCKET_SUM = " + ".join(
+    f"CASE WHEN p{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(N_PLANES)
+)
+
+S02_SQL = f"""
+WITH exploded AS (
+  SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+), votes AS (
+  SELECT vec_id,
+         {_VOTE_COLS}
+  FROM exploded GROUP BY vec_id
+), sigs AS (
+  SELECT vec_id, {_BUCKET_SUM} AS bucket FROM votes
+)
+SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n_in_bucket
+FROM sigs ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3 — ANN query: exact cosine re-rank within the query vector's LSH
+# bucket (candidate set ≪ full table → the IVF/LSH scale path).
+# ---------------------------------------------------------------------------
+def s03_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "val")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("val").cast("double").alias("val"))
+    sigs = _bucket_votes(exploded).select("vec_id", _bucket_col().alias("bucket"))
+    with_bucket = e.join(sigs, "vec_id")
+    qrow = with_bucket.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cos = _dot("embedding", "qvec") / (
+        F.sqrt(_norm_sq("embedding")) * F.sqrt(_norm_sq("qvec"))
+    )
+    return (
+        with_bucket.crossJoin(F.broadcast(qrow))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", "bucket", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+S03_SQL = f"""
+WITH exploded AS (
+  SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+), votes AS (
+  SELECT vec_id,
+         {_VOTE_COLS}
+  FROM exploded GROUP BY vec_id
+), sigs AS (
+  SELECT vec_id, {_BUCKET_SUM} AS bucket FROM votes
+), wb AS (
+  SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+), q AS (
+  SELECT embedding::DOUBLE[] AS qvec, bucket AS qbucket FROM wb WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, bucket,
+       round(
+         list_dot_product(embedding::DOUBLE[], qvec)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+FROM wb CROSS JOIN q
+WHERE bucket = qbucket AND vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# S4 — all-pairs similarity join above a threshold (bounded subset).
+# ---------------------------------------------------------------------------
+def s04_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = _dot("va", "vb") / (F.sqrt(_norm_sq("va")) * F.sqrt(_norm_sq("vb")))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+S04_SQL = """
+WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02_lsh_buckets": s02_lsh_buckets,
+    "s03_ann_bucketed": s03_ann_bucketed,
+    "s04_similarity_join": s04_similarity_join,
+}
+
+ORACLE: dict[str, str] = {
+    "s01_cosine_topk": S01_SQL,
+    "s02_lsh_buckets": S02_SQL,
+    "s03_ann_bucketed": S03_SQL,
+    "s04_similarity_join": S04_SQL,
+}

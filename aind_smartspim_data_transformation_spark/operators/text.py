@@ -1,0 +1,247 @@
+"""Text-analysis operators over the ``documents`` table.
+
+[driver-ext] SURVEY.md §2.11: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.  All pure column
+expressions (JVM-side); nothing leaves codegen.
+
+Scale posture: every query is scan → narrow per-row expressions →
+(optional) one aggregation.  At 100 TB these are the cheapest possible
+shapes — no shuffle except the final groupBy, and the per-row work is
+whole-stage-codegen string ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# T1 — token counting: whitespace tokens + a BPE-ish subword estimate.
+# The "BPE-ish" count approximates subword tokens as ceil(chars/4) per
+# word (the common ~4-chars-per-token rule of thumb).
+# ---------------------------------------------------------------------------
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.expr(
+                "aggregate(transform(split(text, ' '), x -> length(x)), 0, (s, x) -> s + x)"
+            ).alias("sum_token_chars"),
+            F.expr(
+                "aggregate(transform(split(text, ' '), x -> CAST(ceil(length(x) / 4.0) AS INT)), 0, (s, x) -> s + x)"
+            ).alias("n_bpe_est"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T01_SQL = """
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       list_sum(list_transform(string_split(text, ' '), x -> length(x)))::INT AS sum_token_chars,
+       list_sum(list_transform(string_split(text, ' '), x -> CAST(ceil(length(x) / 4.0) AS INT)))::INT AS n_bpe_est
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T2 — quality scoring: length, punctuation density, stopword ratio,
+# lexical diversity → one combined score.
+# ---------------------------------------------------------------------------
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    diversity = F.size(F.array_distinct(toks)) / n_tokens
+    stop_ratio = n_stop / n_tokens
+    punct_ratio = n_punct / F.length("text")
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + diversity * 0.3
+        + stop_ratio * 0.2
+        + (1 - punct_ratio) * 0.1
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(diversity, 6).alias("diversity"),
+            F.round(score, 6).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+T02_SQL = f"""
+WITH base AS (
+  SELECT doc_id, n_chars, text,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_LIST}))) AS n_stop,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_stop / n_tokens, 6) AS stop_ratio,
+       round(n_punct / length(text), 6) AS punct_ratio,
+       round(len(list_distinct(toks)) / n_tokens, 6) AS diversity,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (len(list_distinct(toks)) / n_tokens) * 0.3
+             + (n_stop / n_tokens) * 0.2
+             + (1 - n_punct / length(text)) * 0.1, 6) AS quality_score
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T3 — corpus statistics per language label.
+# ---------------------------------------------------------------------------
+def t03_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+T03_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# T4 — language-ID heuristic: marker-token occurrence voting.
+# (The synthetic corpus shares one vocabulary, so this demonstrates the
+# operator shape — occurrence counting + argmax — not a real model.)
+# ---------------------------------------------------------------------------
+_MARKERS = {"en": "the", "es": "data", "de": "row", "fr": "key"}
+
+
+def t04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    def _count_marker(marker: str):
+        # single-arg lambda: a two-arg lambda would be treated by Spark
+        # as the (value, index) form of F.filter.
+        return F.size(F.filter(toks, lambda x: x == F.lit(marker)))
+
+    scores = {lang: _count_marker(marker) for lang, marker in _MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            *[scores[lang].alias(f"score_{lang}") for lang in _MARKERS],
+            pred.alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SCORE_COLS = ",\n       ".join(
+    f"len(list_filter(string_split(text, ' '), x -> x = '{m}')) AS score_{lang}"
+    for lang, m in _MARKERS.items()
+)
+
+T04_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+       {_SCORE_COLS}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, score_en, score_es, score_de, score_fr,
+       CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T5 — document fingerprint: digest of the sorted distinct token set
+# (word-order-insensitive near-dup key).
+# ---------------------------------------------------------------------------
+def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("group_size", F.count("*").over(W.partitionBy("fingerprint")))
+        .orderBy("doc_id")
+    )
+
+
+T05_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS group_size
+FROM fp ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t01_token_stats": t01_token_stats,
+    "t02_quality_score": t02_quality_score,
+    "t03_lang_stats": t03_lang_stats,
+    "t04_lang_id": t04_lang_id,
+    "t05_fingerprint": t05_fingerprint,
+}
+
+ORACLE: dict[str, str] = {
+    "t01_token_stats": T01_SQL,
+    "t02_quality_score": T02_SQL,
+    "t03_lang_stats": T03_SQL,
+    "t04_lang_id": T04_SQL,
+    "t05_fingerprint": T05_SQL,
+}

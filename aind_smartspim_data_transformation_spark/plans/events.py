@@ -1,0 +1,250 @@
+"""Event-stream query plans (batch twins of the streaming surface).
+
+The reference is a one-shot batch job (SURVEY.md §2.10 — no streaming);
+this is the [driver-ext] events surface: semi-structured JSON props,
+tumbling/sliding time windows, sessionization, stateful-style dedup and
+as-of joins.  Each expression is written so the identical plan runs
+under Structured Streaming (see ``streaming/events_stream.py``) but is
+oracle-verified here in batch — time-bucketed groupBys behave the same
+in both modes.
+
+Scale posture: everything is a single hash shuffle on (key) or
+(bucket,key); sessionization and as-of use one window sort per key —
+the same shape Flink/Kafka-Streams state stores would give, minus the
+state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.operators.asof import asof_join
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# E1 — semi-structured JSON extraction from props.
+# ---------------------------------------------------------------------------
+def e01_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, True)).alias("n_k_gt50"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E01_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 END) AS n_k_gt50,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# E2 — tumbling window aggregation (1 hour).
+# Same expression streams with withWatermark(ts).groupBy(window(ts,1h)).
+# ---------------------------------------------------------------------------
+def e02_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+E02_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# E3 — sliding window (1 hour window, 30 min slide): each event lands in
+# exactly 2 windows.  Oracle expands the two candidate starts per row.
+# ---------------------------------------------------------------------------
+def e03_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+        .orderBy("w_start")
+    )
+
+
+E03_SQL = """
+WITH half AS (
+  SELECT *,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP)
+           + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                  THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS s1
+  FROM events
+), expanded AS (
+  SELECT unnest([s1, s1 - INTERVAL 30 MINUTE]) AS w_start, value FROM half
+)
+SELECT w_start, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM expanded GROUP BY w_start ORDER BY w_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# E4 — sessionization: 30-minute inactivity gap per user.
+# lag → gap flag → running sum = session id (one shuffle by user_id).
+# ---------------------------------------------------------------------------
+def e04_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+E04_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E5 — as-of join: each purchase matched to the user's latest click at
+# or before the purchase time (operators/asof.py union-window pattern).
+# ---------------------------------------------------------------------------
+def e05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_ts", "click_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("value"),
+        "click_ts",
+        "click_event_id",
+    ).orderBy("event_id")
+
+
+E05_SQL = """
+SELECT p.event_id, p.user_id, p.ts, round(p.value, 2) AS value,
+       c.ts AS click_ts, c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E6 — stateful-style dedup: first event per (user_id, event_type)
+# (batch twin of dropDuplicatesWithinWatermark).
+# ---------------------------------------------------------------------------
+def e06_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+E06_SQL = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "e01_json_extract": e01_json_extract,
+    "e02_tumbling_window": e02_tumbling_window,
+    "e03_sliding_window": e03_sliding_window,
+    "e04_sessionize": e04_sessionize,
+    "e05_asof_join": e05_asof_join,
+    "e06_dedup_first": e06_dedup_first,
+}
+
+ORACLE: dict[str, str] = {
+    "e01_json_extract": E01_SQL,
+    "e02_tumbling_window": E02_SQL,
+    "e03_sliding_window": E03_SQL,
+    "e04_sessionize": E04_SQL,
+    "e05_asof_join": E05_SQL,
+    "e06_dedup_first": E06_SQL,
+}

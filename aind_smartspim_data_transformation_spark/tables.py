@@ -33,7 +33,24 @@ DIM_TABLES = ("region", "nation", "supplier")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default (PARQUET_TYPE_ILLEGAL).  Read nanos as long
+    and truncate to microsecond timestamps — the same ns→µs truncation
+    DuckDB applies, so oracle comparisons agree.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Integer division: ns epoch ≈ 1.7e18 exceeds double's 2^53 mantissa,
+    # so a float divide here would corrupt the microsecond digit.
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
