@@ -1,0 +1,87 @@
+"""Imaging job settings with the reference's 3-way precedence.
+
+SURVEY.md §3.1: settings materialize from (1) a JSON string argument,
+else (2) a JSON config file, else (3) environment variables prefixed
+``TRANSFORMATION_JOB_`` — same contract as the reference's pydantic
+model (`models.py:23-79`), same defaults (chunk 128³, factor [2,2,2],
+4 levels).
+
+Divergences, by design:
+- ``compressor_name`` allows ``zlib``/``none`` (this container has no
+  blosc; the enum slot is where blosc plugs back in on a cluster).
+- ``num_of_partitions``/``partition_to_process`` are accepted for CLI
+  compatibility but ignored: the reference round-robins stacks across
+  N independent job instances (`smartspim_job.py:30-41`) because it has
+  no cluster scheduler; one Spark app replaces all N instances.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from enum import Enum
+from pathlib import Path
+from typing import Any, Optional
+
+from pydantic import BaseModel, Field
+
+ENV_PREFIX = "TRANSFORMATION_JOB_"
+
+
+class CompressorName(str, Enum):
+    ZLIB = "zlib"
+    NONE = "none"
+
+
+class ImagingJobSettings(BaseModel):
+    """Validated job settings (fixed, declared schema)."""
+
+    input_source: Path
+    output_directory: Path
+    s3_location: Optional[str] = None
+    num_of_partitions: int = 1
+    partition_to_process: int = 0
+    compressor_name: CompressorName = CompressorName.ZLIB
+    compressor_kwargs: dict[str, Any] = Field(default_factory=lambda: {"level": 1})
+    chunk_size: list[int] = Field(default_factory=lambda: [128, 128, 128])
+    scale_factor: list[int] = Field(default_factory=lambda: [2, 2, 2])
+    downsample_levels: int = 4
+
+    @classmethod
+    def from_json_str(cls, payload: str) -> "ImagingJobSettings":
+        return cls.model_validate_json(payload)
+
+    @classmethod
+    def from_config_file(cls, path: str | Path) -> "ImagingJobSettings":
+        with open(path) as f:
+            return cls.model_validate(json.load(f))
+
+    @classmethod
+    def from_env(cls, environ: Optional[dict[str, str]] = None) -> "ImagingJobSettings":
+        env = environ if environ is not None else os.environ
+        fields = {}
+        for key, raw in env.items():
+            if not key.startswith(ENV_PREFIX):
+                continue
+            name = key[len(ENV_PREFIX) :].lower()
+            if name not in cls.model_fields:
+                continue
+            try:
+                fields[name] = json.loads(raw)
+            except (json.JSONDecodeError, ValueError):
+                fields[name] = raw
+        return cls.model_validate(fields)
+
+    @classmethod
+    def resolve(
+        cls,
+        json_arg: Optional[str] = None,
+        config_file: Optional[str] = None,
+        environ: Optional[dict[str, str]] = None,
+    ) -> "ImagingJobSettings":
+        """JSON arg > config file > env vars (reference precedence)."""
+        if json_arg:
+            return cls.from_json_str(json_arg)
+        if config_file:
+            return cls.from_config_file(config_file)
+        return cls.from_env(environ)

@@ -1,0 +1,89 @@
+"""End-to-end imaging job: scan → decode → pyramid → OME-Zarr.
+
+The Spark re-expression of the reference's
+``SmartspimCompressionJob.run_job`` (`smartspim_job.py:217-234`):
+
+reference                                  | here
+-------------------------------------------|--------------------------------
+round-robin stack list across N processes  | Spark schedules chunk tasks;
+(`smartspim_job.py:30-63`)                 | one app replaces N instances
+per-stack dask graph + da.store            | one DataFrame pipeline/stack
+write level, read back for next level      | persist() between levels
+subprocess `aws s3 sync` + local delete    | write directly to the target
+                                           | (s3a:// URI on a cluster)
+derivatives passthrough upload (S10)       | binary copy, driver-side
+
+Returns a JobResponse-like dict (status_code / message / duration).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from aind_smartspim_data_transformation_spark.config.settings import ImagingJobSettings
+from aind_smartspim_data_transformation_spark.imaging.pyramid import build_pyramid
+from aind_smartspim_data_transformation_spark.imaging.zarr_sink import write_ome_zarr
+from aind_smartspim_data_transformation_spark.sources.acquisition import (
+    get_voxel_resolution,
+)
+from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+    read_stack_tree,
+    scan_stack_files,
+    validate_extensions,
+)
+
+
+def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
+    start = time.time()
+    root = str(settings.input_source)
+    out = str(settings.output_directory)
+
+    voxel_zyx = get_voxel_resolution(spark, f"{root}/acquisition.json")
+    validate_extensions(spark, f"{root}/SmartSPIM")
+
+    # derivatives passthrough (reference S10: partition 0 uploads the
+    # folder untouched; raises if missing)
+    deriv = Path(root) / "derivatives"
+    if not deriv.is_dir():
+        raise FileNotFoundError(f"derivatives folder not found at {deriv}")
+    shutil.copytree(deriv, Path(out) / "derivatives", dirs_exist_ok=True)
+
+    chunks = read_stack_tree(spark, f"{root}/SmartSPIM", chunk_z=settings.chunk_size[0])
+    pairs = [
+        (r["channel"], r["stack"])
+        for r in chunks.select("channel", "stack").distinct().collect()
+    ]
+    written = []
+    for channel, stack in sorted(pairs):
+        stack_chunks = chunks.filter(
+            (chunks.channel == channel) & (chunks.stack == stack)
+        )
+        levels = build_pyramid(
+            stack_chunks,
+            tuple(settings.scale_factor),
+            settings.downsample_levels,
+        )
+        group = write_ome_zarr(
+            levels,
+            f"{out}/{channel}",
+            stack_name=stack,
+            channel_name=channel,
+            voxel_size_zyx=voxel_zyx,
+            scale_factor_zyx=list(settings.scale_factor),
+            chunk_zyx=list(settings.chunk_size),
+            compress_level=int(settings.compressor_kwargs.get("level", 1)),
+        )
+        written.append(group)
+        for lvl in levels:
+            if lvl.is_cached:
+                lvl.unpersist()
+
+    return {
+        "status_code": 200,
+        "message": f"wrote {len(written)} stacks in {time.time() - start:.1f}s",
+        "written": written,
+    }

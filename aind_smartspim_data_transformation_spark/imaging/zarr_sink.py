@@ -1,0 +1,200 @@
+"""OME-Zarr (v2 + NGFF 0.4) multiscale sink for chunk tables.
+
+Re-expresses the reference's zarr writer (SURVEY.md §2.1 S7,
+`compress/png_to_zarr.py:533-708`) as a Spark sink:
+
+- executors write chunk blobs via ``foreachPartition`` — embarrassingly
+  parallel, no coordination, idempotent (re-run overwrites);
+- the driver writes all JSON metadata (.zgroup/.zattrs/.zarray) ONCE,
+  which removes the reference's create-race handling
+  (`safe_create_zarr_group`, `compress/png_to_zarr.py:503-530`);
+- chunk keys use ``dimension_separator="/"`` →
+  ``<level>/<t>/<c>/<z>/<y>/<x>`` exactly like the reference
+  (`compress/png_to_zarr.py:697`);
+- edge chunks are zero-padded to the nominal chunk shape (zarr v2
+  stores full-size chunks);
+- compression: zlib (a zarr-spec codec id) — this container has no
+  blosc; the compressor is a config enum (see config/settings.py) so a
+  cluster with python-blosc plugs it in without touching the sink.
+
+``read_zarr_level`` is the verification reader: it reopens what the
+sink wrote from the spec alone (no zarr library), used by the golden
+round-trip tests.
+
+Scale: writes go straight from executors to the target filesystem
+(s3a:// on a cluster — replacing the reference's subprocess
+``aws s3 sync`` staging, SURVEY.md §2.1 S9); the reference's
+super-block scheduling workaround (S8 BlockedArrayWriter) has no
+equivalent because Spark bounds in-flight tasks natively.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Any
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+from aind_smartspim_data_transformation_spark.functions.imaging_meta import (
+    axes_5d,
+    build_omero,
+    compute_scale_ladder,
+    pyramid_provenance,
+)
+
+_ZARR_DTYPES = {"uint8": "|u1", "uint16": "<u2", "uint32": "<u4", "float32": "<f4"}
+
+
+def _write_json(path: str, obj: Any) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2)
+
+
+def _level_geometry(level_df: DataFrame) -> tuple[tuple[int, ...], str]:
+    """(Z, Y, X) extent + dtype from chunk *metadata* (one tiny agg —
+    never touches the data column; Catalyst prunes it from the scan)."""
+    from pyspark.sql import functions as F
+
+    row = level_df.agg(
+        F.sum(F.when((F.col("cy") == 0) & (F.col("cx") == 0), F.col("dz"))).alias("z"),
+        F.sum(F.when((F.col("cz") == 0) & (F.col("cx") == 0), F.col("dy"))).alias("y"),
+        F.sum(F.when((F.col("cz") == 0) & (F.col("cy") == 0), F.col("dx"))).alias("x"),
+        F.first("dtype").alias("dtype"),
+    ).first()
+    return (int(row["z"]), int(row["y"]), int(row["x"])), row["dtype"]
+
+
+def write_ome_zarr(
+    levels: list[DataFrame],
+    output_path: str,
+    stack_name: str,
+    channel_name: str,
+    voxel_size_zyx: list[float],
+    scale_factor_zyx: list[int],
+    chunk_zyx: list[int],
+    compress_level: int = 1,
+) -> str:
+    """Write a multiscale OME-Zarr group for one stack.
+
+    ``levels[i]`` is the level-i chunk table (imaging/pyramid.py).
+    Returns the stack group path.
+    """
+    group = os.path.join(output_path, f"{stack_name}.ome.zarr")
+    (z0, y0, x0), dtype = _level_geometry(levels[0])
+    shape_5d = (1, 1, z0, y0, x0)
+    n_lvls = len(levels)
+
+    transforms, chunk_opts = compute_scale_ladder(
+        voxel_size_zyx, scale_factor_zyx, n_lvls, shape_5d, chunk_zyx
+    )
+    _write_json(os.path.join(output_path, ".zgroup"), {"zarr_format": 2})
+    _write_json(os.path.join(group, ".zgroup"), {"zarr_format": 2})
+    _write_json(
+        os.path.join(group, ".zattrs"),
+        {
+            "multiscales": [
+                {
+                    "axes": axes_5d(),
+                    "datasets": [
+                        {"path": str(i), "coordinateTransformations": transforms[i]}
+                        for i in range(n_lvls)
+                    ],
+                    "name": f"/{stack_name}.ome.zarr",
+                    "version": "0.4",
+                    "metadata": pyramid_provenance(),
+                }
+            ],
+            "omero": build_omero(channel_name, shape_5d, np.dtype(dtype)),
+        },
+    )
+
+    shape = [1, 1, z0, y0, x0]
+    for lvl, level_df in enumerate(levels):
+        from pyspark.sql import functions as F
+
+        lvl_dir = os.path.join(group, str(lvl))
+        # nominal chunk = dims of the (0,0,0) chunk: the stored grid is
+        # regular except at upper edges, and may differ from the
+        # *requested* chunk (e.g. z-only chunking keeps full Y/X planes)
+        first = (
+            level_df.filter((F.col("cz") == 0) & (F.col("cy") == 0) & (F.col("cx") == 0))
+            .select("dz", "dy", "dx")
+            .first()
+        )
+        nominal_chunk = [1, 1, int(first["dz"]), int(first["dy"]), int(first["dx"])]
+        _write_json(
+            os.path.join(lvl_dir, ".zarray"),
+            {
+                "zarr_format": 2,
+                "shape": shape,
+                "chunks": nominal_chunk,
+                "dtype": _ZARR_DTYPES[dtype],
+                "compressor": {"id": "zlib", "level": compress_level},
+                "fill_value": 0,
+                "filters": None,
+                "order": "C",
+                "dimension_separator": "/",
+            },
+        )
+        chunk_shape = tuple(nominal_chunk[2:])
+
+        def _write_partition(rows, lvl_dir=lvl_dir, chunk_shape=chunk_shape):
+            for r in rows:
+                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
+                    r["dz"], r["dy"], r["dx"]
+                )
+                if arr.shape != chunk_shape:  # edge chunk → zero-pad
+                    full = np.zeros(chunk_shape, dtype=arr.dtype)
+                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
+                    arr = full
+                key = os.path.join(
+                    lvl_dir, "0", "0", str(r["cz"]), str(r["cy"]), str(r["cx"])
+                )
+                os.makedirs(os.path.dirname(key), exist_ok=True)
+                with open(key, "wb") as f:
+                    f.write(zlib.compress(np.ascontiguousarray(arr).tobytes(), 1))
+
+        level_df.foreachPartition(_write_partition)
+        shape = [
+            1,
+            1,
+            -(-shape[2] // scale_factor_zyx[0]),
+            -(-shape[3] // scale_factor_zyx[1]),
+            -(-shape[4] // scale_factor_zyx[2]),
+        ]
+    return group
+
+
+def read_zarr_level(group: str, level: int) -> np.ndarray:
+    """Spec-only reader: reassemble one level into (Z, Y, X) numpy."""
+    lvl_dir = os.path.join(group, str(level))
+    with open(os.path.join(lvl_dir, ".zarray")) as f:
+        meta = json.load(f)
+    shape = meta["shape"]
+    chunks = meta["chunks"]
+    dtype = np.dtype(meta["dtype"])
+    assert meta["compressor"]["id"] == "zlib"
+    out = np.zeros(tuple(shape[2:]), dtype=dtype)
+    cz_n = -(-shape[2] // chunks[2])
+    cy_n = -(-shape[3] // chunks[3])
+    cx_n = -(-shape[4] // chunks[4])
+    for cz in range(cz_n):
+        for cy in range(cy_n):
+            for cx in range(cx_n):
+                key = os.path.join(lvl_dir, "0", "0", str(cz), str(cy), str(cx))
+                if not os.path.exists(key):
+                    continue
+                with open(key, "rb") as f:
+                    raw = zlib.decompress(f.read())
+                block = np.frombuffer(raw, dtype=dtype).reshape(tuple(chunks[2:]))
+                z0, y0, x0 = cz * chunks[2], cy * chunks[3], cx * chunks[4]
+                z1 = min(z0 + chunks[2], shape[2])
+                y1 = min(y0 + chunks[3], shape[3])
+                x1 = min(x0 + chunks[4], shape[4])
+                out[z0:z1, y0:y1, x0:x1] = block[: z1 - z0, : y1 - y0, : x1 - x0]
+    return out

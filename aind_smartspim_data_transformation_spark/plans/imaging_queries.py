@@ -1,0 +1,105 @@
+"""Relational twin of the flagship imaging aggregation (SURVEY.md A1).
+
+The windowed-mean pyramid runs in production as a shuffle-free
+``mapInPandas`` kernel (imaging/pyramid.py).  To hook the SAME
+semantics into the driver's DuckDB correctness gate — which only sees
+the parquet tables — this module expresses one pyramid level as pure
+relational algebra over a deterministic synthetic voxel grid:
+
+    value(z,y,x) = (z*131 + y*17 + x*7) % 4096        (uint16-like)
+    level1(Z,Y,X) = trunc(mean of the 2×2×2 window)   (ceil edges)
+
+``floor`` (= trunc for non-negative means) reproduces the reference's
+``preserve_dtype=True`` integer cast.  Grid is 33³ (odd on purpose —
+exercises the truncated edge windows).
+
+Also exposes the F2 wavelength→hex LUT as a query so the driver gate
+covers it (the LUT is a when-chain Column expression; the oracle
+replays the bands as a CASE ladder).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.functions.imaging_meta import (
+    WAVELENGTH_BANDS,
+    wavelength_to_hex_col,
+)
+
+GRID = 33  # odd → exercises ceil/truncated edge windows
+
+
+def i01_windowed_mean_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = spark.range(GRID).select(F.col("id").alias("z"))
+    y = spark.range(GRID).select(F.col("id").alias("y"))
+    x = spark.range(GRID).select(F.col("id").alias("x"))
+    vox = (
+        z.crossJoin(y)
+        .crossJoin(x)
+        .withColumn("v", (F.col("z") * 131 + F.col("y") * 17 + F.col("x") * 7) % 4096)
+    )
+    return (
+        vox.groupBy(
+            (F.col("z") / 2).cast("long").alias("zz"),
+            (F.col("y") / 2).cast("long").alias("yy"),
+            (F.col("x") / 2).cast("long").alias("xx"),
+        )
+        .agg(F.floor(F.avg("v")).alias("mean_v"), F.count("*").alias("n_in_window"))
+        .orderBy("zz", "yy", "xx")
+    )
+
+
+I01_SQL = f"""
+WITH vox AS (
+  SELECT z.range AS z, y.range AS y, x.range AS x,
+         (z.range * 131 + y.range * 17 + x.range * 7) % 4096 AS v
+  FROM range({GRID}) z, range({GRID}) y, range({GRID}) x
+)
+SELECT CAST(floor(z / 2) AS BIGINT) AS zz,
+       CAST(floor(y / 2) AS BIGINT) AS yy,
+       CAST(floor(x / 2) AS BIGINT) AS xx,
+       CAST(floor(avg(v)) AS BIGINT) AS mean_v,
+       count(*) AS n_in_window
+FROM vox GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def i02_wavelength_to_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    waves = spark.range(380, 751, 5).select(F.col("id").cast("int").alias("wavelength"))
+    return (
+        waves.select(
+            "wavelength",
+            F.lower(F.format_string("%06x", wavelength_to_hex_col(F.col("wavelength")))).alias(
+                "hex_color"
+            ),
+        )
+        .orderBy("wavelength")
+    )
+
+
+_CASE = "\n         ".join(
+    f"WHEN wavelength < {ub} THEN '{color:06x}'" for ub, color in WAVELENGTH_BANDS
+)
+
+I02_SQL = f"""
+SELECT wavelength,
+       CASE {_CASE}
+            ELSE '{WAVELENGTH_BANDS[-1][1]:06x}' END AS hex_color
+FROM (SELECT CAST(range AS INTEGER) AS wavelength FROM range(380, 751, 5))
+ORDER BY wavelength
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "i01_windowed_mean_grid": i01_windowed_mean_grid,
+    "i02_wavelength_to_hex": i02_wavelength_to_hex,
+}
+
+ORACLE: dict[str, str] = {
+    "i01_windowed_mean_grid": I01_SQL,
+    "i02_wavelength_to_hex": I02_SQL,
+}

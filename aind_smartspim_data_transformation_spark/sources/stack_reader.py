@@ -1,0 +1,233 @@
+"""SmartSPIM stack scan → slice table → chunk table.
+
+Re-expresses the reference's imaging ingest (SURVEY.md §2.1 S1-S4):
+
+- S1 directory-tree stack scan (`smartspim_job.py:43-63` walks
+  ``SmartSPIM/<channel>/<col>/<col>_<row>/``) → a ``binaryFile``
+  DataFrame scan with ``recursiveFileLookup`` + ``regexp_extract`` path
+  parsing.  Spark's file listing is deterministic, which replaces the
+  reference's explicit ``sort(key=str)`` (`smartspim_job.py:59-60`).
+- S2 lazy PNG stack reader (`io/readers.py:129-145`, one dask chunk per
+  slice) → ``mapInPandas`` PNG decode producing one row per slice.
+- S4 header probe (`io/readers.py:147-174`) → ``probe_png_header`` over
+  the first KB of content, no decompression.
+- P1 extension whitelist (`smartspim_job.py:145-150`).
+
+The **chunk table** is the relational encoding of the 5-D canonical
+tensor (SURVEY.md §1.4): one row per chunk with coordinates
+``(t, c, cz, cy, cx)``, actual dims ``(dz, dy, dx)`` (t/c are size-1,
+the reference's pad-to-5D P4/P5), dtype, and C-order little-endian
+bytes.  All downstream imaging operators (pyramid, zarr sink) are
+DataFrame transformations over this table.
+
+Scale posture: the scan lists files once on the driver (cheap:
+metadata-only), decode is Arrow-batched Python with ~6.4 MB rows, and
+slice→chunk assembly is ONE shuffle keyed by (channel, stack, cz) —
+the only shuffle in the whole ingest.  At 100 TB the same plan holds:
+binaryFile splits by file, AQE coalesces, and per-stack work never
+crosses stacks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.sources.png_codec import (
+    decode_png_gray,
+    probe_png_header,
+)
+
+ALLOWED_EXTENSIONS = ("png", "tif", "tiff")
+
+SLICE_SCHEMA = (
+    "channel string, stack string, z int, height int, width int, "
+    "dtype string, data binary"
+)
+
+CHUNK_SCHEMA = (
+    "channel string, stack string, t int, c int, cz int, cy int, cx int, "
+    "dz int, dy int, dx int, dtype string, data binary"
+)
+
+# Arrow batches must be counted in rows-of-megabytes here, not the
+# relational default (see session.py) — 32 × ~6.4 MB ≈ 200 MB per batch.
+_IMAGING_ARROW_BATCH = "32"
+
+
+def scan_stack_files(spark: SparkSession, root: str) -> DataFrame:
+    """binaryFile scan of a SmartSPIM tree with path-derived columns."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    ext = F.lower(F.regexp_extract("path", r"\.([A-Za-z]+)$", 1))
+    channel = F.regexp_extract("path", r"SmartSPIM/([^/]+)/", 1)
+    stack = F.regexp_extract("path", r"/([^/]+)/[^/]+\.[A-Za-z]+$", 1)
+    return (
+        df.withColumn("ext", ext)
+        .filter(F.col("ext").isin(*ALLOWED_EXTENSIONS))
+        .filter(channel != "")
+        .select(
+            "path",
+            channel.alias("channel"),
+            stack.alias("stack"),
+            "content",
+        )
+    )
+
+
+def validate_extensions(spark: SparkSession, root: str) -> None:
+    """Reference raises on non-png/tiff files inside a stack
+    (`smartspim_job.py:145-150`); same contract, one metadata-only scan."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(F.lower(F.regexp_extract("path", r"\.([A-Za-z]+)$", 1)).alias("ext"))
+        .filter(~F.col("ext").isin("json"))  # metadata files ride along
+    )
+    bad = df.filter(~F.col("ext").isin(*ALLOWED_EXTENSIONS)).limit(1).collect()
+    if bad:
+        raise ValueError(f"unsupported image extension: .{bad[0]['ext']}")
+
+
+def decode_slices(files: DataFrame) -> DataFrame:
+    """PNG-decode each file row into a slice row.
+
+    z is assigned by lexicographic filename order within the stack —
+    the reference's sorted-glob semantics (`io/readers.py:145`).
+    """
+    spark = files.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", _IMAGING_ARROW_BATCH
+    )
+    w = W.partitionBy("channel", "stack").orderBy("path")
+    indexed = files.withColumn("z", (F.row_number().over(w) - 1).cast("int"))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_png_gray(bytes(r.content))
+                out.append(
+                    (
+                        r.channel,
+                        r.stack,
+                        r.z,
+                        arr.shape[0],
+                        arr.shape[1],
+                        str(arr.dtype),
+                        arr.tobytes(),  # C-order, native (little) endian
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "channel",
+                    "stack",
+                    "z",
+                    "height",
+                    "width",
+                    "dtype",
+                    "data",
+                ],
+            )
+
+    return indexed.select(
+        "channel", "stack", "z", "path", "content"
+    ).mapInPandas(_decode, schema=SLICE_SCHEMA)
+
+
+def probe_shapes(files: DataFrame) -> DataFrame:
+    """Header-only shape/dtype probe (no decompression) per stack."""
+
+    @F.pandas_udf("struct<width:int, height:int, bitdepth:int>")
+    def _probe(content: pd.Series) -> pd.DataFrame:
+        rows = [probe_png_header(bytes(b)[:64]) for b in content]
+        return pd.DataFrame(rows, columns=["width", "height", "bitdepth"])
+
+    return (
+        files.withColumn("hdr", _probe("content"))
+        .groupBy("channel", "stack")
+        .agg(
+            F.count("*").alias("n_slices"),
+            F.first("hdr.width").alias("width"),
+            F.first("hdr.height").alias("height"),
+            F.first("hdr.bitdepth").alias("bitdepth"),
+        )
+    )
+
+
+def slices_to_chunks(slices: DataFrame, chunk_z: int) -> DataFrame:
+    """Assemble z-runs of slices into 3-D chunks (one shuffle).
+
+    Output chunk coords are (t=0, c=0, cz=z//chunk_z, cy=0, cx=0) with
+    dims (dz<=chunk_z, H, W): the reference's one-chunk-per-slice dask
+    layout generalized to a z-blocked layout, padded to 5-D.
+    """
+    spark = slices.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", _IMAGING_ARROW_BATCH
+    )
+    keyed = slices.withColumn("cz", (F.col("z") / chunk_z).cast("int"))
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        channel, stack, cz = key
+        pdf = pdf.sort_values("z")
+        dtype = pdf["dtype"].iloc[0]
+        h = int(pdf["height"].iloc[0])
+        wd = int(pdf["width"].iloc[0])
+        block = np.stack(
+            [
+                np.frombuffer(b, dtype=np.dtype(dtype)).reshape(h, wd)
+                for b in pdf["data"]
+            ]
+        )
+        return pd.DataFrame(
+            [
+                (
+                    channel,
+                    stack,
+                    0,
+                    0,
+                    int(cz),
+                    0,
+                    0,
+                    block.shape[0],
+                    h,
+                    wd,
+                    dtype,
+                    block.tobytes(),
+                )
+            ],
+            columns=[
+                "channel",
+                "stack",
+                "t",
+                "c",
+                "cz",
+                "cy",
+                "cx",
+                "dz",
+                "dy",
+                "dx",
+                "dtype",
+                "data",
+            ],
+        )
+
+    return keyed.groupBy("channel", "stack", "cz").applyInPandas(
+        _assemble, schema=CHUNK_SCHEMA
+    )
+
+
+def read_stack_tree(spark: SparkSession, root: str, chunk_z: int = 64) -> DataFrame:
+    """Scan + decode + chunk in one declarative pipeline."""
+    return slices_to_chunks(decode_slices(scan_stack_files(spark, root)), chunk_z)

@@ -1,0 +1,184 @@
+"""Imaging plane: stack scan, decode, pyramid, zarr sink — golden tests
+modeled on the reference's suite (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aind_smartspim_data_transformation_spark.functions.imaging_meta import (
+    parse_emission_wavelength,
+    wavelength_to_hex,
+)
+from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+    assemble_array,
+    build_pyramid,
+    windowed_mean,
+)
+from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+    read_zarr_level,
+    write_ome_zarr,
+)
+from aind_smartspim_data_transformation_spark.sources.acquisition import (
+    get_voxel_resolution,
+)
+from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+    decode_slices,
+    read_stack_tree,
+    scan_stack_files,
+    validate_extensions,
+)
+from tests.imaging_fixtures import make_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("smartspim")
+    arrays = make_dataset(root)
+    return root, arrays
+
+
+def test_scan_finds_all_slices(spark, dataset):
+    root, arrays = dataset
+    files = scan_stack_files(spark, str(root / "SmartSPIM"))
+    assert files.count() == 2 * 2 * 2 * 2  # channels × cols × rows × slices
+    stacks = {
+        (r["channel"], r["stack"])
+        for r in files.select("channel", "stack").distinct().collect()
+    }
+    assert len(stacks) == 8
+
+
+def test_decode_matches_source_pixels(spark, dataset):
+    root, arrays = dataset
+    files = scan_stack_files(spark, str(root / "SmartSPIM"))
+    slices = decode_slices(files).filter(
+        "channel = 'Ex_445_Em_469' AND stack = '432380_504340'"
+    )
+    rows = {r["z"]: r for r in slices.collect()}
+    src = arrays["Ex_445_Em_469/432380_504340"]
+    assert len(rows) == src.shape[0]
+    for z, r in rows.items():
+        got = np.frombuffer(r["data"], dtype=np.uint16).reshape(r["height"], r["width"])
+        assert np.array_equal(got, src[z])
+
+
+def test_stack_shape_golden(spark, dataset):
+    """Reference golden: stack assembles to (n_slices, H, W) (SURVEY §5)."""
+    root, arrays = dataset
+    chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=64).filter(
+        "channel = 'Ex_445_Em_469' AND stack = '432380_504340'"
+    )
+    vol = assemble_array(chunks, 64)
+    assert vol.shape == (2, 64, 80)
+    assert np.array_equal(vol, arrays["Ex_445_Em_469/432380_504340"])
+
+
+def test_validate_extensions_rejects_unknown(spark, tmp_path):
+    d = tmp_path / "SmartSPIM" / "Ex_445_Em_469" / "c" / "c_r"
+    d.mkdir(parents=True)
+    (d / "000000.bmp").write_bytes(b"xx")
+    with pytest.raises(ValueError, match="unsupported image extension"):
+        validate_extensions(spark, str(tmp_path / "SmartSPIM"))
+
+
+def test_voxel_resolution_golden(spark, dataset):
+    root, _ = dataset
+    assert get_voxel_resolution(spark, str(root / "acquisition.json")) == [2.0, 1.8, 1.8]
+
+
+def test_voxel_resolution_missing_file(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        get_voxel_resolution(spark, str(tmp_path / "acquisition.json"))
+
+
+def test_wavelength_goldens():
+    assert wavelength_to_hex(469) == 0x3F2EFE  # FIXTURES golden (Em_469)
+    assert wavelength_to_hex(600) == 0xF0121E  # FIXTURES golden (Em_600):
+    # bounds are exclusive, so 600 falls through its own key to the 620 band
+    assert wavelength_to_hex(620) == 0xF00050
+    assert wavelength_to_hex(9000) == 0xF00050  # past last bound → last color
+    assert parse_emission_wavelength("Ex_445_Em_469.zarr") == 469
+
+
+def test_windowed_mean_oracle():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 65535, size=(5, 6, 7)).astype(np.uint16)
+    got = windowed_mean(a, (2, 2, 2))
+    assert got.shape == (3, 3, 4)  # ceil semantics
+    # brute-force oracle
+    for z in range(3):
+        for y in range(3):
+            for x in range(4):
+                win = a[2 * z : 2 * z + 2, 2 * y : 2 * y + 2, 2 * x : 2 * x + 2]
+                assert got[z, y, x] == np.uint16(win.astype(np.float64).mean())
+
+
+def test_pyramid_matches_numpy(spark, dataset):
+    root, arrays = dataset
+    chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=64).filter(
+        "channel = 'Ex_561_Em_600' AND stack = '464780_530260'"
+    )
+    levels = build_pyramid(chunks, (2, 2, 2), 3, persist_levels=False)
+    src = arrays["Ex_561_Em_600/464780_530260"]
+    expect = src
+    for lvl in range(3):
+        got = assemble_array(levels[lvl], 64)
+        assert np.array_equal(got, expect), f"level {lvl}"
+        expect = windowed_mean(expect, (2, 2, 2))
+
+
+def test_zarr_roundtrip(spark, dataset, tmp_path):
+    root, arrays = dataset
+    chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=64).filter(
+        "channel = 'Ex_445_Em_469' AND stack = '432380_530260'"
+    )
+    levels = build_pyramid(chunks, (2, 2, 2), 3, persist_levels=False)
+    group = write_ome_zarr(
+        levels,
+        str(tmp_path / "out" / "Ex_445_Em_469"),
+        stack_name="432380_530260",
+        channel_name="Ex_445_Em_469",
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[64, 64, 64],
+    )
+    src = arrays["Ex_445_Em_469/432380_530260"]
+    expect = src
+    for lvl in range(3):
+        got = read_zarr_level(group, lvl)
+        assert np.array_equal(got, expect), f"level {lvl}"
+        expect = windowed_mean(expect, (2, 2, 2))
+
+
+def test_zarr_ngff_metadata(spark, dataset, tmp_path):
+    import json
+
+    root, _ = dataset
+    chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=64).filter(
+        "channel = 'Ex_561_Em_600' AND stack = '432380_504340'"
+    )
+    levels = build_pyramid(chunks, (2, 2, 2), 2, persist_levels=False)
+    group = write_ome_zarr(
+        levels,
+        str(tmp_path / "out2" / "Ex_561_Em_600"),
+        stack_name="432380_504340",
+        channel_name="Ex_561_Em_600",
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[64, 64, 64],
+    )
+    attrs = json.loads((open(f"{group}/.zattrs")).read())
+    ms = attrs["multiscales"][0]
+    assert [a["name"] for a in ms["axes"]] == ["t", "c", "z", "y", "x"]
+    assert ms["datasets"][0]["coordinateTransformations"][0]["scale"] == [
+        1.0, 1.0, 2.0, 1.8, 1.8,
+    ]
+    assert ms["datasets"][1]["coordinateTransformations"][0]["scale"] == [
+        1.0, 1.0, 4.0, 3.6, 3.6,
+    ]
+    omero = attrs["omero"]
+    assert omero["channels"][0]["color"] == "f0121e"  # Em 600 (FIXTURES golden)
+    assert omero["channels"][0]["window"]["start"] == 0.0
+    assert omero["channels"][0]["window"]["end"] == 350.0
+    assert omero["rdefs"]["defaultZ"] == 1  # Z=2 → 2//2

@@ -1,0 +1,72 @@
+"""End-to-end imaging job (the reference's integration test, SURVEY §5,
+but with output assertions the reference lacks)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from aind_smartspim_data_transformation_spark.config.settings import ImagingJobSettings
+from aind_smartspim_data_transformation_spark.imaging.job import run_imaging_job
+from aind_smartspim_data_transformation_spark.imaging.pyramid import windowed_mean
+from aind_smartspim_data_transformation_spark.imaging.zarr_sink import read_zarr_level
+from tests.imaging_fixtures import make_dataset
+
+
+@pytest.fixture(scope="module")
+def job_run(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    out = tmp_path_factory.mktemp("out")
+    arrays = make_dataset(root, height=32, width=40)
+    settings = ImagingJobSettings(
+        input_source=str(root),
+        output_directory=str(out),
+        chunk_size=[64, 64, 64],
+        downsample_levels=2,
+    )
+    resp = run_imaging_job(spark, settings)
+    return resp, out, arrays
+
+
+def test_job_succeeds(job_run):
+    resp, out, arrays = job_run
+    assert resp["status_code"] == 200
+    assert len(resp["written"]) == 8  # 2 channels × 4 stacks
+
+
+def test_job_output_pixels(job_run):
+    resp, out, arrays = job_run
+    group = f"{out}/Ex_445_Em_469/432380_504340.ome.zarr"
+    src = arrays["Ex_445_Em_469/432380_504340"]
+    assert np.array_equal(read_zarr_level(group, 0), src)
+    assert np.array_equal(read_zarr_level(group, 1), windowed_mean(src, (2, 2, 2)))
+
+
+def test_job_derivatives_passthrough(job_run):
+    resp, out, arrays = job_run
+    assert json.loads((out / "derivatives" / "metadata.json").read_text()) == {
+        "origin": "test"
+    }
+
+
+def test_job_metadata_uses_acquisition_voxels(job_run):
+    resp, out, arrays = job_run
+    attrs = json.loads(
+        (out / "Ex_561_Em_600" / "464780_530260.ome.zarr" / ".zattrs").read_text()
+    )
+    scale = attrs["multiscales"][0]["datasets"][0]["coordinateTransformations"][0]["scale"]
+    assert scale == [1.0, 1.0, 2.0, 1.8, 1.8]
+
+def test_job_missing_derivatives(spark, tmp_path):
+    root = tmp_path / "ds2"
+    make_dataset(root, height=16, width=16)
+    import shutil
+
+    shutil.rmtree(root / "derivatives")
+    settings = ImagingJobSettings(
+        input_source=str(root), output_directory=str(tmp_path / "o"), downsample_levels=1
+    )
+    with pytest.raises(FileNotFoundError, match="derivatives"):
+        run_imaging_job(spark, settings)

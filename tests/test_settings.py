@@ -1,0 +1,67 @@
+"""Config plane: 3-way precedence (JSON arg / config file / env vars)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from aind_smartspim_data_transformation_spark.config.settings import (
+    CompressorName,
+    ImagingJobSettings,
+)
+
+
+def test_defaults():
+    s = ImagingJobSettings(input_source="/in", output_directory="/out")
+    assert s.chunk_size == [128, 128, 128]
+    assert s.scale_factor == [2, 2, 2]
+    assert s.downsample_levels == 4
+    assert s.compressor_name == CompressorName.ZLIB
+    assert s.s3_location is None
+
+
+def test_json_arg_precedence(tmp_path):
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"input_source": "/file", "output_directory": "/o"}))
+    s = ImagingJobSettings.resolve(
+        json_arg=json.dumps({"input_source": "/arg", "output_directory": "/o"}),
+        config_file=str(cfg),
+    )
+    assert str(s.input_source) == "/arg"
+
+
+def test_config_file(tmp_path):
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "input_source": "/file",
+                "output_directory": "/o",
+                "num_of_partitions": 4,
+                "partition_to_process": 0,
+            }
+        )
+    )
+    s = ImagingJobSettings.resolve(config_file=str(cfg))
+    assert str(s.input_source) == "/file"
+    assert s.num_of_partitions == 4
+
+
+def test_env_vars():
+    env = {
+        "TRANSFORMATION_JOB_INPUT_SOURCE": "/env",
+        "TRANSFORMATION_JOB_OUTPUT_DIRECTORY": "/o",
+        "TRANSFORMATION_JOB_DOWNSAMPLE_LEVELS": "2",
+        "TRANSFORMATION_JOB_CHUNK_SIZE": "[64, 64, 64]",
+        "UNRELATED": "ignored",
+    }
+    s = ImagingJobSettings.resolve(environ=env)
+    assert str(s.input_source) == "/env"
+    assert s.downsample_levels == 2
+    assert s.chunk_size == [64, 64, 64]
+
+
+def test_invalid_settings_rejected():
+    with pytest.raises(Exception):
+        ImagingJobSettings(input_source="/in")  # missing output_directory
