@@ -38,21 +38,28 @@ N_MINHASH = 16
 N_BANDS = 8  # r = 2 rows per band
 JACCARD_THRESHOLD = 0.8
 
-# 3-word shingles, distinct per doc.  toks[i] is 0-based in Spark SQL.
+# 3-word shingles.  toks[i] is 0-based in Spark SQL.  Dedup happens
+# relationally AFTER explode: array_distinct() is O(n²) per array and
+# measured 5-10× slower than a hash distinct at ~1k tokens/doc.
 _SHINGLES = (
-    "array_distinct(transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+    "transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
 )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) — 3-word shingles WITH duplicates (no shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
-        .withColumn("shingles", F.expr(_SHINGLES))
-        .select("doc_id", "shingles")
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
     )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) — distinct 3-word shingles per document."""
+    return _shingle_rows_raw(spark, sf_dir).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -88,9 +95,7 @@ FROM groups
 # D2 — n-gram Jaccard near-dup via shingle inverted index.
 # ---------------------------------------------------------------------------
 def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    )
+    sh = _shingle_rows(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -144,10 +149,21 @@ ORDER BY doc1, doc2
 # algorithm (same hash family) — deterministic on both engines.
 # ---------------------------------------------------------------------------
 def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("shingles").alias("sh"))
+    # Raw (multiset) shingles: min() is duplicate-insensitive, so the
+    # signature pass needs NO distinct — the full-corpus path is just
+    # explode → partial-agg, no wide shuffle of shingle strings.
+    # Distinct-shingle work happens only on the candidate subset below.
+    # Deliberately NOT persisted: caching 10⁶s of tiny rows costs more
+    # (object overhead + GC) than recomputing the narrow parse twice.
+    sh = _shingle_rows_raw(spark, sf_dir)
+    # 16 minhashes from only 4 md5 evaluations: each 128-bit digest is
+    # split into 4 independent 32-bit (8-hex) lanes.  4× less hashing
+    # than 16 per-function md5 calls — the dominant cost at scale.
     sigs = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i // 4}|"), F.col("sh"))), 8 * (i % 4) + 1, 8)
+            ).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
     )
@@ -176,12 +192,23 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ba.doc_id").alias("doc1"), F.col("bb.doc_id").alias("doc2"))
         .distinct()
+        .persist()  # consumed twice (pair join + cand_docs)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("_d2"), F.col("sh").alias("sh2"))
+    # verification touches only candidate docs: broadcast-semi-filter the
+    # shingle table down before deduplicating shingles or counting sizes
+    # (candidates ≪ corpus, so the distinct is near-free here).
+    cand_docs = (
+        cand.select(F.col("doc1").alias("doc_id"))
+        .union(cand.select(F.col("doc2")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").distinct().persist()
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh_cand.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sh_cand.select(F.col("doc_id").alias("_d2"), F.col("sh").alias("sh2"))
     common = (
-        cand.join(s1, "doc1")
+        F.broadcast(cand)
+        .join(s1, "doc1")
         .join(s2, (F.col("doc2") == F.col("_d2")) & (F.col("sh1") == F.col("sh2")))
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("common"))
@@ -200,7 +227,8 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_COLS = ",\n         ".join(
-    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(N_MINHASH)
+    f"min(substring(md5('{i // 4}|' || sh), {8 * (i % 4) + 1}, 8)) AS h{i}"
+    for i in range(N_MINHASH)
 )
 _BAND_STRUCTS = ", ".join(
     f"{{'band_id': {j}, 'bkey': h{2 * j} || h{2 * j + 1}}}" for j in range(N_BANDS)

@@ -1,0 +1,99 @@
+"""Structured Streaming twins of the events-table expressions.
+
+SURVEY.md §2.10: the reference is batch-only; the [driver-ext] streaming
+surface runs the SAME aggregation expressions under ``readStream`` —
+tumbling windows with watermarks, sliding windows, session windows, and
+watermarked stateful dedup.  The batch twins in plans/events.py are
+what the DuckDB oracle verifies; these functions prove the expressions
+stream (smoke-tested with a file source + memory sink, driven to
+completion with ``processAllAvailable``).
+
+The parquet ts column is TIMESTAMP(NANOS) which the streaming parquet
+reader also rejects — the stream source reads nanos as long (schema
+declares LongType) and converts exactly like tables.load_events.
+
+Scale posture: these are the operators a production events pipeline
+runs 24/7 — watermark bounds state; session_window/dropDuplicates state
+is per-key and pruned at watermark.  Sink would be kafka/delta; memory
+sink is the test harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of e02: 1-hour tumbling windows, 2-hour watermark."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Native session_window form of e04 (30-minute gap)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Watermarked stateful dedup on (user_id, event_type)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a bounded file-source stream to completion via a memory
+    sink; returns the materialized result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

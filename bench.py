@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (results are collected — headline
+results are small aggregates / top-ks), timed individually after a JVM
+warm-up action.  Run locally while iterating:
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from aind_smartspim_data_transformation_spark import registry  # noqa: E402
+from aind_smartspim_data_transformation_spark.session import build_local_session  # noqa: E402
+
+# Headline set: one per operator family — scan+agg, fact-fact join,
+# window, time-window, as-of, minhash dedup, similarity, text quality,
+# imaging windowed-mean semantics.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q07_window_rank",
+    "q12_distinct_agg",
+    "e02_tumbling_window",
+    "e04_sessionize",
+    "e05_asof_join",
+    "d03_dedup_minhash_lsh",
+    "s01_cosine_topk",
+    "t02_quality_score",
+    "i01_windowed_mean_grid",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = build_local_session(app_name="bench", driver_memory="32g")
+    spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    queries = registry.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Structured Streaming smoke: the batch-verified expressions stream.
+
+The tumbling-window stream result must equal the batch twin (e02) —
+same expression, two execution modes.
+"""
+
+from __future__ import annotations
+
+from aind_smartspim_data_transformation_spark.plans.events import e02_tumbling_window
+from aind_smartspim_data_transformation_spark.streaming import events_stream as es
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    stream = es.read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    got = es.run_to_completion(es.tumbling_counts(stream), "t_tumbling")
+    batch = e02_tumbling_window(spark, sf_dir)
+    s_rows = sorted(map(tuple, got.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows
+
+
+def test_session_window_stream_runs(spark, sf_dir):
+    stream = es.read_events_stream(spark, sf_dir)
+    got = es.run_to_completion(es.session_windows(stream), "t_sessions")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_dedup_within_watermark_runs(spark, sf_dir):
+    stream = es.read_events_stream(spark, sf_dir)
+    got = es.run_to_completion(es.dedup_within_watermark(stream), "t_dedup")
+    rows = got.collect()
+    n_keys = len({(r["user_id"], r["event_type"]) for r in rows})
+    assert len(rows) == n_keys  # at most one row per key survives
