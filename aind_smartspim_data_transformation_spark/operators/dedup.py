@@ -151,10 +151,9 @@ ORDER BY doc1, doc2
 def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Raw (multiset) shingles: min() is duplicate-insensitive, so the
     # signature pass needs NO distinct — the full-corpus path is just
-    # explode → partial-agg, no wide shuffle of shingle strings.
-    # Distinct-shingle work happens only on the candidate subset below.
-    # Deliberately NOT persisted: caching 10⁶s of tiny rows costs more
-    # (object overhead + GC) than recomputing the narrow parse twice.
+    # explode → partial-agg, no wide shuffle of shingle strings, and it
+    # is consumed exactly once (the verify pass below re-shingles only
+    # candidate docs), so nothing here needs caching.
     sh = _shingle_rows_raw(spark, sf_dir)
     # 16 minhashes from only 4 md5 evaluations: each 128-bit digest is
     # split into 4 independent 32-bit (8-hex) lanes.  4× less hashing
@@ -181,28 +180,45 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.bkey")
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
+    # Candidate pairs by grouping each band bucket and expanding i<j
+    # combinations in-bucket — ONE pass over the signature pipeline and
+    # one shuffle on the band key, where a bands⋈bands self-join would
+    # compute the minhash aggregation twice (once per side) and shuffle
+    # both.  Bucket membership lists are tiny by construction (a bucket
+    # = docs agreeing on 64 bits of minhash); a runaway bucket would
+    # mean degenerate data and is the place to cap at scale.
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc1, y AS doc2))))"
+    )
     cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band_id") == F.col("bb.band_id"))
-            & (F.col("ba.bkey") == F.col("bb.bkey"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("ba.doc_id").alias("doc1"), F.col("bb.doc_id").alias("doc2"))
+        bands.groupBy("band_id", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc1", "p.doc2")
         .distinct()
         .persist()  # consumed twice (pair join + cand_docs)
     )
     # verification touches only candidate docs: broadcast-semi-filter the
-    # shingle table down before deduplicating shingles or counting sizes
-    # (candidates ≪ corpus, so the distinct is near-free here).
+    # *documents* table down BEFORE tokenize/shingle/explode — the verify
+    # pass never re-scans non-candidate text (candidates ≪ corpus, so
+    # the per-doc distinct is near-free here).
     cand_docs = (
         cand.select(F.col("doc1").alias("doc_id"))
         .union(cand.select(F.col("doc2")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id").distinct().persist()
+    docs_cand = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(cand_docs), "doc_id"
+    )
+    sh_cand = (
+        docs_cand.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+        .distinct()
+        .persist()
+    )
     sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     s1 = sh_cand.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = sh_cand.select(F.col("doc_id").alias("_d2"), F.col("sh").alias("sh2"))

@@ -18,3 +18,44 @@ def test_q01_returns_rows(spark, sf_dir):
     rows = relational.q01_pricing_summary(spark, sf_dir).collect()
     assert len(rows) > 0
     assert rows[0]["count_order"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Physical-plan assertions (SCALE.md §2): the plans we ship are the plans
+# we designed, not just plans that happen to produce correct rows.
+# ---------------------------------------------------------------------------
+def test_q01_plan_pushdown(spark, sf_dir):
+    """q01's filter and projection must reach the parquet scan."""
+    plan = (
+        relational.q01_pricing_summary(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: the scan reads only the 7 referenced columns, not
+    # the full 16-column lineitem schema.
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q03_plan_broadcasts_dims(spark, sf_dir):
+    """Dim joins broadcast — no shuffle of the fact side for enrichment."""
+    df = relational.q03_revenue_by_nation(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan before inspecting it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    # Whole-stage codegen is active: operators carry the `*(n)` marker
+    # in the finalized adaptive plan (Tungsten path, not interpreted).
+    assert "*(1)" in plan
+
+
+def test_q02_topk_is_take_ordered(spark, sf_dir):
+    """Top-k must compile to TakeOrderedAndProject, not a global sort."""
+    plan = (
+        relational.q02_top_orders(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
