@@ -342,11 +342,83 @@ FROM sigs ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# D5 — embedding-cosine near-dup: pairs of vectors in the same
+# random-hyperplane LSH bucket with exact cosine ≥ threshold.  The LSH
+# bucket (8 deterministic hyperplanes, shared with operators/similarity)
+# is the scale path: candidate generation is one groupBy on the bucket
+# key — never an all-pairs crossJoin of the corpus — and the exact
+# cosine re-check runs only within buckets.  The oracle replays the
+# identical hyperplane formula, so this too is hash-verifiable.
+# ---------------------------------------------------------------------------
+EMB_DUP_THRESHOLD = 0.9
+
+
+def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "val")
+    ).select(
+        "vec_id", (F.col("d0") + 1).alias("d"), F.col("val").cast("double").alias("val")
+    )
+    sigs = S._bucket_votes(exploded).select("vec_id", S._bucket_col().alias("bucket"))
+    wb = e.join(sigs, "vec_id")
+    a = wb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = wb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = S._dot("va", "vb") / (F.sqrt(S._norm_sq("va")) * F.sqrt(S._norm_sq("vb")))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .select("id_a", "id_b", "bucket", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _d05_sql() -> str:
+    from aind_smartspim_data_transformation_spark.operators.similarity import (
+        _BUCKET_SUM,
+        _VOTE_COLS,
+    )
+
+    return f"""
+WITH exploded AS (
+  SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+), votes AS (
+  SELECT vec_id,
+         {_VOTE_COLS}
+  FROM exploded GROUP BY vec_id
+), sigs AS (
+  SELECT vec_id, {_BUCKET_SUM} AS bucket FROM votes
+), wb AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.bucket
+  FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {EMB_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
     "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
     "d04_simhash": d04_simhash,
+    "d05_dedup_embedding_cosine": d05_dedup_embedding_cosine,
 }
 
 ORACLE: dict[str, str] = {
@@ -354,4 +426,5 @@ ORACLE: dict[str, str] = {
     "d02_dedup_ngram_jaccard": D02_SQL,
     "d03_dedup_minhash_lsh": D03_SQL,
     "d04_simhash": D04_SQL,
+    "d05_dedup_embedding_cosine": _d05_sql(),
 }

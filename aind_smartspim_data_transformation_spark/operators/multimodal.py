@@ -150,13 +150,98 @@ def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(imgs.select("doc_id", "image")).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# M3 — image resize (nearest-neighbor) as mapInPandas.  Pure-python
+# kernel over the fake format; a real deployment swaps in
+# pillow/opencv inside the same batch loop — the Spark plumbing
+# (schema, Arrow batching, partitioning) is what this operator tests.
+# Rows-only for the driver; deterministic goldens in tests.
+# ---------------------------------------------------------------------------
+RESIZE_W, RESIZE_H = 8, 4
+
+RESIZED_SCHEMA = (
+    "doc_id long, src_width int, src_height int, width int, height int, "
+    "resized binary"
+)
+
+
+def resize_images(binary_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                w, h, payload = decode_image_bytes(bytes(blob))
+                # nearest-neighbor sample on the w×h byte grid
+                resized = bytes(
+                    payload[(y * h // out_h) * w + (x * w // out_w)]
+                    for y in range(out_h)
+                    for x in range(out_w)
+                )
+                out.append((doc_id, w, h, out_w, out_h, resized))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "src_width", "src_height", "width", "height", "resized"],
+            )
+
+    return binary_df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def m03_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = documents_as_fake_images(spark, sf_dir)
+    resized = resize_images(imgs.select("doc_id", "image"), RESIZE_W, RESIZE_H)
+    return resized.select(
+        "doc_id", "src_width", "src_height", "width", "height",
+        F.sha2("resized", 256).alias("resized_digest"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# M4 — frame sampling: treat the payload as a "video" of src_height
+# frames of src_width bytes; keep every k-th frame.  The per-row output
+# is a list of sampled frame indices + a digest of the kept bytes —
+# the shape of a video-curation pipeline stage.
+# ---------------------------------------------------------------------------
+FRAME_STRIDE = 2
+
+FRAMES_SCHEMA = "doc_id long, n_frames int, n_sampled int, sampled_digest string"
+
+
+def sample_frames(binary_df: DataFrame, stride: int) -> DataFrame:
+    import hashlib
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                w, h, payload = decode_image_bytes(bytes(blob))
+                kept = b"".join(
+                    payload[f * w : (f + 1) * w] for f in range(0, h, stride)
+                )
+                out.append(
+                    (doc_id, h, len(range(0, h, stride)), hashlib.sha256(kept).hexdigest())
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "n_sampled", "sampled_digest"]
+            )
+
+    return binary_df.mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
+def m04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = documents_as_fake_images(spark, sf_dir)
+    return sample_frames(imgs.select("doc_id", "image"), FRAME_STRIDE).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m01_binary_stats": m01_binary_stats,
     "m02_image_features": m02_image_features,
+    "m03_image_resize": m03_image_resize,
+    "m04_frame_sample": m04_frame_sample,
 }
 
 ORACLE: dict[str, str] = {
     "m01_binary_stats": M01_SQL,
-    # m02_image_features: intentionally no oracle (mapInPandas decode) —
-    # driver records rows-only; goldens live in tests/test_multimodal.py.
+    # m02/m03/m04: intentionally no oracle (mapInPandas decode paths are
+    # not SQL-expressible) — driver records rows-only; deterministic
+    # goldens live in tests/test_multimodal.py.
 }

@@ -56,6 +56,16 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of e03: 1-hour windows sliding every 30 minutes."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+    )
+
+
 def session_windows(events: DataFrame) -> DataFrame:
     """Native session_window form of e04 (30-minute gap)."""
     return (

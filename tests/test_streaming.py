@@ -34,3 +34,12 @@ def test_dedup_within_watermark_runs(spark, sf_dir):
     rows = got.collect()
     n_keys = len({(r["user_id"], r["event_type"]) for r in rows})
     assert len(rows) == n_keys  # at most one row per key survives
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    from aind_smartspim_data_transformation_spark.plans.events import e03_sliding_window
+
+    stream = es.read_events_stream(spark, sf_dir)
+    got = es.run_to_completion(es.sliding_counts(stream), "t_sliding")
+    batch = e03_sliding_window(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
