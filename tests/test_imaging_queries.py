@@ -27,3 +27,56 @@ def test_grid_query_matches_numpy_kernel(spark, sf_dir):
     for r in rows:
         got[r["zz"], r["yy"], r["xx"]] = r["mean_v"]
     assert np.array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# F3-F6 metadata goldens (COVERAGE.md §2.8) — reference semantics:
+# cumulative scale ladder, chunk clamping, dtype-theoretic display
+# window, defaultZ = Z//2.
+# ---------------------------------------------------------------------------
+def test_scale_ladder_golden():
+    from aind_smartspim_data_transformation_spark.functions.imaging_meta import (
+        compute_scale_ladder,
+    )
+
+    transforms, chunks = compute_scale_ladder(
+        voxel_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        n_levels=3,
+        shape_5d=(1, 1, 64, 1600, 2000),
+        chunk_zyx=[128, 128, 128],
+    )
+    assert transforms[0][0]["scale"] == [1.0, 1.0, 2.0, 1.8, 1.8]
+    assert transforms[2][0]["scale"] == [1.0, 1.0, 8.0, 7.2, 7.2]
+    assert chunks[0] == (1, 1, 64, 128, 128)  # clamped to level-0 Z extent
+    assert chunks[2] == (1, 1, 16, 128, 128)  # level-2 Z extent 64/4
+
+
+def test_omero_metadata_golden():
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.functions.imaging_meta import (
+        axes_5d,
+        build_omero,
+        pyramid_provenance,
+    )
+
+    omero = build_omero("Ex_445_Em_469", (1, 1, 64, 1600, 2000), np.dtype("uint16"))
+    ch = omero["channels"][0]
+    assert ch["color"] == "3f2efe"  # 469 nm → band (470, 0x3F2EFE)
+    assert ch["window"] == {"min": 0.0, "max": 65535.0, "start": 0.0, "end": 350.0}
+    assert omero["rdefs"]["defaultZ"] == 32
+    assert [a["name"] for a in axes_5d()] == ["t", "c", "z", "y", "x"]
+    assert pyramid_provenance()["name"] == "windowed_mean"
+
+
+def test_approx_count_distinct_tracks_exact(spark, sf_dir):
+    """HLL sketch within its rsd of the exact distinct count (A4)."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"]
