@@ -48,9 +48,24 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = build_local_session(app_name="bench", driver_memory="32g")
-    spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # JVM warm-up: codegen pipeline + parquet reader paths (tiny sf0.001
+    # dim table — NOT the benchmark data, which stays cold).
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").groupBy(
+        "r_name"
+    ).count().collect()
 
     queries = registry.all_queries()
+    # Per-query-shape warm-up at sf0.001 (~100× smaller than the
+    # benchmark data): compiles each plan's whole-stage codegen once so
+    # the timed runs below measure engine throughput, not JIT compile.
+    for name in HEADLINE:
+        try:
+            queries[name](spark, "/root/testdata/sf0.001").collect()
+        except Exception as exc:  # warm-up must never fail the bench
+            print(f"# warm-up {name} skipped: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()  # drop any persist() leftovers from warm-up
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
