@@ -664,6 +664,45 @@ FROM embeddings WHERE vec_id < 30 ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# Q22 — explicit GROUPING SETS (A4: the general form of rollup/cube).
+# grouping_id() disambiguates which set each output row belongs to —
+# without it, (NULL-nation, total) rows from different sets collide.
+# ---------------------------------------------------------------------------
+def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q22_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q22_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_q22_nation")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               CAST(grouping(n_name) AS INT)         AS g_nation,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*)                               AS n_orders,
+               round(sum(o_totalprice), 2)            AS total_price
+        FROM _q22_orders
+        JOIN _q22_customer ON o_custkey = c_custkey
+        JOIN _q22_nation   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
+        ORDER BY g_nation, g_prio, n_name, o_orderpriority
+        """
+    )
+
+
+Q22_SQL = """
+SELECT n_name, o_orderpriority,
+       CAST(grouping(n_name) AS INT)          AS g_nation,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       count(*)                               AS n_orders,
+       round(sum(o_totalprice), 2)            AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
+ORDER BY g_nation, g_prio, n_name, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -688,6 +727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_scalar_subquery": q19_scalar_subquery,
     "q20_above_avg_orders": q20_above_avg_orders,
     "q21_array_funcs": q21_array_funcs,
+    "q22_grouping_sets": q22_grouping_sets,
 }
 
 ORACLE: dict[str, str] = {
@@ -712,4 +752,5 @@ ORACLE: dict[str, str] = {
     "q19_scalar_subquery": Q19_SQL,
     "q20_above_avg_orders": Q20_SQL,
     "q21_array_funcs": Q21_SQL,
+    "q22_grouping_sets": Q22_SQL,
 }
