@@ -1,0 +1,89 @@
+"""Scale-posture utilities: skew salting and bucketed co-located joins.
+
+SCALE.md §2 and §4 describe the 100 TB strategies; this module makes
+them executable and testable at any SF:
+
+- :func:`salted_join` — equi-join where the build side's hot keys would
+  overwhelm single reducers.  The left (big, skewed) side gets a random
+  salt in [0, n); the right side is exploded n× with every salt value;
+  the join key becomes (key, salt).  Row multiplication is confined to
+  the SMALL side, the skewed key's rows spread over n reducers, and the
+  result is row-identical to the plain join.  AQE's skew-join splitter
+  handles moderate skew automatically; explicit salting is for the
+  pathological keys AQE can't split (one key ≫ one partition's worth).
+
+- :func:`write_bucketed` / :func:`read_bucketed_join` — persist two fact
+  tables bucketed+sorted by the join key so the sort-merge join needs
+  NO exchange and NO sort at read time: the physical layout carries the
+  partitioning.  This is the deployment answer for repeated
+  lineitem⋈orders-shaped joins (write once, join shuffle-free forever).
+
+Both utilities are pure DataFrame algebra — no RDDs, no Python row
+loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join on ``key``.
+
+    ``left`` is the large/skewed side (salted with rand); ``right`` is
+    replicated ``n_salts``× via explode.  Result columns = left's then
+    right's (minus its join key), exactly like ``left.join(right, key)``.
+    """
+    salted_l = left.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_l.join(salted_r, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist ``df`` bucketed+sorted by ``key`` into the session
+    warehouse (saveAsTable — bucketing metadata needs the catalog)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str,
+) -> DataFrame:
+    """Join two same-bucketed tables on ``key``.
+
+    With matching bucket specs Catalyst plans a sort-merge join with no
+    Exchange on either side (asserted in tests/test_scale_utils.py) —
+    the co-located-join layout SCALE.md prescribes for fact⋈fact at
+    100 TB.
+    """
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    # Force sort-merge: at test SF the planner would broadcast instead
+    # (both tables fit under the threshold), which bypasses the bucketed
+    # layout this utility exists to exploit.  At 100 TB fact sizes SMJ
+    # is what the planner picks anyway; the hint makes the utility's
+    # contract (bucket-co-located, exchange-free join) hold at any SF.
+    return lt.hint("merge").join(rt, key)
