@@ -413,12 +413,56 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# D6 — materialized deduplicated corpus: keep the lowest doc_id per
+# exact-content group AND drop near-dup losers found by MinHash/LSH
+# (doc2 of every verified pair — doc1 < doc2, so min-id wins there
+# too).  This is the operator a training pipeline actually *runs*:
+# the filtered corpus, not a report about it.  One digest groupBy +
+# one broadcast anti-join against the (tiny) loser set.
+# ---------------------------------------------------------------------------
+def d06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact_keepers = docs.groupBy(F.sha2("text", 256).alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    near_losers = d03_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc2").alias("doc_id")
+    ).distinct()
+    return (
+        docs.join(exact_keepers.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(near_losers), "doc_id", "left_anti")
+        .select("doc_id", "lang", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+def _d06_sql() -> str:
+    # reuse D03's pipeline as the loser-set subquery
+    d03_body = D03_SQL.strip().rstrip()
+    return f"""
+WITH d03 AS (
+{d03_body}
+), exact_keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+), near_losers AS (
+  SELECT DISTINCT doc2 AS doc_id FROM d03
+)
+SELECT doc_id, lang, length(text) AS n_chars
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM exact_keepers)
+  AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
     "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
     "d04_simhash": d04_simhash,
     "d05_dedup_embedding_cosine": d05_dedup_embedding_cosine,
+    "d06_dedup_corpus": d06_dedup_corpus,
 }
 
 ORACLE: dict[str, str] = {
@@ -427,4 +471,5 @@ ORACLE: dict[str, str] = {
     "d03_dedup_minhash_lsh": D03_SQL,
     "d04_simhash": D04_SQL,
     "d05_dedup_embedding_cosine": _d05_sql(),
+    "d06_dedup_corpus": _d06_sql(),
 }

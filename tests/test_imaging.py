@@ -182,3 +182,50 @@ def test_zarr_ngff_metadata(spark, dataset, tmp_path):
     assert omero["channels"][0]["window"]["start"] == 0.0
     assert omero["channels"][0]["window"]["end"] == 350.0
     assert omero["rdefs"]["defaultZ"] == 1  # Z=2 → 2//2
+
+
+# ---------------------------------------------------------------------------
+# Property-based check: windowed_mean vs a brute-force per-window loop,
+# over random shapes/factors/dtypes (hypothesis).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _arrays_and_factors(draw):
+    import numpy as np
+
+    shape = tuple(draw(st.integers(1, 9)) for _ in range(3))
+    factors = tuple(draw(st.integers(1, 3)) for _ in range(3))
+    dtype = draw(st.sampled_from(["uint8", "uint16", "int32", "float32"]))
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    if dtype.startswith("float"):
+        arr = rng.random(shape, dtype=np.float32)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, size=shape, dtype=dtype)
+    return arr, factors
+
+
+@given(_arrays_and_factors())
+@settings(max_examples=60, deadline=None)
+def test_windowed_mean_property(case):
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import windowed_mean
+
+    arr, factors = case
+    got = windowed_mean(arr, factors)
+    out_shape = tuple(-(-s // f) for s, f in zip(arr.shape, factors))
+    assert got.shape == out_shape
+    assert got.dtype == arr.dtype
+    # brute force: mean over each (possibly truncated) window
+    for idx in np.ndindex(*out_shape):
+        window = arr[
+            tuple(
+                slice(i * f, min((i + 1) * f, s))
+                for i, f, s in zip(idx, factors, arr.shape)
+            )
+        ]
+        expect = np.asarray(window.astype(np.float64).mean(), dtype=arr.dtype)
+        assert got[idx] == expect
