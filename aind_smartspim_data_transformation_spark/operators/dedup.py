@@ -358,13 +358,8 @@ def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aind_smartspim_data_transformation_spark.operators import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
-    exploded = e.select(
-        "vec_id", F.posexplode("embedding").alias("d0", "val")
-    ).select(
-        "vec_id", (F.col("d0") + 1).alias("d"), F.col("val").cast("double").alias("val")
-    )
-    sigs = S._bucket_votes(exploded).select("vec_id", S._bucket_col().alias("bucket"))
-    wb = e.join(sigs, "vec_id")
+    # per-row bucket expression: no explode, no shuffle (similarity.py)
+    wb = e.withColumn("bucket", S._bucket_expr())
     a = wb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
     )

@@ -85,33 +85,28 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
 # ---------------------------------------------------------------------------
 # S2 — random-hyperplane LSH bucket assignment.
 # bit_i(v) = [ Σ_d w(i,d) · v[d] > 0 ];  bucket = Σ bit_i << i.
+# The projection is a PER-ROW array fold (zip_with + aggregate over the
+# embedding), not an explode→groupBy: bucket assignment is a narrow map
+# with NO shuffle — at billions of vectors the old explode shape would
+# shuffle rows × dims; this shuffles nothing.
 # ---------------------------------------------------------------------------
-def _bucket_votes(exploded: DataFrame) -> DataFrame:
-    """exploded: (vec_id, d, val) with d 1-based."""
-    aggs = []
+def _bucket_expr(embedding_col: str = "embedding"):
+    bits = []
     for i in range(N_PLANES):
-        w = F.when(((F.col("d") * 31 + i * 17) % 7) % 2 == 0, F.lit(1.0)).otherwise(
-            F.lit(-1.0)
+        proj = (
+            f"aggregate(zip_with({embedding_col}, "
+            f"sequence(1, size({embedding_col})), "
+            f"(v, d) -> CASE WHEN ((d * 31 + {i} * 17) % 7) % 2 = 0 "
+            f"THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
         )
-        aggs.append(F.sum(w * F.col("val")).alias(f"p{i}"))
-    return exploded.groupBy("vec_id").agg(*aggs)
-
-
-def _bucket_col():
-    b = None
-    for i in range(N_PLANES):
-        bit = F.when(F.col(f"p{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        b = bit if b is None else b + bit
-    return b
+        bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
 
 
 def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    exploded = e.select(
-        "vec_id", F.posexplode("embedding").alias("d0", "val")
-    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("val").cast("double").alias("val"))
-    votes = _bucket_votes(exploded)
-    sigs = votes.select("vec_id", _bucket_col().alias("bucket"))
+    sigs = e.select("vec_id", _bucket_expr().alias("bucket"))
     from pyspark.sql import Window as W
 
     return (
@@ -151,11 +146,8 @@ FROM sigs ORDER BY vec_id
 # ---------------------------------------------------------------------------
 def s03_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    exploded = e.select(
-        "vec_id", F.posexplode("embedding").alias("d0", "val")
-    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("val").cast("double").alias("val"))
-    sigs = _bucket_votes(exploded).select("vec_id", _bucket_col().alias("bucket"))
-    with_bucket = e.join(sigs, "vec_id")
+    # bucket = narrow per-row expression; no join needed to attach it
+    with_bucket = e.withColumn("bucket", _bucket_expr())
     qrow = with_bucket.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
     )

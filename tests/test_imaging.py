@@ -229,3 +229,20 @@ def test_windowed_mean_property(case):
         ]
         expect = np.asarray(window.astype(np.float64).mean(), dtype=arr.dtype)
         assert got[idx] == expect
+
+
+def test_downsample_step_has_no_shuffle(spark, dataset):
+    """One pyramid level = mapInPandas over existing partitions — the
+    physical plan must contain no Exchange (SCALE.md §6)."""
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        downsample_chunks,
+    )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        read_stack_tree,
+    )
+
+    root, _arrays = dataset
+    chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=2)
+    lvl1 = downsample_chunks(chunks, (2, 2, 2))
+    plan = lvl1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("MapInPandas")[0]

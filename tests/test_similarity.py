@@ -19,3 +19,19 @@ def test_topk_is_sorted(spark, sf_dir):
     assert len(rows) == similarity.TOP_K
     cosines = [r["cosine"] for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_s02_bucket_assignment_is_narrow(spark, sf_dir):
+    """Bucket assignment is a per-row fold — no explode (Generate) and
+    no aggregation shuffle before the bucket-count window."""
+    from aind_smartspim_data_transformation_spark.operators.similarity import (
+        s02_lsh_buckets,
+    )
+
+    plan = (
+        s02_lsh_buckets(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan  # no posexplode of the embedding array
+    # exactly the window's hashpartitioning + the final sort's range
+    # partitioning — no extra aggregate exchange from a groupBy
+    assert plan.count("Exchange") <= 2
