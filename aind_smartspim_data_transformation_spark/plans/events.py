@@ -231,6 +231,61 @@ SELECT user_id, event_type, event_id, ts FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# E7 — conversion funnel: for each user, the first 'click' and whether
+# a 'purchase' followed within 1 hour of it.  One as-of-style pattern
+# flipped forward: min(click_ts) per user, then an existence check over
+# the purchase set — two partial-agg shuffles on user_id, no self-join
+# explosion.
+# ---------------------------------------------------------------------------
+def e07_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = first_click.join(purchases, "user_id", "left").withColumn(
+        "converted_row",
+        (
+            (F.col("p_ts") >= F.col("first_click_ts"))
+            & (F.col("p_ts") <= F.col("first_click_ts") + F.expr("INTERVAL 1 HOUR"))
+        ).cast("int"),
+    )
+    per_user = joined.groupBy("user_id", "first_click_ts").agg(
+        F.coalesce(F.max("converted_row"), F.lit(0)).alias("converted")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_clickers"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.avg("converted"), 4).alias("conversion_rate"),
+    )
+
+
+E07_SQL = """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS first_click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), per_user AS (
+  SELECT fc.user_id, fc.first_click_ts,
+         coalesce(max(CASE WHEN p.ts >= fc.first_click_ts
+                            AND p.ts <= fc.first_click_ts + INTERVAL 1 HOUR
+                           THEN 1 ELSE 0 END), 0) AS converted
+  FROM first_click fc
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = fc.user_id
+  GROUP BY fc.user_id, fc.first_click_ts
+)
+SELECT count(*) AS n_clickers,
+       sum(converted) AS n_converted,
+       round(avg(converted), 4) AS conversion_rate
+FROM per_user
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_json_extract": e01_json_extract,
     "e02_tumbling_window": e02_tumbling_window,
@@ -238,6 +293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e04_sessionize": e04_sessionize,
     "e05_asof_join": e05_asof_join,
     "e06_dedup_first": e06_dedup_first,
+    "e07_funnel": e07_funnel,
 }
 
 ORACLE: dict[str, str] = {
@@ -247,4 +303,5 @@ ORACLE: dict[str, str] = {
     "e04_sessionize": E04_SQL,
     "e05_asof_join": E05_SQL,
     "e06_dedup_first": E06_SQL,
+    "e07_funnel": E07_SQL,
 }

@@ -89,11 +89,45 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user (n_events, total_value), emitted each microbatch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (SURVEY.md §2.10); state is per-key and
+    lives in the state store — at scale it is bounded by active users,
+    and a production job would add a timeout to expire idle keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def _update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, name: str, mode: str | None = None
+) -> DataFrame:
     """Drive a bounded file-source stream to completion via a memory
     sink; returns the materialized result as a batch DataFrame."""
+    if mode is None:
+        mode = "complete" if _has_agg(stream_df) else "append"
     q = (
-        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

@@ -43,3 +43,24 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
     got = es.run_to_completion(es.sliding_counts(stream), "t_sliding")
     batch = e03_sliding_window(spark, sf_dir)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState running totals == batch groupBy totals
+    (single microbatch file source → final state is the full total)."""
+    from pyspark.sql import functions as F
+
+    stream = es.read_events_stream(spark, sf_dir)
+    got = es.run_to_completion(
+        es.running_user_totals(stream), "t_stateful", mode="update"
+    )
+    # keep each user's LAST emitted row (latest microbatch state)
+    final = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    )
+    expect = {r["user_id"]: (r["n"], r["tv"]) for r in batch}
+    assert final == expect
