@@ -1,0 +1,110 @@
+"""First-class Spark 4 Python DataSource for SmartSPIM stack trees.
+
+SURVEY.md §2.9 lists the Python data source API as the optional
+first-class wrapper around the binaryFile+UDF decode path (S2).  This
+is it: after ``spark.dataSource.register(SmartspimDataSource)``,
+
+    spark.read.format("smartspim").load("/path/to/SmartSPIM")
+
+yields one row per decoded slice with the same columns the pandas-UDF
+pipeline produces.  One :class:`InputPartition` per *stack* — the same
+parallelism unit the reference distributes by round-robin
+(reference `smartspim_job.py:30-63`), but scheduled by Spark: each
+executor slot claims a stack, decodes its slices locally, and nothing
+is shuffled.
+
+The decode uses the same pure-python PNG codec as the UDF path
+(`sources/png_codec.py`), so both sources are bit-identical — asserted
+in tests/test_datasource.py.
+
+Scale: file *listing* happens once on the driver (os.walk — at 100 TB
+point this at a manifest instead); decode bandwidth scales with
+executors.  Column pruning is handled by Spark post-read; predicate
+pushdown on (channel, stack) could be added via ``pushFilters`` if
+needed, since partitions carry those values.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SLICE_SCHEMA = (
+    "channel string, stack string, slice_idx int, "
+    "height int, width int, dtype string, data binary"
+)
+
+_EXTS = (".png", ".tif", ".tiff")
+
+
+class StackPartition(InputPartition):
+    def __init__(self, channel: str, stack: str, files: Sequence[str]):
+        self.channel = channel
+        self.stack = stack
+        self.files = list(files)
+
+
+class SmartspimDataSource(DataSource):
+    """``spark.read.format("smartspim").load(root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "smartspim"
+
+    def schema(self) -> str:
+        return SLICE_SCHEMA
+
+    def reader(self, schema) -> "SmartspimReader":
+        return SmartspimReader(self.options)
+
+
+class SmartspimReader(DataSourceReader):
+    def __init__(self, options):
+        root = options.get("path")
+        if not root:
+            raise ValueError("smartspim source requires a path: .load(root)")
+        self.root = root
+
+    def partitions(self) -> Sequence[StackPartition]:
+        """One partition per stack directory (deterministic sorted walk,
+        mirroring the reference's sorted stack list)."""
+        parts: list[StackPartition] = []
+        for dirpath, _dirnames, filenames in sorted(os.walk(self.root)):
+            slices = sorted(
+                os.path.join(dirpath, f)
+                for f in filenames
+                if f.lower().endswith(_EXTS)
+            )
+            if not slices:
+                continue
+            rel = os.path.relpath(dirpath, self.root)
+            pieces = rel.split(os.sep)
+            # layout <channel>/<col>/<col_row>/ under the root
+            channel = pieces[0] if pieces else ""
+            stack = pieces[-1]
+            parts.append(StackPartition(channel, stack, slices))
+        if not parts:
+            raise FileNotFoundError(f"no image stacks under {self.root}")
+        return parts
+
+    def read(self, partition: StackPartition) -> Iterator[tuple]:
+        # imports here: this body runs on executors
+        from aind_smartspim_data_transformation_spark.sources.png_codec import (
+            decode_png_gray,
+        )
+
+        for idx, path in enumerate(partition.files):
+            with open(path, "rb") as f:
+                raw = f.read()
+            arr = decode_png_gray(raw)
+            yield (
+                partition.channel,
+                partition.stack,
+                idx,
+                arr.shape[0],
+                arr.shape[1],
+                str(arr.dtype),
+                arr.tobytes(),
+            )

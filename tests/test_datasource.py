@@ -1,0 +1,46 @@
+"""Spark 4 Python DataSource: smartspim format vs the UDF decode path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.imaging_fixtures import make_dataset
+
+
+@pytest.fixture(scope="module")
+def ds_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("smartspim_ds")
+    arrays = make_dataset(root)
+    return root, arrays
+
+
+def test_datasource_reads_all_slices(spark, ds_dataset):
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+
+    root, arrays = ds_dataset
+    spark.dataSource.register(SmartspimDataSource)
+    df = spark.read.format("smartspim").load(str(root / "SmartSPIM"))
+    rows = df.collect()
+    assert len(rows) == 2 * 2 * 2 * 2  # channels x cols x rows x slices
+    # pixel-identical to the fixture arrays
+    r0 = sorted(rows, key=lambda r: (r["channel"], r["stack"], r["slice_idx"]))[0]
+    key = sorted(arrays)[0]
+    got = np.frombuffer(r0["data"], dtype=np.dtype(r0["dtype"])).reshape(
+        r0["height"], r0["width"]
+    )
+    np.testing.assert_array_equal(got, arrays[key][0])
+
+
+def test_datasource_partitions_by_stack(spark, ds_dataset):
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimReader,
+    )
+
+    root, _ = ds_dataset
+    reader = SmartspimReader({"path": str(root / "SmartSPIM")})
+    parts = reader.partitions()
+    assert len(parts) == 2 * 2 * 2  # one per stack
+    assert all(len(p.files) == 2 for p in parts)
