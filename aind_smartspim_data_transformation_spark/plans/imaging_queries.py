@@ -94,12 +94,82 @@ ORDER BY wavelength
 """
 
 
+# ---------------------------------------------------------------------------
+# I3 — the REAL pyramid kernel under benchmark load: a deterministic
+# synthetic chunk table (4×4×4 grid of 64³ uint16 chunks ≈ 32 MiB)
+# generated executor-side, pushed through one mapInPandas windowed-mean
+# level, reduced to per-chunk checksums.  Rows-only for the driver (the
+# kernel is not SQL-expressible; its semantics are covered by i01's
+# relational twin and the numpy property tests).  No files touched —
+# chunk payloads are seeded from chunk coordinates.
+# ---------------------------------------------------------------------------
+N_GRID = 4
+CHUNK = 64
+
+
+def i03_pyramid_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        downsample_chunks,
+    )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        CHUNK_SCHEMA,
+    )
+
+    coords = (
+        spark.range(N_GRID**3)
+        .select(
+            (F.col("id") / (N_GRID * N_GRID)).cast("int").alias("cz"),
+            ((F.col("id") / N_GRID) % N_GRID).cast("int").alias("cy"),
+            (F.col("id") % N_GRID).cast("int").alias("cx"),
+        )
+        .repartition(N_GRID**2)  # spread chunk generation over the cores
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in CHUNK_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rng = np.random.default_rng(r.cz * 10_000 + r.cy * 100 + r.cx)
+                arr = rng.integers(0, 65_535, size=(CHUNK,) * 3, dtype=np.uint16)
+                rows.append(
+                    ("synthetic", "bench", 0, 0, r.cz, r.cy, r.cx,
+                     CHUNK, CHUNK, CHUNK, "uint16", arr.tobytes())
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    chunks = coords.mapInPandas(_gen, schema=CHUNK_SCHEMA)
+    lvl1 = downsample_chunks(chunks, (2, 2, 2))
+
+    def _checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype))
+                out.append((r.cz, r.cy, r.cx, float(arr.mean()), int(arr.sum())))
+            yield pd.DataFrame(
+                out, columns=["cz", "cy", "cx", "mean_v", "sum_v"]
+            )
+
+    return lvl1.mapInPandas(
+        _checksum, schema="cz int, cy int, cx int, mean_v double, sum_v long"
+    ).orderBy("cz", "cy", "cx")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "i01_windowed_mean_grid": i01_windowed_mean_grid,
     "i02_wavelength_to_hex": i02_wavelength_to_hex,
+    "i03_pyramid_level": i03_pyramid_level,
 }
 
 ORACLE: dict[str, str] = {
     "i01_windowed_mean_grid": I01_SQL,
     "i02_wavelength_to_hex": I02_SQL,
+    # i03_pyramid_level: intentionally no oracle (mapInPandas kernel);
+    # rows-only for the driver, numpy golden in tests.
 }

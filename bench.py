@@ -41,6 +41,7 @@ HEADLINE = (
     "s01_cosine_topk",
     "t02_quality_score",
     "i01_windowed_mean_grid",
+    "i03_pyramid_level",
 )
 
 

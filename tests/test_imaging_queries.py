@@ -11,7 +11,7 @@ from aind_smartspim_data_transformation_spark.plans import imaging_queries as iq
 from tests.oracle import compare
 
 
-@pytest.mark.parametrize("name", sorted(iq.QUERIES))
+@pytest.mark.parametrize("name", sorted(iq.ORACLE))
 def test_imaging_queries_vs_oracle(spark, sf_dir, name):
     compare(iq.QUERIES[name](spark, sf_dir), iq.ORACLE[name], sf_dir, name)
 
@@ -80,3 +80,24 @@ def test_approx_count_distinct_tracks_exact(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"]
+
+
+def test_i03_pyramid_level_numpy_golden(spark, sf_dir):
+    """One i03 output chunk equals the numpy windowed mean of its
+    regenerated source chunk."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import windowed_mean
+    from aind_smartspim_data_transformation_spark.plans.imaging_queries import (
+        CHUNK,
+        i03_pyramid_level,
+    )
+
+    rows = {(r["cz"], r["cy"], r["cx"]): r for r in i03_pyramid_level(spark, sf_dir).collect()}
+    assert len(rows) == 4**3
+    rng = np.random.default_rng(1 * 10_000 + 2 * 100 + 3)
+    src = rng.integers(0, 65_535, size=(CHUNK,) * 3, dtype=np.uint16)
+    expect = windowed_mean(src, (2, 2, 2))
+    got = rows[(1, 2, 3)]
+    assert got["sum_v"] == int(expect.sum())
+    assert abs(got["mean_v"] - float(expect.mean())) < 1e-9
