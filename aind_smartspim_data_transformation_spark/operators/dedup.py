@@ -37,6 +37,7 @@ from aind_smartspim_data_transformation_spark.tables import load_table
 N_MINHASH = 16
 N_BANDS = 8  # r = 2 rows per band
 JACCARD_THRESHOLD = 0.8
+MAX_SHINGLE_DF = 100  # stop-gram cap for the inverted-index join (d02)
 
 # 3-word shingles.  toks[i] is 0-based in Spark SQL.  Dedup happens
 # relationally AFTER explode: array_distinct() is O(n²) per array and
@@ -96,6 +97,18 @@ FROM groups
 # ---------------------------------------------------------------------------
 def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir)
+    # Stop-gram guard (SCALE.md §4): a shingle present in > MAX_SHINGLE_DF
+    # docs is boilerplate, not evidence of duplication — and it is exactly
+    # the key that blows up the inverted-index self-join (a DF-10⁶ shingle
+    # alone contributes 10¹² pairs).  Dropped BEFORE the join, identically
+    # in the oracle, so jaccard is computed over discriminative shingles.
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -124,11 +137,14 @@ WITH toks AS (
   SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
   FROM toks
+), kept AS (
+  SELECT * FROM sh WHERE sh NOT IN (
+    SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) > 100)
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2, common,
@@ -212,29 +228,24 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_cand = load_table(spark, sf_dir, "documents").join(
         F.broadcast(cand_docs), "doc_id"
     )
-    sh_cand = (
+    # one shingle-SET per candidate doc (collect_set dedups in the agg);
+    # each pair's jaccard is then a narrow array_intersect expression —
+    # no shingle-level equi-join, no per-pair groupBy, no size joins.
+    sets = (
         docs_cand.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
-        .distinct()
-        .persist()
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
     )
-    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sh_cand.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    s2 = sh_cand.select(F.col("doc_id").alias("_d2"), F.col("sh").alias("sh2"))
-    common = (
+    s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("shs").alias("shs1"))
+    s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("shs").alias("shs2"))
+    common = F.size(F.array_intersect("shs1", "shs2"))
+    jac = common / (F.size("shs1") + F.size("shs2") - common)
+    return (
         F.broadcast(cand)
         .join(s1, "doc1")
-        .join(s2, (F.col("doc2") == F.col("_d2")) & (F.col("sh1") == F.col("sh2")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
-    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
-    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
-    return (
-        common.join(sa, "doc1")
-        .join(sb, "doc2")
+        .join(s2, "doc2")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", "jaccard")
