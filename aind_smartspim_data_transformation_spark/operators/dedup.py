@@ -86,8 +86,8 @@ WITH groups AS (
   FROM documents GROUP BY sha256(text)
 )
 SELECT count(*) AS n_distinct_texts,
-       sum(n_copies) AS n_docs,
-       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_redundant
+       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_redundant
 FROM groups
 """
 

@@ -154,8 +154,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), numbered AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -280,7 +280,7 @@ WITH first_click AS (
   GROUP BY fc.user_id, fc.first_click_ts
 )
 SELECT count(*) AS n_clickers,
-       sum(converted) AS n_converted,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
        round(avg(converted), 4) AS conversion_rate
 FROM per_user
 """
