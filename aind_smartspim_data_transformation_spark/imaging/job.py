@@ -87,3 +87,31 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
         "message": f"wrote {len(written)} stacks in {time.time() - start:.1f}s",
         "written": written,
     }
+
+
+def job_entrypoint(argv: list[str] | None = None) -> dict:
+    """CLI with the reference's 3-way settings precedence
+    (`smartspim_job.py:238-255`): ``-j/--job-settings`` JSON string >
+    ``--config-file`` > ``TRANSFORMATION_JOB_*`` env vars.
+
+        python -m aind_smartspim_data_transformation_spark.imaging.job \\
+            -j '{"input_source": ..., "output_directory": ...}'
+    """
+    import argparse
+
+    from aind_smartspim_data_transformation_spark.session import build_local_session
+
+    parser = argparse.ArgumentParser(description="SmartSPIM → OME-Zarr Spark job")
+    parser.add_argument("-j", "--job-settings", help="settings as a JSON string")
+    parser.add_argument("--config-file", help="settings as a JSON file path")
+    args = parser.parse_args(argv)
+    settings = ImagingJobSettings.resolve(args.job_settings, args.config_file)
+    spark = build_local_session(app_name="smartspim-imaging-job")
+    return run_imaging_job(spark, settings)
+
+
+if __name__ == "__main__":
+    import json as _json
+
+    resp = job_entrypoint()
+    print(_json.dumps({k: v for k, v in resp.items() if k != "written"}))

@@ -70,3 +70,28 @@ def test_job_missing_derivatives(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="derivatives"):
         run_imaging_job(spark, settings)
+
+
+def test_job_entrypoint_json_arg(tmp_path):
+    """CLI path: -j '<json>' drives the full job (reference §3.1)."""
+    import json
+
+    from aind_smartspim_data_transformation_spark.imaging.job import job_entrypoint
+    from tests.imaging_fixtures import make_dataset
+
+    root = tmp_path / "in"
+    root.mkdir()
+    make_dataset(root)
+    out = tmp_path / "out"
+    payload = json.dumps(
+        {
+            "input_source": str(root),
+            "output_directory": str(out),
+            "chunk_size": [2, 64, 80],
+            "downsample_levels": 2,
+        }
+    )
+    resp = job_entrypoint(["-j", payload])
+    assert resp["status_code"] == 200
+    assert len(resp["written"]) == 8  # 2 channels x 4 stacks
+    assert (out / "derivatives" / "metadata.json").exists()
