@@ -230,12 +230,57 @@ FROM fp ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T6 — corpus-wide top-k bigrams: the n-gram frequency table every
+# corpus-analysis pipeline starts from.  explode → hash agg (map-side
+# combine absorbs the heavy duplication) → top-k, with a full
+# (count, bigram) tie-break so the LIMIT is deterministic.
+# ---------------------------------------------------------------------------
+TOP_BIGRAMS = 20
+
+
+def t06_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bigrams = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> concat_ws(' ', toks[i], toks[i+1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOP_BIGRAMS)
+    )
+
+
+T06_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bigrams AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM bigrams GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT {TOP_BIGRAMS}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
     "t03_lang_stats": t03_lang_stats,
     "t04_lang_id": t04_lang_id,
     "t05_fingerprint": t05_fingerprint,
+    "t06_top_bigrams": t06_top_bigrams,
 }
 
 ORACLE: dict[str, str] = {
@@ -244,4 +289,5 @@ ORACLE: dict[str, str] = {
     "t03_lang_stats": T03_SQL,
     "t04_lang_id": T04_SQL,
     "t05_fingerprint": T05_SQL,
+    "t06_top_bigrams": T06_SQL,
 }

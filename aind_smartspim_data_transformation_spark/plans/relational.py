@@ -703,6 +703,35 @@ ORDER BY g_nation, g_prio, n_name, o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# Q23 — exact percentiles per group (A4 breadth: ordered-set aggregates).
+# Spark percentile() and DuckDB quantile_cont() are both exact linear
+# interpolation — hash-identical, unlike the approx sketches.
+# ---------------------------------------------------------------------------
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q23_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(quantile_cont(l_quantity, 0.5), 4)       AS p50_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -728,6 +757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_above_avg_orders": q20_above_avg_orders,
     "q21_array_funcs": q21_array_funcs,
     "q22_grouping_sets": q22_grouping_sets,
+    "q23_percentiles": q23_percentiles,
 }
 
 ORACLE: dict[str, str] = {
@@ -753,4 +783,5 @@ ORACLE: dict[str, str] = {
     "q20_above_avg_orders": Q20_SQL,
     "q21_array_funcs": Q21_SQL,
     "q22_grouping_sets": Q22_SQL,
+    "q23_percentiles": Q23_SQL,
 }
