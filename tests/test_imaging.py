@@ -246,3 +246,20 @@ def test_downsample_step_has_no_shuffle(spark, dataset):
     lvl1 = downsample_chunks(chunks, (2, 2, 2))
     plan = lvl1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("MapInPandas")[0]
+
+
+def test_multi_level_pyramid_has_no_shuffle(spark, dataset):
+    """Three chained pyramid levels — still zero Exchange operators."""
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import build_pyramid
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        read_stack_tree,
+    )
+
+    root, _arrays = dataset
+    chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=2)
+    levels = build_pyramid(chunks, (2, 2, 2), 3, persist_levels=False)
+    plan = levels[-1]._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("MapInPandas")[0]
+    # PNG-decode kernel + one kernel per downsample step, all fused in
+    # one shuffle-free pipeline
+    assert plan.count("MapInPandas") == 3

@@ -64,3 +64,28 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     )
     expect = {r["user_id"]: (r["n"], r["tv"]) for r in batch}
     assert final == expect
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
+    """Stream → foreachBatch → date-partitioned parquet, re-read equals
+    the source (count + per-type sums)."""
+    from pyspark.sql import functions as F
+
+    stream = es.read_events_stream(spark, sf_dir)
+    out = str(tmp_path / "events_out")
+    es.write_stream_to_parquet(stream, out, str(tmp_path / "ckpt"))
+    written = spark.read.parquet(out)
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert written.count() == src.count()
+    got = {
+        r["event_type"]: r["s"]
+        for r in written.groupBy("event_type").agg(F.round(F.sum("value"), 2).alias("s")).collect()
+    }
+    expect = {
+        r["event_type"]: r["s"]
+        for r in src.groupBy("event_type").agg(F.round(F.sum("value"), 2).alias("s")).collect()
+    }
+    assert got == expect
+    # partitioned layout exists
+    import os
+    assert any(d.startswith("event_date=") for d in os.listdir(out))
