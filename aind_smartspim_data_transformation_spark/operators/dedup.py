@@ -302,7 +302,8 @@ ORDER BY doc1, doc2
 # a signature are near-dup candidates.  Token hash = first 8 hex chars
 # of md5 as an integer — identical in Spark and DuckDB.
 # ---------------------------------------------------------------------------
-def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 16-bit token-vote signatures (d04/d07)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -319,7 +320,11 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(16):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
-    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _simhash_sigs(spark, sf_dir)
     from pyspark.sql import Window as W
 
     grp = W.partitionBy("simhash")
@@ -420,6 +425,90 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# D7 — SimHash near-dup PAIRS via pigeonhole banding in hamming space.
+# Split the 16-bit signature into 3 bands (6/5/5 bits): any pair within
+# hamming distance 2 differs in ≤ 2 bands, so it agrees exactly on ≥ 1
+# band — candidates come from 3 groupBy passes over the signatures
+# (no all-pairs), then one bit_count(xor) ≤ 2 verification.  Same
+# pigeonhole trick web-scale simhash dedup uses on 64-bit sigs with
+# d+1 bands.  bit_count/xor exist in both engines → exact oracle.
+# ---------------------------------------------------------------------------
+HAMMING_MAX = 2
+_BANDS_16 = ((0, 0x3F), (6, 0x1F), (11, 0x1F))  # (shift, mask): 6/5/5 bits
+
+
+def d07_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _simhash_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.expr(f"shiftright(simhash, {sh}) & {mask}").alias("bval"),
+                    )
+                    for j, (sh, mask) in enumerate(_BANDS_16)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.bval")
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc1, y AS doc2))))"
+    )
+    cand = (
+        bands.groupBy("band_id", "bval")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc1", "p.doc2")
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("sig2"))
+    return (
+        cand.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .withColumn("hamming", F.expr("bit_count(sig1 ^ sig2)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc1", "doc2", "hamming")
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _d07_sql() -> str:
+    band_rows = ", ".join(
+        f"({j}, (simhash >> {sh}) & {mask})" for j, (sh, mask) in enumerate(_BANDS_16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS th
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM tok GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM votes
+), bands AS (
+  SELECT doc_id, b.band_id, b.bval
+  FROM sigs, LATERAL (SELECT * FROM (VALUES {band_rows}) AS v(band_id, bval)) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2, bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+FROM cand c
+JOIN sigs s1 ON s1.doc_id = c.doc1
+JOIN sigs s2 ON s2.doc_id = c.doc2
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {HAMMING_MAX}
+ORDER BY doc1, doc2
+"""
+
+
+# ---------------------------------------------------------------------------
 # D6 — materialized deduplicated corpus: keep the lowest doc_id per
 # exact-content group AND drop near-dup losers found by MinHash/LSH
 # (doc2 of every verified pair — doc1 < doc2, so min-id wins there
@@ -469,6 +558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d04_simhash": d04_simhash,
     "d05_dedup_embedding_cosine": d05_dedup_embedding_cosine,
     "d06_dedup_corpus": d06_dedup_corpus,
+    "d07_simhash_hamming_pairs": d07_simhash_hamming_pairs,
 }
 
 ORACLE: dict[str, str] = {
@@ -478,4 +568,5 @@ ORACLE: dict[str, str] = {
     "d04_simhash": D04_SQL,
     "d05_dedup_embedding_cosine": _d05_sql(),
     "d06_dedup_corpus": _d06_sql(),
+    "d07_simhash_hamming_pairs": _d07_sql(),
 }
