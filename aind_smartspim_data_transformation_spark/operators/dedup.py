@@ -2,10 +2,13 @@
 
 [driver-ext] LLM-data-pipeline dedup family (SURVEY.md §2.11):
 
-- exact (hash-groupBy),
-- n-gram Jaccard (shingle inverted-index join),
-- MinHash + LSH (shingle → minhash → band → bucket join → verify),
-- SimHash (token-hash bit voting).
+- d01 exact (content-digest groupBy),
+- d02 n-gram Jaccard (shingle inverted-index join, stop-gram capped),
+- d03 MinHash + LSH (shingle → minhash → band bucket → verify),
+- d04 SimHash signatures (token-hash bit voting),
+- d05 embedding-cosine (hyperplane-LSH bucketed),
+- d06 materialized deduplicated corpus (keepers minus near-dup losers),
+- d07 SimHash hamming pairs (pigeonhole bands, bit_count verify).
 
 Everything is pure DataFrame algebra — no Python in the hot path.  The
 hash family is ``md5(i || '|' || shingle)``: identical strings hash

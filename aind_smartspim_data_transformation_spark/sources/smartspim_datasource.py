@@ -66,10 +66,24 @@ class SmartspimReader(DataSourceReader):
         if not root:
             raise ValueError("smartspim source requires a path: .load(root)")
         self.root = root
+        self.pushed: dict[str, str] = {}  # channel/stack equality filters
+
+    def pushFilters(self, filters):
+        """Partition pruning: EqualTo on channel/stack skips whole stack
+        directories at planning time (Spark 4.1 filter pushdown API).
+        Pushed filters are also returned so Spark re-checks them — a
+        pushed filter that is also evaluated post-scan is always safe."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute in (("channel",), ("stack",)):
+                self.pushed[f.attribute[0]] = f.value
+            yield f
 
     def partitions(self) -> Sequence[StackPartition]:
         """One partition per stack directory (deterministic sorted walk,
-        mirroring the reference's sorted stack list)."""
+        mirroring the reference's sorted stack list), minus directories
+        pruned by pushed channel/stack equality filters."""
         parts: list[StackPartition] = []
         for dirpath, _dirnames, filenames in sorted(os.walk(self.root)):
             slices = sorted(
@@ -84,10 +98,14 @@ class SmartspimReader(DataSourceReader):
             # layout <channel>/<col>/<col_row>/ under the root
             channel = pieces[0] if pieces else ""
             stack = pieces[-1]
+            if self.pushed.get("channel") not in (None, channel):
+                continue
+            if self.pushed.get("stack") not in (None, stack):
+                continue
             parts.append(StackPartition(channel, stack, slices))
-        if not parts:
+        if not parts and not self.pushed:
             raise FileNotFoundError(f"no image stacks under {self.root}")
-        return parts
+        return parts or [StackPartition("", "", [])]
 
     def read(self, partition: StackPartition) -> Iterator[tuple]:
         # imports here: this body runs on executors

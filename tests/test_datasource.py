@@ -44,3 +44,38 @@ def test_datasource_partitions_by_stack(spark, ds_dataset):
     parts = reader.partitions()
     assert len(parts) == 2 * 2 * 2  # one per stack
     assert all(len(p.files) == 2 for p in parts)
+
+
+def test_datasource_filter_pushdown_prunes_partitions(spark, ds_dataset):
+    """channel/stack equality filters prune stack directories at plan
+    time; results stay correct (Spark re-applies the filter post-scan)."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+        SmartspimReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    root, _ = ds_dataset
+    spark.dataSource.register(SmartspimDataSource)
+    df = (
+        spark.read.format("smartspim")
+        .load(str(root / "SmartSPIM"))
+        .filter("channel = 'Ex_445_Em_469' AND stack = '432380_504340'")
+    )
+    rows = df.collect()
+    assert len(rows) == 2  # one stack, two slices
+    assert {(r["channel"], r["stack"]) for r in rows} == {
+        ("Ex_445_Em_469", "432380_504340")
+    }
+    # the reader itself prunes: only 1 of 8 stack partitions remains
+    reader = SmartspimReader({"path": str(root / "SmartSPIM")})
+    leftover = list(
+        reader.pushFilters(
+            [
+                EqualTo(("channel",), "Ex_445_Em_469"),
+                EqualTo(("stack",), "432380_504340"),
+            ]
+        )
+    )
+    assert len(leftover) == 2  # re-checked by Spark, still pushed
+    assert len(reader.partitions()) == 1
