@@ -7,8 +7,9 @@ model (`models.py:23-79`), same defaults (chunk 128³, factor [2,2,2],
 4 levels).
 
 Divergences, by design:
-- ``compressor_name`` allows ``zlib``/``none`` (this container has no
-  blosc; the enum slot is where blosc plugs back in on a cluster).
+- ``compressor_name`` allows ``zlib``/``none``/``blosc`` — blosc (the
+  reference default) is import-tried in the sink, so it works on any
+  cluster with python-blosc and fails fast with a clear error here.
 - ``num_of_partitions``/``partition_to_process`` are accepted for CLI
   compatibility but ignored: the reference round-robins stacks across
   N independent job instances (`smartspim_job.py:30-41`) because it has
@@ -31,6 +32,7 @@ ENV_PREFIX = "TRANSFORMATION_JOB_"
 class CompressorName(str, Enum):
     ZLIB = "zlib"
     NONE = "none"
+    BLOSC = "blosc"  # import-tried in the sink; needs python-blosc
 
 
 class ImagingJobSettings(BaseModel):

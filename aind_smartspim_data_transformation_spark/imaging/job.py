@@ -75,7 +75,8 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
             voxel_size_zyx=voxel_zyx,
             scale_factor_zyx=list(settings.scale_factor),
             chunk_zyx=list(settings.chunk_size),
-            compress_level=int(settings.compressor_kwargs.get("level", 1)),
+            compressor_name=settings.compressor_name.value,
+            compressor_kwargs=settings.compressor_kwargs,
         )
         written.append(group)
         for lvl in levels:

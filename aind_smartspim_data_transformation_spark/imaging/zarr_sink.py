@@ -13,9 +13,12 @@ Re-expresses the reference's zarr writer (SURVEY.md §2.1 S7,
   (`compress/png_to_zarr.py:697`);
 - edge chunks are zero-padded to the nominal chunk shape (zarr v2
   stores full-size chunks);
-- compression: zlib (a zarr-spec codec id) — this container has no
-  blosc; the compressor is a config enum (see config/settings.py) so a
-  cluster with python-blosc plugs it in without touching the sink.
+- compression is pluggable (``_make_codec``): zlib / none always work;
+  blosc (the reference's default codec, `compress/zarr_utilities.py`)
+  is gated behind an import-try and activates on any cluster with
+  python-blosc installed — the zarr metadata written for it is the
+  standard ``{"id": "blosc", "cname": ..., "clevel": ..., "shuffle":
+  ...}`` codec spec, so external zarr readers decode it natively.
 
 ``read_zarr_level`` is the verification reader: it reopens what the
 sink wrote from the spec alone (no zarr library), used by the golden
@@ -49,6 +52,53 @@ from aind_smartspim_data_transformation_spark.functions.imaging_meta import (
 _ZARR_DTYPES = {"uint8": "|u1", "uint16": "<u2", "uint32": "<u4", "float32": "<f4"}
 
 
+def _make_codec(name: str, kwargs: dict[str, Any] | None):
+    """(zarr compressor metadata, compress_fn) for a codec name.
+
+    ``zlib`` and ``none`` are always available; ``blosc`` needs
+    python-blosc on driver AND executors (import-tried here, so a
+    cluster that has it gets the reference's codec with zero code
+    change; this container doesn't, and asking for it raises a clear
+    error at plan time rather than mid-write on an executor).
+    """
+    kwargs = kwargs or {}
+    if name == "none":
+        return None, lambda b: b
+    if name == "zlib":
+        level = int(kwargs.get("level", 1))
+        return {"id": "zlib", "level": level}, lambda b: zlib.compress(b, level)
+    if name == "blosc":
+        try:
+            import blosc  # noqa: F401
+        except ImportError as e:  # pragma: no cover - container has no blosc
+            raise ImportError(
+                "compressor 'blosc' requires python-blosc on driver and "
+                "executors; use 'zlib' or 'none' here"
+            ) from e
+        cname = kwargs.get("cname", "zstd")
+        clevel = int(kwargs.get("clevel", 3))
+        shuffle = int(kwargs.get("shuffle", 1))
+        meta = {"id": "blosc", "cname": cname, "clevel": clevel,
+                "shuffle": shuffle, "blocksize": 0}
+        return meta, lambda b: blosc.compress(
+            b, typesize=2, cname=cname, clevel=clevel, shuffle=shuffle
+        )
+    raise ValueError(f"unknown compressor {name!r} (zlib|none|blosc)")
+
+
+def _make_decodec(meta: dict[str, Any] | None):
+    """Inverse of ``_make_codec`` from on-disk .zarray metadata."""
+    if meta is None:
+        return lambda b: b
+    if meta["id"] == "zlib":
+        return zlib.decompress
+    if meta["id"] == "blosc":  # pragma: no cover - container has no blosc
+        import blosc
+
+        return blosc.decompress
+    raise ValueError(f"unsupported compressor metadata {meta!r}")
+
+
 def _write_json(path: str, obj: Any) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -77,7 +127,8 @@ def write_ome_zarr(
     voxel_size_zyx: list[float],
     scale_factor_zyx: list[int],
     chunk_zyx: list[int],
-    compress_level: int = 1,
+    compressor_name: str = "zlib",
+    compressor_kwargs: dict[str, Any] | None = None,
 ) -> str:
     """Write a multiscale OME-Zarr group for one stack.
 
@@ -85,6 +136,7 @@ def write_ome_zarr(
     Returns the stack group path.
     """
     group = os.path.join(output_path, f"{stack_name}.ome.zarr")
+    codec_meta, compress = _make_codec(compressor_name, compressor_kwargs)
     (z0, y0, x0), dtype = _level_geometry(levels[0])
     shape_5d = (1, 1, z0, y0, x0)
     n_lvls = len(levels)
@@ -134,7 +186,7 @@ def write_ome_zarr(
                 "shape": shape,
                 "chunks": nominal_chunk,
                 "dtype": _ZARR_DTYPES[dtype],
-                "compressor": {"id": "zlib", "level": compress_level},
+                "compressor": codec_meta,
                 "fill_value": 0,
                 "filters": None,
                 "order": "C",
@@ -143,7 +195,9 @@ def write_ome_zarr(
         )
         chunk_shape = tuple(nominal_chunk[2:])
 
-        def _write_partition(rows, lvl_dir=lvl_dir, chunk_shape=chunk_shape):
+        def _write_partition(
+            rows, lvl_dir=lvl_dir, chunk_shape=chunk_shape, compress=compress
+        ):
             for r in rows:
                 arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
                     r["dz"], r["dy"], r["dx"]
@@ -157,7 +211,7 @@ def write_ome_zarr(
                 )
                 os.makedirs(os.path.dirname(key), exist_ok=True)
                 with open(key, "wb") as f:
-                    f.write(zlib.compress(np.ascontiguousarray(arr).tobytes(), 1))
+                    f.write(compress(np.ascontiguousarray(arr).tobytes()))
 
         level_df.foreachPartition(_write_partition)
         shape = [
@@ -178,7 +232,7 @@ def read_zarr_level(group: str, level: int) -> np.ndarray:
     shape = meta["shape"]
     chunks = meta["chunks"]
     dtype = np.dtype(meta["dtype"])
-    assert meta["compressor"]["id"] == "zlib"
+    decompress = _make_decodec(meta["compressor"])
     out = np.zeros(tuple(shape[2:]), dtype=dtype)
     cz_n = -(-shape[2] // chunks[2])
     cy_n = -(-shape[3] // chunks[3])
@@ -190,7 +244,7 @@ def read_zarr_level(group: str, level: int) -> np.ndarray:
                 if not os.path.exists(key):
                     continue
                 with open(key, "rb") as f:
-                    raw = zlib.decompress(f.read())
+                    raw = decompress(f.read())
                 block = np.frombuffer(raw, dtype=dtype).reshape(tuple(chunks[2:]))
                 z0, y0, x0 = cz * chunks[2], cy * chunks[3], cx * chunks[4]
                 z1 = min(z0 + chunks[2], shape[2])

@@ -263,3 +263,45 @@ def test_multi_level_pyramid_has_no_shuffle(spark, dataset):
     # PNG-decode kernel + one kernel per downsample step, all fused in
     # one shuffle-free pipeline
     assert plan.count("MapInPandas") == 3
+
+
+def test_zarr_codec_none_roundtrip(spark, dataset, tmp_path):
+    """compressor_name='none' stores raw bytes; reader follows the
+    .zarray metadata (compressor: null) with no decode step."""
+    import json
+
+    root, arrays = dataset
+    chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=64).filter(
+        "channel = 'Ex_445_Em_469' AND stack = '432380_530260'"
+    )
+    levels = build_pyramid(chunks, (2, 2, 2), 1, persist_levels=False)
+    group = write_ome_zarr(
+        levels,
+        str(tmp_path / "raw" / "Ex_445_Em_469"),
+        stack_name="432380_530260",
+        channel_name="Ex_445_Em_469",
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[64, 64, 64],
+        compressor_name="none",
+    )
+    meta = json.load(open(f"{group}/0/.zarray"))
+    assert meta["compressor"] is None
+    got = read_zarr_level(group, 0)
+    assert np.array_equal(got, arrays["Ex_445_Em_469/432380_530260"])
+
+
+def test_zarr_codec_blosc_gated():
+    """Asking for blosc without python-blosc fails fast at plan time
+    (never mid-write on an executor); with it installed the same call
+    returns the reference's codec metadata."""
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import _make_codec
+
+    try:
+        import blosc  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="python-blosc"):
+            _make_codec("blosc", {})
+    else:  # pragma: no cover - container has no blosc
+        meta, _ = _make_codec("blosc", {"cname": "zstd", "clevel": 3})
+        assert meta["id"] == "blosc" and meta["cname"] == "zstd"
