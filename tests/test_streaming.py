@@ -6,6 +6,8 @@ same expression, two execution modes.
 
 from __future__ import annotations
 
+import pytest
+
 from aind_smartspim_data_transformation_spark.plans.events import e02_tumbling_window
 from aind_smartspim_data_transformation_spark.streaming import events_stream as es
 
@@ -89,3 +91,41 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     # partitioned layout exists
     import os
     assert any(d.startswith("event_date=") for d in os.listdir(out))
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API) produces the
+    same final per-user totals as applyInPandasWithState and the batch
+    aggregate; needs the RocksDB state store provider.
+
+    Spark's transformWithState Python driver worker talks to the JVM
+    state server over protobuf, so the test is skipped where
+    google.protobuf is unavailable."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = es.read_events_stream(spark, sf_dir)
+        got = es.run_to_completion(
+            es.running_user_totals_tws(stream), "t_tws", mode="update"
+        )
+        final = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    )
+    expect = {r["user_id"]: (r["n"], r["tv"]) for r in batch}
+    assert final == expect
