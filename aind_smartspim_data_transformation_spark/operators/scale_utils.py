@@ -87,3 +87,38 @@ def read_bucketed_join(
     # is what the planner picks anyway; the hint makes the utility's
     # contract (bucket-co-located, exchange-free join) hold at any SF.
     return lt.hint("merge").join(rt, key)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str = "l_shipdate",
+    part_col: str = "ship_month",
+) -> None:
+    """Persist ``df`` as parquet hive-partitioned by month of ``date_col``.
+
+    The 100 TB layout move for time-series facts: a scan filtered to a
+    month touches only that month's directory — the other ~83 months of
+    a 7-year corpus are never listed, opened, or read.  Pair with
+    per-file min/max stats (parquet row-group pruning) for intra-month
+    predicates.
+    """
+    (
+        df.withColumn(part_col, F.date_format(F.col(date_col), "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+
+
+def read_month_pruned(
+    spark: SparkSession, path: str, month: str, part_col: str = "ship_month"
+) -> DataFrame:
+    """Scan a :func:`write_date_partitioned` layout for one month.
+
+    The equality predicate on the partition column becomes a
+    ``PartitionFilters`` entry on the FileScan (asserted in
+    tests/test_scale_utils.py) — directory-level pruning, zero I/O on
+    other months.
+    """
+    return spark.read.parquet(path).filter(F.col(part_col) == month)

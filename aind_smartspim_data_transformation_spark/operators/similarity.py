@@ -190,6 +190,119 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# S5 — IVF-style ANN (coarse quantizer → probe → exact re-rank).
+#
+# The classic inverted-file shape (FAISS IVF-Flat, without the training
+# step): K centroids, every vector assigned to its nearest centroid
+# ("cell"), a query probes only the nprobe nearest cells and re-ranks
+# exactly inside them.  Centroids are a *deterministic sample* — the
+# embeddings of vec_ids 1..K — so the DuckDB oracle replays the exact
+# same index.
+#
+# Scale posture: the centroid table is K rows → one tiny collect_list
+# agg, broadcast everywhere; cell assignment is then a NARROW per-row
+# fold (no crossJoin row blow-up, no shuffle).  At billions of vectors
+# you'd write the table partitionBy("cell") once, and a query scans
+# nprobe/K of the data with partition pruning doing the skipping —
+# same layout trick `write_date_partitioned` demonstrates for dates.
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _cos_cols(a, b):
+    """Cosine between two array<numeric> Columns (not just names)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    nsq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, v_: s + v_,
+    )
+    return dot / (F.sqrt(nsq(a)) * F.sqrt(nsq(b)))
+
+
+def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # K-row centroid "index", folded into ONE array column so attaching
+    # it is a broadcast nested-loop of a 1-row side — not a K× blow-up.
+    cents = (
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS))
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cscores",
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _cos_cols(F.col("embedding"), c["cvec"]).alias("cos"),
+                (-c["cid"]).cast("long").alias("negcid"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    assigned = scored.select(
+        "vec_id", "embedding", F.array_max("cscores")["cid"].alias("cell"), "cscores"
+    )
+    # query row: its vector + the nprobe best cells (desc cos, asc cid)
+    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"),
+        F.transform(
+            F.slice(F.reverse(F.array_sort("cscores")), 1, N_PROBE), lambda s: s["cid"]
+        ).alias("probe_cells"),
+    )
+    return (
+        assigned.drop("cscores")
+        .crossJoin(F.broadcast(qrow))
+        .filter(
+            F.array_contains(F.col("probe_cells"), F.col("cell"))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_cos_cols(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+S05_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+         list_dot_product(e.embedding::DOUBLE[], c.cvec)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+), qprobe AS (
+  SELECT cid FROM scored WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY cos DESC, cid ASC LIMIT {N_PROBE}
+), q AS (
+  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT a.vec_id, a.cell,
+       round(list_dot_product(a.v, qvec)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+FROM assigned a CROSS JOIN q
+WHERE a.cell IN (SELECT cid FROM qprobe) AND a.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # S4 — all-pairs similarity join above a threshold (bounded subset).
 # ---------------------------------------------------------------------------
 def s04_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_ann_bucketed": s03_ann_bucketed,
     "s04_similarity_join": s04_similarity_join,
+    "s05_ann_ivf": s05_ann_ivf,
 }
 
 ORACLE: dict[str, str] = {
@@ -229,4 +343,5 @@ ORACLE: dict[str, str] = {
     "s02_lsh_buckets": S02_SQL,
     "s03_ann_bucketed": S03_SQL,
     "s04_similarity_join": S04_SQL,
+    "s05_ann_ivf": S05_SQL,
 }

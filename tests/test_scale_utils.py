@@ -6,8 +6,10 @@ from pyspark.sql import functions as F
 
 from aind_smartspim_data_transformation_spark.operators.scale_utils import (
     read_bucketed_join,
+    read_month_pruned,
     salted_join,
     write_bucketed,
+    write_date_partitioned,
 )
 
 
@@ -65,3 +67,44 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
         shutil.rmtree(Path("spark-warehouse"), ignore_errors=True)
+
+
+def test_month_partition_pruning(spark, sf_dir, tmp_path):
+    """A month-partitioned layout + equality filter prunes at the
+    directory level: the FileScan carries a PartitionFilter and reads
+    exactly one month's partition."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "lineitem_by_month")
+    write_date_partitioned(li, path)
+
+    month = (
+        li.select(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
+        .groupBy("m").count().orderBy(F.desc("count")).first()["m"]
+    )
+    pruned = read_month_pruned(spark, path, month)
+    got = len(pruned.collect())
+
+    # correctness: identical to filtering the unpartitioned source
+    expect = li.filter(F.date_format("l_shipdate", "yyyy-MM") == month).count()
+    assert got == expect > 0
+
+    # plan: the predicate became a partition filter, not a data filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ship_month" in plan
+
+    # pruning is real: the executed scan's numFiles metric equals the
+    # selected month's file count, a fraction of what's on disk
+    import os
+
+    month_dirs = [d for d in os.listdir(path) if d.startswith("ship_month=")]
+    assert len(month_dirs) > 1
+    files_in_month = [
+        f
+        for f in os.listdir(os.path.join(path, f"ship_month={month}"))
+        if f.endswith(".parquet")
+    ]
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    num_files = scan.metrics().apply("numFiles").value()
+    assert num_files == len(files_in_month) > 0

@@ -35,3 +35,16 @@ def test_s02_bucket_assignment_is_narrow(spark, sf_dir):
     # exactly the window's hashpartitioning + the final sort's range
     # partitioning — no extra aggregate exchange from a groupBy
     assert plan.count("Exchange") <= 2
+
+
+def test_s05_assignment_has_no_pervector_shuffle(spark, sf_dir):
+    """IVF cell assignment is array_max over a broadcast centroid array —
+    a narrow map.  The plan must not repartition by vec_id (the naive
+    crossJoin-K×-then-groupBy(vec_id) shape would)."""
+    df = similarity.s05_ann_ivf(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+    assert "Window" not in plan  # no row_number-over-vec_id argmax
+    # both the centroid array and the query row attach via broadcast
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
