@@ -1,0 +1,222 @@
+"""Training-corpus preparation operators over the ``documents`` table.
+
+[driver-ext] SURVEY.md §2.11 extension: the ops a large-scale LLM
+training-data pipeline runs after dedup/quality filtering —
+deterministic dataset splitting, sequence packing, and window
+chunking.  All three are pure DataFrame algebra (JVM-side, codegen'd);
+c03 additionally ships a Spark 4 Python UDTF twin
+(:func:`chunk_windows_udtf`) to exercise the engine's table-function
+extension surface (asserted row-identical in tests/test_corpus.py —
+the UDTF is the *extensibility* demo, the native expression is the
+hot path).
+
+Scale posture (100 TB of documents):
+- c01 split: the split key is a *content-stable hash* (md5 of doc_id),
+  not rand() — reruns, backfills, and multi-team reads all agree on
+  membership with zero coordination and zero stored split table.
+  Narrow map + one small agg; no join, no skew risk.
+- c02 packing: cumulative-sum packing needs a total order, which at
+  100 TB must NOT be a global window (single reducer).  Packing is
+  per-(lang) partition here — the real pipeline packs per shard/file,
+  which is exactly a partition — so the window's partitionBy carries
+  the parallelism; bins are local to a partition by design.
+- c03 chunking: fan-out op (docs → chunks).  Native path is
+  explode(transform(sequence(...)))  — whole-stage codegen, no
+  Python.  Chunk rows inherit the parent's partitioning; no shuffle
+  at all until something aggregates them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+SEQ_LEN = 2048  # c02 token budget per packed sequence
+CHUNK_TOKS = 64  # c03 window length in tokens
+CHUNK_STRIDE = 48  # c03 window stride (CHUNK_TOKS - CHUNK_STRIDE overlap)
+
+
+# ---------------------------------------------------------------------------
+# C1 — deterministic train/val/test split.
+# Membership = first hex digit of md5(doc_id): '0'-'b' → train (75%),
+# 'c'-'d' → val (12.5%), 'e'-'f' → test (12.5%).  Identical string
+# md5 on both engines → the oracle replays the exact assignment.
+# ---------------------------------------------------------------------------
+def c01_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+C01_SQL = """
+WITH assigned AS (
+  SELECT CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 'train'
+              WHEN substring(md5(doc_id::VARCHAR), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split,
+         lang,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# C2 — sequence packing: greedy contiguous packing of documents into
+# SEQ_LEN-token bins, per language partition.  bin = floor(tokens-
+# before-this-doc / SEQ_LEN) over the doc_id order — the standard
+# "concat then cut" packing approximation (docs may straddle a
+# boundary; the bin is where the doc STARTS).
+# ---------------------------------------------------------------------------
+def c02_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / SEQ_LEN),
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+C02_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                    / {SEQ_LEN}) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C3 — overlapping token-window chunking (docs → training chunks).
+# Window starts at 0, CHUNK_STRIDE, 2·CHUNK_STRIDE, … < n_tok; each
+# chunk is CHUNK_TOKS tokens (shorter at the tail).  Native path:
+# sequence() with a step + transform + posexplode — all codegen.
+# ---------------------------------------------------------------------------
+def c03_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - 1, {CHUNK_STRIDE}), "
+                    f"s -> slice(toks, s + 1, {CHUNK_TOKS}))"
+                )
+            ).alias("chunk_idx", "chunk_toks"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk_toks").alias("n_tok"),
+        F.concat_ws(" ", "chunk_toks").alias("chunk"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+C03_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(len(list_slice(t, s + 1, s + {CHUNK_TOKS})) AS INT) AS n_tok,
+       array_to_string(list_slice(t, s + 1, s + {CHUNK_TOKS}), ' ') AS chunk
+FROM starts ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# C3 UDTF twin — the same chunker as a Spark 4 Python user-defined
+# table function.  Row-at-a-time Python (the SLOW path — ~10-100×
+# behind the native expression above; see tests for the equality
+# assertion).  Exists to prove the engine's table-function extension
+# point, mirroring the reference's pluggable-reader ABC
+# (/root/reference/src/aind_smartspim_data_transformation/io/readers.py:16-109).
+# ---------------------------------------------------------------------------
+def register_chunk_udtf(spark: SparkSession) -> None:
+    """Register ``chunk_windows(doc_id, text)`` as a lateral UDTF."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tok int, chunk string")
+    class ChunkWindows:
+        def eval(self, doc_id: int, text: str):  # noqa: D102
+            toks = text.split(" ")
+            for idx, s in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                window = toks[s : s + CHUNK_TOKS]
+                yield idx, len(window), " ".join(window)
+
+    spark.udtf.register("chunk_windows", ChunkWindows)
+
+
+def chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-path chunking — identical rows to :func:`c03_chunk_windows`."""
+    register_chunk_udtf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_corpus_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tok, c.chunk "
+        "FROM _corpus_docs d, LATERAL chunk_windows(d.doc_id, d.text) c "
+        "ORDER BY d.doc_id, c.chunk_idx"
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "c01_train_split": c01_train_split,
+    "c02_pack_sequences": c02_pack_sequences,
+    "c03_chunk_windows": c03_chunk_windows,
+}
+
+ORACLE: dict[str, str] = {
+    "c01_train_split": C01_SQL,
+    "c02_pack_sequences": C02_SQL,
+    "c03_chunk_windows": C03_SQL,
+}

@@ -19,6 +19,16 @@ from pyspark.sql import functions as F
 
 from aind_smartspim_data_transformation_spark.tables import load_table
 
+
+def _idiv(num, den):
+    """Integer floor division of two non-negative long Columns —
+    bit-identical to DuckDB ``//``.  floor(num/den) is exact here: with
+    num < 2^30 and den < 2^15 both are exact doubles, and a non-integer
+    quotient differs from any integer by ≥ 1/den ≫ one ulp, so IEEE
+    division can never round across an integer."""
+    return F.floor(num / den).cast("long")
+
+
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
@@ -75,11 +85,20 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity = F.size(F.array_distinct(toks)) / n_tokens
     stop_ratio = n_stop / n_tokens
     punct_ratio = n_punct / F.length("text")
-    score = (
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
-        + diversity * 0.3
-        + stop_ratio * 0.2
-        + (1 - punct_ratio) * 0.1
+    # The composite score is computed in INTEGER arithmetic (parts per
+    # million, floor division) — a float formula (0.4·a + 0.3·b + …)
+    # can land exactly on a round-half boundary that Spark (HALF_UP on
+    # the shortest decimal repr) and DuckDB (binary-double compare)
+    # resolve differently; observed for score 0.5106875 at sf0.1.
+    # Integer `div` is bit-identical on both engines.
+    n_distinct = F.size(F.array_distinct(toks))
+    n_len = F.length("text")
+    quality_ppm = (
+        F.lit(4000) * F.least(n_tokens, F.lit(100)).cast("long")
+        + _idiv(F.lit(300000) * n_distinct.cast("long"), n_tokens.cast("long"))
+        + _idiv(F.lit(200000) * n_stop.cast("long"), n_tokens.cast("long"))
+        + F.lit(100000)
+        - _idiv(F.lit(100000) * n_punct.cast("long"), n_len.cast("long"))
     )
     return (
         d.select(
@@ -89,7 +108,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(stop_ratio, 6).alias("stop_ratio"),
             F.round(punct_ratio, 6).alias("punct_ratio"),
             F.round(diversity, 6).alias("diversity"),
-            F.round(score, 6).alias("quality_score"),
+            quality_ppm.alias("quality_ppm"),
         )
         .orderBy("doc_id")
     )
@@ -110,10 +129,11 @@ SELECT doc_id, n_chars, n_tokens,
        round(n_stop / n_tokens, 6) AS stop_ratio,
        round(n_punct / length(text), 6) AS punct_ratio,
        round(len(list_distinct(toks)) / n_tokens, 6) AS diversity,
-       round(least(n_tokens / 100.0, 1.0) * 0.4
-             + (len(list_distinct(toks)) / n_tokens) * 0.3
-             + (n_stop / n_tokens) * 0.2
-             + (1 - n_punct / length(text)) * 0.1, 6) AS quality_score
+       CAST(4000 * least(n_tokens, 100)
+            + (300000 * len(list_distinct(toks))) // n_tokens
+            + (200000 * n_stop) // n_tokens
+            + 100000
+            - (100000 * n_punct) // length(text) AS BIGINT) AS quality_ppm
 FROM base ORDER BY doc_id
 """
 

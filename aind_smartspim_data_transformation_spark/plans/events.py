@@ -90,13 +90,18 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 # ---------------------------------------------------------------------------
 # E3 — sliding window (1 hour window, 30 min slide): each event lands in
 # exactly 2 windows.  Oracle expands the two candidate starts per row.
+# sum (not avg) is the reported aggregate: value carries 2 decimals, so
+# round(sum, 2) sits ~1e-12 from any half-way point on both engines,
+# whereas round(avg, 4) divides by n and can land exactly on a .00005
+# boundary that Spark (HALF_UP on shortest-repr) and DuckDB (binary
+# double) round differently — observed at sf0.01.
 # ---------------------------------------------------------------------------
 def e03_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
         .orderBy("w_start")
     )
 
@@ -111,7 +116,7 @@ WITH half AS (
 ), expanded AS (
   SELECT unnest([s1, s1 - INTERVAL 30 MINUTE]) AS w_start, value FROM half
 )
-SELECT w_start, count(*) AS n, round(avg(value), 4) AS avg_value
+SELECT w_start, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM expanded GROUP BY w_start ORDER BY w_start
 """
 
@@ -286,6 +291,55 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# E8 — interval (stream-stream-shaped) join: click ⋈ purchase by the
+# same user within [click_ts, click_ts + 30 min).  This exact
+# expression also runs as a watermarked stream-stream join
+# (streaming/events_stream.py::click_purchase_interval_join — the test
+# asserts stream == batch).  Equi-key user_id carries the shuffle; the
+# time range only filters within the key group, so there is no
+# range-join blow-up.  In streaming, the 30-min bound + watermark is
+# what lets Spark expire join state — an unbounded-time join would
+# grow state forever.
+# ---------------------------------------------------------------------------
+def e08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+E08_SQL = """
+SELECT c.user_id, count(*) AS n_pairs,
+       round(sum(p.value), 2) AS attributed_value
+FROM (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.p_ts >= c.click_ts
+ AND p.p_ts < c.click_ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_json_extract": e01_json_extract,
     "e02_tumbling_window": e02_tumbling_window,
@@ -294,6 +348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e05_asof_join": e05_asof_join,
     "e06_dedup_first": e06_dedup_first,
     "e07_funnel": e07_funnel,
+    "e08_interval_join": e08_interval_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -304,4 +359,5 @@ ORACLE: dict[str, str] = {
     "e05_asof_join": E05_SQL,
     "e06_dedup_first": E06_SQL,
     "e07_funnel": E07_SQL,
+    "e08_interval_join": E08_SQL,
 }

@@ -24,6 +24,7 @@ def _modules():
         "aind_smartspim_data_transformation_spark.operators.dedup",
         "aind_smartspim_data_transformation_spark.operators.similarity",
         "aind_smartspim_data_transformation_spark.operators.text",
+        "aind_smartspim_data_transformation_spark.operators.corpus",
         "aind_smartspim_data_transformation_spark.operators.multimodal",
         "aind_smartspim_data_transformation_spark.plans.imaging_queries",
     ):

@@ -61,8 +61,8 @@ def sliding_counts(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
     )
 
 
@@ -87,6 +87,39 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def click_purchase_interval_join(events: DataFrame) -> DataFrame:
+    """Streaming twin of e08: watermarked stream-stream interval join.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time gap to [0, 30 min) — the two requirements that let Spark
+    expire buffered join state (without them an inner stream-stream
+    join must hold every row forever).  State per side is bounded by
+    watermark + range: a click can only ever match purchases up to
+    30 minutes after it, so rows older than watermark + 30 min are
+    dropped from the buffer.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "click_ts", "p_ts", "value")
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

@@ -1,0 +1,89 @@
+"""Training-corpus prep operators (split / pack / chunk) vs DuckDB;
+UDTF chunker vs the native expression."""
+
+from __future__ import annotations
+
+import pytest
+
+from aind_smartspim_data_transformation_spark.operators import corpus
+from tests.oracle import compare
+
+
+@pytest.mark.parametrize("name", sorted(corpus.QUERIES))
+def test_corpus_vs_oracle(spark, sf_dir, name):
+    df = corpus.QUERIES[name](spark, sf_dir)
+    compare(df, corpus.ORACLE[name], sf_dir, name)
+
+
+def test_split_is_deterministic_and_total(spark, sf_dir):
+    """Every doc lands in exactly one split, and rerunning reassigns
+    identically (content-stable hash, not rand)."""
+    from pyspark.sql import functions as F
+
+    a = corpus.c01_train_split(spark, sf_dir).collect()
+    b = corpus.c01_train_split(spark, sf_dir).collect()
+    assert a == b
+    n_docs = sum(r["n_docs"] for r in a)
+    total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert n_docs == total
+    splits = {r["split"] for r in a}
+    assert splits == {"train", "val", "test"}
+    # hash split should put the bulk in train (12/16 expected)
+    train = sum(r["n_docs"] for r in a if r["split"] == "train")
+    assert 0.6 < train / total < 0.9
+    del F
+
+
+def test_pack_respects_token_budget_startwise(spark, sf_dir):
+    """A doc's bin is where its first token lands: tokens-before-doc
+    within its (lang, seq) never exceeds SEQ_LEN."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    ).withColumn("before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    packed = toks.withColumn("seq_id", F.floor(F.col("before") / corpus.SEQ_LEN))
+    bad = packed.filter(
+        (F.col("before") - F.col("seq_id") * corpus.SEQ_LEN) >= corpus.SEQ_LEN
+    )
+    assert bad.count() == 0
+
+
+def test_chunk_udtf_matches_native(spark, sf_dir):
+    """The Spark 4 Python UDTF chunker is row-identical to the native
+    sequence/slice expression path."""
+    native = sorted(map(tuple, corpus.c03_chunk_windows(spark, sf_dir).collect()))
+    via_udtf = sorted(map(tuple, corpus.chunk_windows_udtf(spark, sf_dir).collect()))
+    assert native == via_udtf
+
+
+def test_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunk starts tile every doc: stride apart, full CHUNK_TOKS except
+    the tail, and token coverage is complete."""
+    from pyspark.sql import functions as F
+
+    df = corpus.c03_chunk_windows(spark, sf_dir)
+    per_doc = df.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.max("n_tok").alias("max_tok")
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    )
+    joined = per_doc.join(docs, "doc_id")
+    # expected chunk count = ceil(n_tok / stride)
+    bad = joined.filter(
+        F.col("n_chunks")
+        != F.ceil(F.col("n_tok") / F.lit(corpus.CHUNK_STRIDE))
+    )
+    assert bad.count() == 0
+    assert df.filter(F.col("n_tok") > corpus.CHUNK_TOKS).count() == 0

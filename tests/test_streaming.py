@@ -93,6 +93,35 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     assert any(d.startswith("event_date=") for d in os.listdir(out))
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join emits exactly the
+    pairs the batch e08 join produces (aggregated per user)."""
+    from pyspark.sql import functions as F
+
+    from aind_smartspim_data_transformation_spark.plans.events import (
+        e08_interval_join,
+    )
+
+    stream = es.read_events_stream(spark, sf_dir)
+    pairs = es.run_to_completion(
+        es.click_purchase_interval_join(stream), "t_ssjoin", mode="append"
+    )
+    got = sorted(
+        map(
+            tuple,
+            pairs.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.round(F.sum("value"), 2).alias("attributed_value"),
+            )
+            .orderBy("user_id")
+            .collect(),
+        )
+    )
+    expect = sorted(map(tuple, e08_interval_join(spark, sf_dir).collect()))
+    assert got == expect
+
+
 def test_transform_with_state_matches_batch(spark, sf_dir):
     """transformWithStateInPandas (Spark 4 typed-state API) produces the
     same final per-user totals as applyInPandasWithState and the batch
