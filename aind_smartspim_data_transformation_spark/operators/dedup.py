@@ -554,6 +554,85 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# D8 — duplicate clusters: connected components over the d03 near-dup
+# pair graph, by iterative min-label propagation.  A pairwise dedup
+# leaves A~B, B~C as separate pairs; the *cluster* {A,B,C} with one
+# keeper is what a real pipeline materializes.  This is the engine's
+# iterative-algorithm surface: a driver loop over DataFrame joins with
+# ``localCheckpoint`` per round (cuts lineage, materializes state —
+# Spark's equivalent of Pregel supersteps).
+#
+# Scale posture: plain label propagation converges in O(component
+# diameter) rounds — fine for dedup graphs (components are tiny, near-
+# cliques by construction).  For web-graph-diameter inputs you'd switch
+# to the large-star/small-star algorithm (Kiveris et al.) which
+# converges in O(log n) rounds; same join-per-round skeleton.  Each
+# round shuffles |E| rows on the node key.
+# ---------------------------------------------------------------------------
+def d08_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc1").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        nb_min = (
+            edges.join(labels, edges["doc2"] == labels["node"])
+            .groupBy("doc1")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["doc1"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_doc"))
+        .orderBy("component")
+    )
+
+
+D08_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2 FROM ({D03_SQL}) _d03
+), und AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+), reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+), comp AS (
+  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+)
+SELECT component, count(*) AS n_docs, max(node) AS max_doc
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
@@ -562,6 +641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d05_dedup_embedding_cosine": d05_dedup_embedding_cosine,
     "d06_dedup_corpus": d06_dedup_corpus,
     "d07_simhash_hamming_pairs": d07_simhash_hamming_pairs,
+    "d08_dup_components": d08_dup_components,
 }
 
 ORACLE: dict[str, str] = {
@@ -572,4 +652,5 @@ ORACLE: dict[str, str] = {
     "d05_dedup_embedding_cosine": _d05_sql(),
     "d06_dedup_corpus": _d06_sql(),
     "d07_simhash_hamming_pairs": _d07_sql(),
+    "d08_dup_components": D08_SQL,
 }

@@ -294,6 +294,77 @@ ORDER BY n DESC, bigram ASC LIMIT {TOP_BIGRAMS}
 """
 
 
+# ---------------------------------------------------------------------------
+# T7 — TF-IDF-style distinctive terms: top-3 terms per document by
+# tf × inverse-document-frequency.  The idf factor is the LOG-FREE
+# integer form (10^9 div df): ln() is not bit-identical between JVM
+# and libm (~2% of inputs differ by 1 ulp — measured), so a log-damped
+# weight could flip ranks between engine and oracle; integer division
+# is exact on both and preserves the df ordering (df is the only
+# ranking signal idf contributes for fixed N).
+#
+# Scale posture: tf is a (doc_id, term) hash agg with map-side
+# combine; df is a term-level agg over the DISTINCT (doc, term) pairs
+# the tf table already materializes (no second scan of text).  The
+# tf⋈df join shuffles on term — at corpus scale you'd broadcast the
+# top-vocabulary slice and let the long tail shuffle (vocab ≪ corpus).
+# The per-doc top-3 is a window over doc_id — the partition key the tf
+# table already carries.
+# ---------------------------------------------------------------------------
+TFIDF_TOP = 3
+IDF_SCALE = 1_000_000_000
+
+
+def t07_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    weighted = tf.join(df_, "term").withColumn(
+        "weight", F.col("tf") * F.floor(F.lit(IDF_SCALE) / F.col("df")).cast("long")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "tf",
+            "df",
+            "weight",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+T07_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tfc GROUP BY term
+), weighted AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * ({IDF_SCALE} // d.df) AS weight
+  FROM tfc t JOIN dfc d USING (term)
+), ranked AS (
+  SELECT doc_id, term, tf, df, weight,
+         row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rank
+  FROM weighted
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, CAST(weight AS BIGINT) AS weight
+FROM ranked WHERE rank <= {TFIDF_TOP} ORDER BY doc_id, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -301,6 +372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t04_lang_id": t04_lang_id,
     "t05_fingerprint": t05_fingerprint,
     "t06_top_bigrams": t06_top_bigrams,
+    "t07_tfidf_top_terms": t07_tfidf_top_terms,
 }
 
 ORACLE: dict[str, str] = {
@@ -310,4 +382,5 @@ ORACLE: dict[str, str] = {
     "t04_lang_id": T04_SQL,
     "t05_fingerprint": T05_SQL,
     "t06_top_bigrams": T06_SQL,
+    "t07_tfidf_top_terms": T07_SQL,
 }
