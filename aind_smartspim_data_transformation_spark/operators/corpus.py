@@ -209,14 +209,115 @@ def chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# C4 — deterministic global shuffle for training order.  A single
+# row_number over a global md5 order would be ONE reducer; instead the
+# order is hierarchical: shard = first two hex digits of md5(doc_id)
+# (256 shards), rank within shard = window partitioned BY shard.
+# Global training order = (shard, shard_rank) — exactly how a real
+# pipeline shuffles 100 TB: shard pseudo-randomly, then permute within
+# each shard, and readers consume shards in order.  Content-stable:
+# reruns produce the identical permutation (no rand(), no
+# monotonically_increasing_id()).
+# ---------------------------------------------------------------------------
+N_SHARD_HEX = 2  # 16^2 = 256 shards
+
+
+def c04_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    sharded = docs.select(
+        "doc_id",
+        F.substring(h, 1, N_SHARD_HEX).alias("shard"),
+        F.substring(h, N_SHARD_HEX + 1, 32 - N_SHARD_HEX).alias("subkey"),
+    )
+    w = Window.partitionBy("shard").orderBy("subkey", "doc_id")
+    return (
+        sharded.withColumn("shard_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "shard_rank")
+        .orderBy("shard", "shard_rank")
+    )
+
+
+C04_SQL = f"""
+WITH sharded AS (
+  SELECT doc_id,
+         substring(md5(doc_id::VARCHAR), 1, {N_SHARD_HEX}) AS shard,
+         substring(md5(doc_id::VARCHAR), {N_SHARD_HEX + 1}, {32 - N_SHARD_HEX}) AS subkey
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY subkey, doc_id) AS shard_rank
+FROM sharded ORDER BY shard, shard_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# C5 — curation filter: the end-to-end quality gate a training corpus
+# passes through (the reference-pipeline shape: score → threshold →
+# per-language accounting of kept vs dropped tokens).  Reuses t02's
+# integer-ppm score expression — one narrow pass over text, one small
+# agg; at 100 TB the only shuffle is the (lang, kept) rollup.
+# ---------------------------------------------------------------------------
+QUALITY_KEEP_PPM = 500_000
+MIN_TOKENS = 10
+
+
+def c05_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.text import (
+        quality_ppm_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    scored = docs.select(
+        "lang",
+        n_tokens.alias("n_tok"),
+        (
+            (quality_ppm_expr() >= QUALITY_KEEP_PPM)
+            & (n_tokens >= MIN_TOKENS)
+        ).alias("kept"),
+    )
+    return (
+        scored.groupBy("lang", "kept")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("lang", "kept")
+    )
+
+
+def _c05_sql() -> str:
+    from aind_smartspim_data_transformation_spark.operators.text import (
+        QUALITY_BASE_SQL,
+        QUALITY_PPM_SQL,
+    )
+
+    return f"""
+WITH base AS ({QUALITY_BASE_SQL}),
+scored AS (
+  SELECT lang, n_tokens AS n_tok,
+         (({QUALITY_PPM_SQL}) >= {QUALITY_KEEP_PPM} AND n_tokens >= {MIN_TOKENS}) AS kept
+  FROM base
+)
+SELECT lang, kept, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM scored GROUP BY lang, kept ORDER BY lang, kept
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_train_split": c01_train_split,
     "c02_pack_sequences": c02_pack_sequences,
     "c03_chunk_windows": c03_chunk_windows,
+    "c04_shuffle_order": c04_shuffle_order,
+    "c05_quality_filter": c05_quality_filter,
 }
 
 ORACLE: dict[str, str] = {
     "c01_train_split": C01_SQL,
     "c02_pack_sequences": C02_SQL,
     "c03_chunk_windows": C03_SQL,
+    "c04_shuffle_order": C04_SQL,
+    "c05_quality_filter": _c05_sql(),
 }

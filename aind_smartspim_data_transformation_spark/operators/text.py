@@ -75,6 +75,38 @@ FROM documents ORDER BY doc_id
 # T2 — quality scoring: length, punctuation density, stopword ratio,
 # lexical diversity → one combined score.
 # ---------------------------------------------------------------------------
+def quality_ppm_expr():
+    """Composite quality score of the ``text`` column, in INTEGER
+    arithmetic (parts per million, floor division) — a float formula
+    (0.4·a + 0.3·b + …) can land exactly on a round-half boundary that
+    Spark (HALF_UP on the shortest decimal repr) and DuckDB
+    (binary-double compare) resolve differently; observed for score
+    0.5106875 at sf0.1.  Integer `div` is bit-identical on both
+    engines.  Shared by t02 and the c05 curation filter.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    n_len = F.length("text")
+    return (
+        F.lit(4000) * F.least(n_tokens, F.lit(100)).cast("long")
+        + _idiv(F.lit(300000) * n_distinct.cast("long"), n_tokens.cast("long"))
+        + _idiv(F.lit(200000) * n_stop.cast("long"), n_tokens.cast("long"))
+        + F.lit(100000)
+        - _idiv(F.lit(100000) * n_punct.cast("long"), n_len.cast("long"))
+    )
+
+
+QUALITY_PPM_SQL = """4000 * least(n_tokens, 100)
+            + (300000 * len(list_distinct(toks))) // n_tokens
+            + (200000 * n_stop) // n_tokens
+            + 100000
+            - (100000 * n_punct) // length(text)"""
+
+
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
@@ -85,21 +117,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity = F.size(F.array_distinct(toks)) / n_tokens
     stop_ratio = n_stop / n_tokens
     punct_ratio = n_punct / F.length("text")
-    # The composite score is computed in INTEGER arithmetic (parts per
-    # million, floor division) — a float formula (0.4·a + 0.3·b + …)
-    # can land exactly on a round-half boundary that Spark (HALF_UP on
-    # the shortest decimal repr) and DuckDB (binary-double compare)
-    # resolve differently; observed for score 0.5106875 at sf0.1.
-    # Integer `div` is bit-identical on both engines.
-    n_distinct = F.size(F.array_distinct(toks))
-    n_len = F.length("text")
-    quality_ppm = (
-        F.lit(4000) * F.least(n_tokens, F.lit(100)).cast("long")
-        + _idiv(F.lit(300000) * n_distinct.cast("long"), n_tokens.cast("long"))
-        + _idiv(F.lit(200000) * n_stop.cast("long"), n_tokens.cast("long"))
-        + F.lit(100000)
-        - _idiv(F.lit(100000) * n_punct.cast("long"), n_len.cast("long"))
-    )
+    quality_ppm = quality_ppm_expr()
     return (
         d.select(
             "doc_id",
@@ -116,24 +134,22 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 
-T02_SQL = f"""
-WITH base AS (
-  SELECT doc_id, n_chars, text,
+QUALITY_BASE_SQL = f"""
+  SELECT doc_id, n_chars, lang, text,
          string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n_tokens,
          len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_LIST}))) AS n_stop,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
   FROM documents
-)
+"""
+
+T02_SQL = f"""
+WITH base AS ({QUALITY_BASE_SQL})
 SELECT doc_id, n_chars, n_tokens,
        round(n_stop / n_tokens, 6) AS stop_ratio,
        round(n_punct / length(text), 6) AS punct_ratio,
        round(len(list_distinct(toks)) / n_tokens, 6) AS diversity,
-       CAST(4000 * least(n_tokens, 100)
-            + (300000 * len(list_distinct(toks))) // n_tokens
-            + (200000 * n_stop) // n_tokens
-            + 100000
-            - (100000 * n_punct) // length(text) AS BIGINT) AS quality_ppm
+       CAST({QUALITY_PPM_SQL} AS BIGINT) AS quality_ppm
 FROM base ORDER BY doc_id
 """
 

@@ -340,6 +340,48 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# E9 — stream-static enrichment: events joined to the customer/nation
+# dims, purchase value rolled up per nation.  In batch this is a plain
+# broadcast-hash dim join; under Structured Streaming the SAME
+# expression is a stream-static join (streaming/events_stream.py::
+# enriched_purchases) — the static side is broadcast to every
+# microbatch, no state, no watermark needed (only stream-stream joins
+# buffer).  That asymmetry is the point: dim enrichment at 100 TB/day
+# of events is state-free.
+# ---------------------------------------------------------------------------
+def e09_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.tables import load_table
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+E09_SQL = """
+SELECT n.n_name, count(*) AS n_purchases, round(sum(e.value), 2) AS revenue
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE e.event_type = 'purchase'
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_json_extract": e01_json_extract,
     "e02_tumbling_window": e02_tumbling_window,
@@ -349,6 +391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e06_dedup_first": e06_dedup_first,
     "e07_funnel": e07_funnel,
     "e08_interval_join": e08_interval_join,
+    "e09_stream_static_enrich": e09_stream_static_enrich,
 }
 
 ORACLE: dict[str, str] = {
@@ -360,4 +403,5 @@ ORACLE: dict[str, str] = {
     "e06_dedup_first": E06_SQL,
     "e07_funnel": E07_SQL,
     "e08_interval_join": E08_SQL,
+    "e09_stream_static_enrich": E09_SQL,
 }

@@ -89,6 +89,34 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_purchases(events: DataFrame, sf_dir: str) -> DataFrame:
+    """Streaming twin of e09: stream-static dim enrichment + aggregate.
+
+    The static (batch) side of a stream-static join needs no watermark
+    and holds no join state — Spark broadcasts/rescans it per
+    microbatch.  Only the aggregation keeps state (one row per nation).
+    """
+    spark = events.sparkSession
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    nation = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), "user_id")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
 def click_purchase_interval_join(events: DataFrame) -> DataFrame:
     """Streaming twin of e08: watermarked stream-stream interval join.
 

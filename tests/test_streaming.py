@@ -122,6 +122,21 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert got == expect
 
 
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """The stream-static dim join + aggregate converges to the batch
+    e09 result."""
+    from aind_smartspim_data_transformation_spark.plans.events import (
+        e09_stream_static_enrich,
+    )
+
+    stream = es.read_events_stream(spark, sf_dir)
+    got = es.run_to_completion(
+        es.enriched_purchases(stream, sf_dir), "t_enrich", mode="complete"
+    )
+    expect = sorted(map(tuple, e09_stream_static_enrich(spark, sf_dir).collect()))
+    assert sorted(map(tuple, got.collect())) == expect
+
+
 def test_transform_with_state_matches_batch(spark, sf_dir):
     """transformWithStateInPandas (Spark 4 typed-state API) produces the
     same final per-user totals as applyInPandasWithState and the batch
