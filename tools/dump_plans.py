@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: annotated physical plans for representative
+queries.  Run from the repo root:
+
+    python tools/dump_plans.py            # writes PLANS.md at sf0.01
+
+The commentary states what to LOOK FOR in each plan — the properties
+that make the plan survive a 100×–1000× scale-up (pushdown, broadcast
+vs shuffle, partial aggregation, codegen spans).  PLANS.md is a
+generated artifact; edit the ANNOTATIONS here, not the file.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query name -> what the plan proves (scale-relevant reading guide)
+ANNOTATIONS = {
+    "q01_pricing_summary": (
+        "Scan→filter→hash-agg, the TPC-H Q1 shape. Look for: the "
+        "`l_shipdate` predicate and 7-column projection inside "
+        "`PushedFilters`/`ReadSchema` (the scan never reads the other 9 "
+        "columns); `partial_sum/partial_count` BEFORE the exchange "
+        "(map-side combine — the shuffle moves 6 groups, not 600k rows); "
+        "one WholeStageCodegen span covering filter+project+partial agg."
+    ),
+    "q02_top_orders": (
+        "Top-k. Look for: `TakeOrderedAndProject` instead of a global "
+        "Sort+Limit — each partition keeps its local top-20, the driver "
+        "merges; no full sort of the fact table at any scale."
+    ),
+    "q03_revenue_by_nation": (
+        "Fact⋈fact⋈dims. Look for: `BroadcastHashJoin` for every dim "
+        "(customer/nation/region side, built once, no fact shuffle) and "
+        "`SortMergeJoin` only for lineitem⋈orders — the single shuffle "
+        "that must exist; at 100 TB the bucketed layout "
+        "(scale_utils.write_bucketed) removes even that exchange."
+    ),
+    "d03_dedup_minhash_lsh": (
+        "MinHash+LSH dedup. Look for: ONE `ObjectHashAggregate` pass "
+        "producing 16 minhash lanes from 4 md5 calls (partial agg before "
+        "the doc_id exchange); candidate pairs from a single "
+        "`groupBy(band)` + in-bucket expansion (no bands⋈bands self-join, "
+        "which would double the signature compute); the verify pass scans "
+        "`documents` AFTER a broadcast semi-join on candidate ids — "
+        "non-candidate text is never re-tokenized."
+    ),
+    "s05_ann_ivf": (
+        "IVF ANN. Look for: the K-row centroid index folded to ONE array "
+        "row and attached via `BroadcastNestedLoopJoin` (a 1-row build "
+        "side); cell assignment as a narrow `array_max(transform(...))` "
+        "projection — NO hashpartitioning(vec_id), no Window; the final "
+        "top-k is again `TakeOrderedAndProject`."
+    ),
+    "c03_chunk_windows": (
+        "Docs→chunks fan-out. Look for: `Generate explode` fed by a "
+        "codegen'd `transform(sequence(...))` — zero Python, zero "
+        "shuffle before the output sort; chunk rows inherit the scan's "
+        "partitioning."
+    ),
+    "e05_asof_join": (
+        "As-of join. Look for: one `hashpartitioning(user_id)` exchange "
+        "shared by the union'd sides, then a Window sort WITHIN "
+        "partitions (`last(..., ignorenulls)`) — no range self-join "
+        "blow-up, no broadcast of a fact."
+    ),
+    "e09_stream_static_enrich": (
+        "Dim enrichment (stream-static shape). Look for: both dims as "
+        "`BroadcastHashJoin` build sides; the events fact is scanned "
+        "once, filtered by `PushedFilters: EqualTo(event_type,purchase)`, "
+        "and never shuffled until the 25-group rollup."
+    ),
+    "i01_windowed_mean_grid": (
+        "Imaging windowed-mean as relational agg. Look for: the "
+        "grid-key groupBy with `partial_avg` before the exchange — "
+        "window-aligned chunk boundaries mean the real pyramid kernel "
+        "(mapInPandas) needs NO shuffle at all; this query is its "
+        "relational twin for the oracle."
+    ),
+}
+
+
+def main() -> None:
+    from aind_smartspim_data_transformation_spark import registry
+    from aind_smartspim_data_transformation_spark.session import (
+        build_local_session,
+    )
+
+    spark = build_local_session(app_name="plans", cpus=8)
+    queries = registry.all_queries()
+    out = [
+        "# PLANS — physical plans of representative queries (generated)",
+        "",
+        f"Regenerate with `python tools/dump_plans.py` (sf_dir={SF_DIR},",
+        "AQE on; plans shown are the pre-execution `explain(formatted)`).",
+        "Each section says what to look for — the properties that let the",
+        "plan survive a 100×–1000× scale-up.",
+        "",
+    ]
+    for name, note in ANNOTATIONS.items():
+        df = queries[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out += [f"## {name}", "", note, "", "```", buf.getvalue().rstrip(), "```", ""]
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote {REPO / 'PLANS.md'}")
+
+
+if __name__ == "__main__":
+    main()
