@@ -66,6 +66,56 @@ def test_chunk_udtf_matches_native(spark, sf_dir):
     assert native == via_udtf
 
 
+def test_chunker_properties_hypothesis():
+    """Property-test the chunking kernel over random token streams (the
+    UDTF eval is pure Python; tests above assert it row-identical to
+    the native Spark expression, so these properties transfer)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aind_smartspim_data_transformation_spark.operators.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_TOKS,
+    )
+
+    token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+    @given(st.lists(token, min_size=1, max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def check(toks):
+        text = " ".join(toks)
+        chunks = [
+            toks[s : s + CHUNK_TOKS] for s in range(0, len(toks), CHUNK_STRIDE)
+        ]
+        # count: exactly ceil(n / stride)
+        n = len(toks)
+        assert len(chunks) == -(-n // CHUNK_STRIDE)
+        # sizes: full CHUNK_TOKS except possibly trailing chunks
+        assert all(len(c) <= CHUNK_TOKS for c in chunks)
+        assert all(
+            len(chunks[i]) == CHUNK_TOKS
+            for i in range(len(chunks))
+            if i * CHUNK_STRIDE + CHUNK_TOKS <= n
+        )
+        # coverage: every token index appears in ≥1 chunk
+        covered = {
+            s + j for s in range(0, n, CHUNK_STRIDE)
+            for j in range(min(CHUNK_TOKS, n - s))
+        }
+        assert covered == set(range(n))
+        # consecutive chunks overlap by exactly CHUNK_TOKS-CHUNK_STRIDE
+        for i in range(len(chunks) - 1):
+            if (i + 1) * CHUNK_STRIDE + CHUNK_TOKS <= n + (CHUNK_TOKS - CHUNK_STRIDE):
+                a_end = i * CHUNK_STRIDE + len(chunks[i])
+                b_start = (i + 1) * CHUNK_STRIDE
+                assert a_end - b_start in range(0, CHUNK_TOKS - CHUNK_STRIDE + 1)
+        # reconstruction: stride-prefixes of chunks concatenate to text
+        prefix = [t for i, c in enumerate(chunks) for t in c[:CHUNK_STRIDE]]
+        assert " ".join(prefix) == text
+
+    check()
+
+
 def test_chunks_cover_and_overlap(spark, sf_dir):
     """Chunk starts tile every doc: stride apart, full CHUNK_TOKS except
     the tail, and token coverage is complete."""
