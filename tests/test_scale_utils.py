@@ -69,6 +69,47 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         shutil.rmtree(Path("spark-warehouse"), ignore_errors=True)
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime row-level filtering: a selective predicate on one join
+    side injects a bloom filter that discards fact rows BEFORE the
+    join's shuffle.  At 100 TB fact⋈selective-subquery shapes this
+    cuts the shuffled volume by the predicate's selectivity; thresholds
+    are lowered here because test SF is below the defaults."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_totalprice") > 100000)
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan  # built from the selective side
+        assert "might_contain" in plan  # applied on the fact side
+        # result identical to the un-filtered-join semantics
+        assert len(rows) == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_month_partition_pruning(spark, sf_dir, tmp_path):
     """A month-partitioned layout + equality filter prunes at the
     directory level: the FileScan carries a PartitionFilter and reads
