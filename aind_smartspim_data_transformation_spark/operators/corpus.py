@@ -306,12 +306,56 @@ FROM scored GROUP BY lang, kept ORDER BY lang, kept
 """
 
 
+# ---------------------------------------------------------------------------
+# C6 — stratified deterministic sampling: a fixed-rate subsample whose
+# membership is a content-stable hash predicate (md5 first hex digit in
+# 0-3 → 25%), applied uniformly within every language stratum.  The
+# eval-set / distillation-corpus draw: reproducible with zero stored
+# state, composable with c01 (a doc's split and sample membership are
+# independent hash digits).  Narrow map + small agg; no join.
+# ---------------------------------------------------------------------------
+SAMPLE_HEX_LT = "4"  # hex digits 0-3 of 16 → 25% target rate
+
+
+def c06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1) < SAMPLE_HEX_LT
+    return (
+        docs.select("lang", sampled.alias("in_sample"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("n_sampled"),
+        )
+        .withColumn(
+            "rate_bps",
+            F.floor(F.col("n_sampled") * 10000 / F.col("n_total")).cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+C06_SQL = f"""
+WITH flagged AS (
+  SELECT lang,
+         substring(md5(doc_id::VARCHAR), 2, 1) < '{SAMPLE_HEX_LT}' AS in_sample
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       (CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         // count(*) AS rate_bps
+FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_train_split": c01_train_split,
     "c02_pack_sequences": c02_pack_sequences,
     "c03_chunk_windows": c03_chunk_windows,
     "c04_shuffle_order": c04_shuffle_order,
     "c05_quality_filter": c05_quality_filter,
+    "c06_stratified_sample": c06_stratified_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -320,4 +364,5 @@ ORACLE: dict[str, str] = {
     "c03_chunk_windows": C03_SQL,
     "c04_shuffle_order": C04_SQL,
     "c05_quality_filter": _c05_sql(),
+    "c06_stratified_sample": C06_SQL,
 }

@@ -732,6 +732,61 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Q24 — single-pass column profiling: per-column null/distinct/min/max
+# over the fact table, the data-quality scan every ingest pipeline runs
+# before anything else.  ONE scan computes every column's stats (one
+# wide agg row), then `stack()` unpivots it to a row per column — at
+# 100 TB this is 1 pass + a 4-row reshape, never 4 passes.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def q24_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.countDistinct(c).alias(f"{c}_nd"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nn, {c}_nd, {c}_min, {c}_max" for c in _PROFILE_COLS
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_non_null, n_distinct, min_v, max_v)",
+        )
+        .select("column_name", "n_rows", "n_non_null", "n_distinct", "min_v", "max_v")
+        .orderBy("column_name")
+    )
+
+
+_PROFILE_AGGS = ", ".join(
+    f"count({c}) AS {c}_nn, count(DISTINCT {c}) AS {c}_nd, "
+    f"min({c}) AS {c}_min, max({c}) AS {c}_max"
+    for c in _PROFILE_COLS
+)
+_PROFILE_ROWS = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, n_rows, {c}_nn AS n_non_null, "
+    f"{c}_nd AS n_distinct, {c}_min AS min_v, {c}_max AS max_v FROM agg"
+    for c in _PROFILE_COLS
+)
+
+Q24_SQL = f"""
+WITH agg AS (
+  SELECT count(*) AS n_rows, {_PROFILE_AGGS} FROM lineitem
+)
+{_PROFILE_ROWS}
+ORDER BY column_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -758,6 +813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_array_funcs": q21_array_funcs,
     "q22_grouping_sets": q22_grouping_sets,
     "q23_percentiles": q23_percentiles,
+    "q24_column_profile": q24_column_profile,
 }
 
 ORACLE: dict[str, str] = {
@@ -784,4 +840,5 @@ ORACLE: dict[str, str] = {
     "q21_array_funcs": Q21_SQL,
     "q22_grouping_sets": Q22_SQL,
     "q23_percentiles": Q23_SQL,
+    "q24_column_profile": Q24_SQL,
 }
