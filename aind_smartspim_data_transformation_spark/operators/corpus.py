@@ -349,6 +349,75 @@ FROM flagged GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# C7 — length-bucketed batch planning: assign every document to its
+# next-power-of-two token bucket, then account padding waste and batch
+# counts for a fixed per-batch token budget.  The pre-tokenization pass
+# real pipelines run to build padding-efficient batches (docs in one
+# batch share a bucket, so padding ≤ 2×).
+#
+# All-integer math end to end: the bucket exponent is the binary digit
+# count of (n_tok − 1) — length(bin(n−1)) on both engines, no log2, no
+# floats anywhere — and divisions use the exact integer `div`/`//`.
+# Scale posture: narrow per-row map + one small groupBy(lang, bucket);
+# the output is O(langs × ~14 buckets) regardless of corpus size.
+# ---------------------------------------------------------------------------
+BATCH_TOKENS = 16384  # per-batch token budget for batch planning
+
+
+def c07_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bits = F.length(F.conv((n_tok - F.lit(1)).cast("string"), 10, 2))
+    g = (
+        docs.select("lang", n_tok.alias("n_tok"), bits.alias("bucket_bits"))
+        .groupBy("lang", "bucket_bits")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .withColumn(
+            "cap", F.expr("CAST(pow(2, bucket_bits) AS BIGINT)")
+        )
+        .withColumn(
+            "waste_ppm",
+            F.expr("(n_docs * cap - total_tokens) * 1000000 div (n_docs * cap)"),
+        )
+        .withColumn(
+            "docs_per_batch",
+            F.expr(f"greatest(1L, {BATCH_TOKENS} div cap)"),
+        )
+        .withColumn(
+            "n_batches",
+            F.expr("(n_docs + docs_per_batch - 1) div docs_per_batch"),
+        )
+    )
+    return g.select(
+        "lang", "bucket_bits", "cap", "n_docs", "total_tokens",
+        "waste_ppm", "n_batches",
+    ).orderBy("lang", "bucket_bits")
+
+
+C07_SQL = f"""
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+), b AS (
+  SELECT lang, n_tok, length(bin(n_tok - 1)) AS bucket_bits FROM t
+), g AS (
+  SELECT lang, bucket_bits,
+         CAST(2 ** bucket_bits AS BIGINT) AS cap,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM b GROUP BY 1, 2
+)
+SELECT lang, bucket_bits, cap, n_docs, total_tokens,
+       (n_docs * cap - total_tokens) * 1000000 // (n_docs * cap) AS waste_ppm,
+       (n_docs + greatest(1, {BATCH_TOKENS} // cap) - 1)
+         // greatest(1, {BATCH_TOKENS} // cap) AS n_batches
+FROM g ORDER BY lang, bucket_bits
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_train_split": c01_train_split,
     "c02_pack_sequences": c02_pack_sequences,
@@ -356,6 +425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c04_shuffle_order": c04_shuffle_order,
     "c05_quality_filter": c05_quality_filter,
     "c06_stratified_sample": c06_stratified_sample,
+    "c07_length_buckets": c07_length_buckets,
 }
 
 ORACLE: dict[str, str] = {
@@ -365,4 +435,5 @@ ORACLE: dict[str, str] = {
     "c04_shuffle_order": C04_SQL,
     "c05_quality_filter": _c05_sql(),
     "c06_stratified_sample": C06_SQL,
+    "c07_length_buckets": C07_SQL,
 }

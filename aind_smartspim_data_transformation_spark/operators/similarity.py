@@ -330,12 +330,83 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# S6 — int8 scalar quantization: the memory-side half of ANN at scale.
+# Per vector: scale = 127 / max|x|, q_i = halfup(x_i * scale), and the
+# reconstruction error mse = Σ(x_i − q_i/scale)² / d.  Reported per
+# vector (top-10 worst) so the operator doubles as a quantization-QA
+# scan ("which vectors lose the most precision at int8?").
+#
+# Determinism: half-up is spelled floor(x + 0.5) in BOTH engines —
+# round() half-rule semantics differ across engines, floor does not.
+# All arithmetic is a per-row array fold (zip-free, shuffle-free); the
+# only exchange is the final TakeOrderedAndProject.  At billions of
+# vectors this is a narrow map — quantize once, write q + scale, and
+# the 4×-smaller table is what the ANN probe (s03/s05) then scans.
+# ---------------------------------------------------------------------------
+_QUANT_D = "CAST(v AS DOUBLE)"
+_QUANT_Q = f"floor({_QUANT_D} * 127.0 / amax + 0.5)"  # half-up int8 code
+
+
+def s06_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    amax = (
+        "aggregate(transform(embedding, v -> abs(CAST(v AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (s, x) -> greatest(s, x))"
+    )
+    sse = (
+        f"aggregate(transform(embedding, v -> "
+        f"({_QUANT_D} - {_QUANT_Q} * amax / 127.0) * "
+        f"({_QUANT_D} - {_QUANT_Q} * amax / 127.0)), "
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    n_nonzero = (
+        f"aggregate(transform(embedding, v -> "
+        f"CASE WHEN {_QUANT_Q} = 0.0 THEN 0L ELSE 1L END), 0L, (s, x) -> s + x)"
+    )
+    return (
+        e.withColumn("amax", F.expr(amax))
+        .select(
+            "vec_id",
+            "label",
+            F.round("amax", 6).alias("amax_r"),
+            F.expr(n_nonzero).alias("n_nonzero_q"),
+            F.round(F.expr(sse) / F.size("embedding"), 9).alias("mse"),
+        )
+        .orderBy(F.desc("mse"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+S06_SQL = f"""
+WITH sc AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS amax
+  FROM embeddings
+), q AS (
+  SELECT vec_id, label, amax,
+         list_sum(list_transform(e, v ->
+           (v - floor(v * 127.0 / amax + 0.5) * amax / 127.0) *
+           (v - floor(v * 127.0 / amax + 0.5) * amax / 127.0))) AS sse,
+         CAST(list_sum(list_transform(e, v ->
+           CASE WHEN floor(v * 127.0 / amax + 0.5) = 0.0 THEN 0 ELSE 1 END))
+           AS BIGINT) AS n_nonzero_q,
+         len(e) AS dim
+  FROM sc
+)
+SELECT vec_id, label, round(amax, 6) AS amax_r, n_nonzero_q,
+       round(sse / dim, 9) AS mse
+FROM q ORDER BY mse DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_ann_bucketed": s03_ann_bucketed,
     "s04_similarity_join": s04_similarity_join,
     "s05_ann_ivf": s05_ann_ivf,
+    "s06_quantize_int8": s06_quantize_int8,
 }
 
 ORACLE: dict[str, str] = {
@@ -344,4 +415,5 @@ ORACLE: dict[str, str] = {
     "s03_ann_bucketed": S03_SQL,
     "s04_similarity_join": S04_SQL,
     "s05_ann_ivf": S05_SQL,
+    "s06_quantize_int8": S06_SQL,
 }

@@ -382,6 +382,74 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# E10 — time-series gap fill + forward fill (resample-to-daily).  The
+# hypertable "locf" op: build the dense per-user day grid, left-join the
+# observed daily aggregates, and carry the last observation forward into
+# the gaps with last(..., ignorenulls) over an ordered frame.
+#
+# Scale posture: the grid is users × days — generated, never shuffled
+# (sequence+explode is a narrow fan-out off a broadcast 1-row bounds
+# agg).  The join and the fill window both key on user_id, so one hash
+# shuffle co-locates everything; the window sort is per-user (days per
+# user is small and bounded by the retention span, never the corpus).
+# The bounds/users passes are column-pruned scans of (ts)/(user_id)
+# only.  A deterministic 1-in-10 user subset keeps the demo output
+# bounded; the plan shape is rate-independent.
+# ---------------------------------------------------------------------------
+def e10_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    users = ev.select("user_id").distinct()
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    fill = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(fill).alias("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+E10_SQL = """
+WITH ev AS (
+  SELECT * FROM events WHERE user_id % 10 = 0
+), users AS (
+  SELECT DISTINCT user_id FROM ev
+), bounds AS (
+  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM ev
+), grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM users CROSS JOIN bounds
+), daily AS (
+  SELECT user_id, ts::DATE AS day, count(*) AS n_events,
+         round(sum(value), 2) AS day_value
+  FROM ev GROUP BY 1, 2
+)
+SELECT g.user_id, g.day,
+       coalesce(d.n_events, 0)::BIGINT AS n_events,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM grid g LEFT JOIN daily d USING (user_id, day)
+ORDER BY g.user_id, g.day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_json_extract": e01_json_extract,
     "e02_tumbling_window": e02_tumbling_window,
@@ -392,6 +460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e07_funnel": e07_funnel,
     "e08_interval_join": e08_interval_join,
     "e09_stream_static_enrich": e09_stream_static_enrich,
+    "e10_gap_fill": e10_gap_fill,
 }
 
 ORACLE: dict[str, str] = {
@@ -404,4 +473,5 @@ ORACLE: dict[str, str] = {
     "e07_funnel": E07_SQL,
     "e08_interval_join": E08_SQL,
     "e09_stream_static_enrich": E09_SQL,
+    "e10_gap_fill": E10_SQL,
 }
