@@ -78,6 +78,35 @@ ANNOTATIONS = {
         "once, filtered by `PushedFilters: EqualTo(event_type,purchase)`, "
         "and never shuffled until the 25-group rollup."
     ),
+    "q24_column_profile": (
+        "Single-pass column profiling. Look for: ONE `FileScan` with "
+        "`ReadSchema` holding only the 4 profiled columns; `Expand` "
+        "(rows ×5 — Spark's multi-distinct strategy: one gid per "
+        "distinct column + one for the plain aggs) feeding partial "
+        "aggregation BEFORE the exchange; the `stack` Generate reshapes "
+        "a 1-row agg result, so the post-shuffle side is 4 rows no "
+        "matter the table size. 100 TB cost = one scan + Expand, never "
+        "4 scans."
+    ),
+    "e10_gap_fill": (
+        "Gap fill + forward fill (resample/locf). Look for: the day "
+        "grid built by `Generate explode(sequence(d0,d1))` over a "
+        "`BroadcastNestedLoopJoin` with the 1-row bounds agg (broadcast "
+        "of one row — not a shuffle); the daily-agg side joined with "
+        "`BroadcastHashJoin` at this SF; ONE hash exchange on user_id "
+        "(from the users-distinct) satisfies the join AND the "
+        "last-ignorenulls Window clustering — the fill never re-shuffles. "
+        "Per-user day counts are bounded by the retention span, so the "
+        "window sort stays small at any corpus size."
+    ),
+    "s06_quantize_int8": (
+        "int8 quantization QA. Look for: ZERO `Exchange` nodes before "
+        "the final `TakeOrderedAndProject` — amax/quantize/mse are all "
+        "per-row array folds inside one WholeStageCodegen span; each "
+        "partition keeps a local top-10 and the driver merges. The "
+        "narrow-map shape that lets a billion-vector corpus quantize "
+        "in one pass with no shuffle at all."
+    ),
     "i01_windowed_mean_grid": (
         "Imaging windowed-mean as relational agg. Look for: the "
         "grid-key groupBy with `partial_avg` before the exchange — "
