@@ -1,0 +1,61 @@
+"""Incremental streaming ingest converges to the batch ingest.
+
+Slices arrive in two waves; the file-source checkpoint must process
+each file exactly once, and the accumulated chunk table must equal the
+batch path run over the finished tree — including the reference
+fixture's NON-dense filename stems (000000/000020, which make rank-z
+and stem-z differ and so exercise the slice_key design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aind_smartspim_data_transformation_spark.sources.png_codec import encode_png_gray
+from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+    read_stack_tree,
+)
+from aind_smartspim_data_transformation_spark.streaming import stack_stream as ss
+
+
+def _write_slice(root, channel, stack, stem, value, shape=(8, 10)):
+    d = root / "SmartSPIM" / channel / stack.split("_")[0] / stack
+    d.mkdir(parents=True, exist_ok=True)
+    arr = np.full(shape, value, dtype=np.uint16)
+    (d / f"{stem:06d}.png").write_bytes(encode_png_gray(arr))
+
+
+def test_incremental_ingest_matches_batch(spark, tmp_path):
+    root = tmp_path / "acq"
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: one stack, reference-style sparse stems
+    _write_slice(root, "Ex_488_Em_525", "400000_500000", 0, 100)
+    _write_slice(root, "Ex_488_Em_525", "400000_500000", 20, 200)
+    ss.run_incremental_ingest(spark, str(root / "SmartSPIM"), out, ckpt)
+    landed1 = spark.read.parquet(out)
+    assert landed1.count() == 2
+
+    # wave 2: a late slice for stack 1 + a brand-new stack
+    _write_slice(root, "Ex_488_Em_525", "400000_500000", 40, 300)
+    _write_slice(root, "Ex_488_Em_525", "400000_530000", 0, 400)
+    ss.run_incremental_ingest(spark, str(root / "SmartSPIM"), out, ckpt)
+    landed2 = spark.read.parquet(out)
+    # exactly-once: wave-1 files were NOT re-decoded
+    assert landed2.count() == 4
+    assert landed2.select("stack", "slice_key").distinct().count() == 4
+
+    # accumulated chunks == batch chunks over the finished tree
+    stream_chunks = ss.accumulated_slices_to_chunks(spark, out, chunk_z=2)
+    batch_chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=2)
+    key = ["channel", "stack", "t", "c", "cz", "cy", "cx"]
+    s_rows = sorted(
+        (tuple(r[k] for k in key) + (r["dz"], r["dy"], r["dx"], r["dtype"], bytes(r["data"])))
+        for r in stream_chunks.collect()
+    )
+    b_rows = sorted(
+        (tuple(r[k] for k in key) + (r["dz"], r["dy"], r["dx"], r["dtype"], bytes(r["data"])))
+        for r in batch_chunks.collect()
+    )
+    assert s_rows == b_rows
