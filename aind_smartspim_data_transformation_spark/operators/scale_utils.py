@@ -122,3 +122,41 @@ def read_month_pruned(
     other months.
     """
     return spark.read.parquet(path).filter(F.col(part_col) == month)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a many-small-files parquet directory into ~target-sized
+    files; returns the output file count.
+
+    The operational complement of append-style ingest (streaming
+    foreachBatch, micro-batch landing — e.g. ``streaming/stack_stream``):
+    every micro-batch appends a few small files, and after a day a 100 TB
+    table is a million 10 MB files — scan planning, file listing, and
+    task scheduling all degrade.  Compaction = one coalescing pass:
+
+    - file count is sized from the SOURCE's physical bytes (sum of file
+      lengths from the file index — a metadata-only listing, no data
+      scan), so the output lands near ``target_file_mb`` regardless of
+      row width;
+    - ``coalesce`` (not ``repartition``) merges inputs WITHOUT a
+      shuffle — each output task concatenates a set of input files;
+    - the rewrite goes to a NEW directory (``dst``): parquet has no
+      transactional in-place rewrite, and reading+overwriting the same
+      path is undefined; at scale the swap is a catalog/table-format
+      pointer flip.
+    """
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.parquet"
+    ).load(src)
+    src_bytes = files.agg(F.sum("length")).collect()[0][0] or 0
+    n_out = max(1, int(src_bytes // (target_file_mb * 1024 * 1024)) + 1)
+    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
+    out = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.parquet"
+    ).load(dst)
+    return out.count()

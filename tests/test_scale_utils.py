@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+    compact_parquet,
     read_bucketed_join,
     read_month_pruned,
     salted_join,
@@ -149,3 +150,31 @@ def test_month_partition_pruning(spark, sf_dir, tmp_path):
     scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     num_files = scan.metrics().apply("numFiles").value()
     assert num_files == len(files_in_month) > 0
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    import os
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    # simulate micro-batch append landing: 40 tiny files
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(40).write.mode("overwrite").parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 40
+
+    n_out = compact_parquet(spark, src, dst, target_file_mb=128)
+    n_disk = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_out == n_disk < n_small
+
+    # lossless: same rows before and after
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+
+    # shuffle-free: coalesce must not introduce an Exchange
+    plan = (
+        spark.read.parquet(src).coalesce(2)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan
