@@ -22,7 +22,8 @@ import shutil
 import time
 from pathlib import Path
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
 
 from aind_smartspim_data_transformation_spark.config.settings import ImagingJobSettings
 from aind_smartspim_data_transformation_spark.imaging.pyramid import build_pyramid
@@ -53,6 +54,16 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
     shutil.copytree(deriv, Path(out) / "derivatives", dirs_exist_ok=True)
 
     chunks = read_stack_tree(spark, f"{root}/SmartSPIM", chunk_z=settings.chunk_size[0])
+    # Observation metrics ride the FIRST action over the chunk table —
+    # ingest volume accounting with no second scan (the reference logs
+    # wall-clock only, `smartspim_job.py:219,231-233`; at 100 TB a
+    # count()-style recount would itself be a full pipeline re-run).
+    obs = Observation("ingest")
+    chunks = chunks.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("data")).alias("chunk_bytes"),
+    )
     pairs = [
         (r["channel"], r["stack"])
         for r in chunks.select("channel", "stack").distinct().collect()
@@ -87,6 +98,7 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
         "status_code": 200,
         "message": f"wrote {len(written)} stacks in {time.time() - start:.1f}s",
         "written": written,
+        "metrics": obs.get,
     }
 
 

@@ -44,6 +44,15 @@ def test_job_output_pixels(job_run):
     assert np.array_equal(read_zarr_level(group, 1), windowed_mean(src, (2, 2, 2)))
 
 
+def test_job_observed_metrics(job_run):
+    resp, out, arrays = job_run
+    m = resp["metrics"]
+    # 8 stacks × 2 slices each fit one z-chunk per stack
+    assert m["n_chunks"] == 8
+    # decoded bytes = exact uint16 voxel volume across all stacks
+    assert m["chunk_bytes"] == sum(a.nbytes for a in arrays.values())
+
+
 def test_job_derivatives_passthrough(job_run):
     resp, out, arrays = job_run
     assert json.loads((out / "derivatives" / "metadata.json").read_text()) == {
