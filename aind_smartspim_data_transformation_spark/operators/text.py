@@ -381,6 +381,99 @@ FROM ranked WHERE rank <= {TFIDF_TOP} ORDER BY doc_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# T8 — repetition quality signals (Gopher-rule shape): duplicate-token
+# fraction and most-frequent-bigram fraction per document.  Highly
+# repetitive documents (boilerplate, spam, generation loops) score high
+# on both and get filtered before training.
+#
+# All ratios are integer ppm with floor division (cross-engine exact —
+# see quality_ppm_expr).  The top-bigram count needs a per-(doc,bigram)
+# hash agg then a per-doc max: explode → two-level groupBy.  Map-side
+# combine absorbs the duplication, and both aggs partition by doc_id —
+# AQE coalesces the single shuffle's output.  Every doc has ≥10 tokens
+# in the synthetic corpus, but the left join + coalesce keeps the
+# operator total for degenerate 1-token docs anyway.
+# ---------------------------------------------------------------------------
+def t08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    bigrams = (
+        d.withColumn("toks", toks)
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> concat_ws(' ', toks[i], toks[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    top_bigram = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    return (
+        base.join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            _idiv(
+                (F.col("n_tokens") - F.col("n_distinct")) * F.lit(1_000_000),
+                F.col("n_tokens"),
+            ).alias("dup_token_ppm"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            F.when(
+                F.col("n_tokens") >= 2,
+                _idiv(
+                    F.coalesce("top_bigram_n", F.lit(0)) * F.lit(1_000_000),
+                    F.col("n_tokens") - 1,
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("top_bigram_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T08_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         string_split(text, ' ') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM base WHERE n_tokens >= 2
+), top AS (
+  SELECT doc_id, max(n) AS top_bigram_n
+  FROM (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(((b.n_tokens - b.n_distinct) * 1000000) // b.n_tokens AS BIGINT) AS dup_token_ppm,
+       CAST(coalesce(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(CASE WHEN b.n_tokens >= 2
+                 THEN (coalesce(t.top_bigram_n, 0) * 1000000) // (b.n_tokens - 1)
+                 ELSE 0 END AS BIGINT) AS top_bigram_ppm
+FROM base b LEFT JOIN top t USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -389,6 +482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t05_fingerprint": t05_fingerprint,
     "t06_top_bigrams": t06_top_bigrams,
     "t07_tfidf_top_terms": t07_tfidf_top_terms,
+    "t08_repetition_stats": t08_repetition_stats,
 }
 
 ORACLE: dict[str, str] = {
@@ -399,4 +493,5 @@ ORACLE: dict[str, str] = {
     "t05_fingerprint": T05_SQL,
     "t06_top_bigrams": T06_SQL,
     "t07_tfidf_top_terms": T07_SQL,
+    "t08_repetition_stats": T08_SQL,
 }

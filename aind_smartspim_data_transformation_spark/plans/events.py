@@ -450,6 +450,52 @@ ORDER BY g.user_id, g.day
 """
 
 
+# ---------------------------------------------------------------------------
+# E11 — weekly cohort retention: users grouped by first-seen week,
+# counted active at each week offset.  The classic product-analytics
+# triangle every events warehouse computes.
+#
+# Scale posture: the (user, week) distinct is one shuffle with map-side
+# partial dedup; the per-user min() and the activity⋈cohort join both
+# hash on user_id, so AQE reuses the same partitioning.  The final agg
+# has ~weeks² groups — trivially small output regardless of input TB.
+# Week offsets divide exactly (both weeks are Monday-truncated, the
+# difference is a multiple of 7 days) so the floor division is exact
+# integer arithmetic on both engines.
+# ---------------------------------------------------------------------------
+def e11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    offset = F.floor(
+        F.datediff(F.col("week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        act.join(cohort, "user_id")
+        .select("cohort_week", offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+E11_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_json_extract": e01_json_extract,
     "e02_tumbling_window": e02_tumbling_window,
@@ -461,6 +507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e08_interval_join": e08_interval_join,
     "e09_stream_static_enrich": e09_stream_static_enrich,
     "e10_gap_fill": e10_gap_fill,
+    "e11_cohort_retention": e11_cohort_retention,
 }
 
 ORACLE: dict[str, str] = {
@@ -474,4 +521,5 @@ ORACLE: dict[str, str] = {
     "e08_interval_join": E08_SQL,
     "e09_stream_static_enrich": E09_SQL,
     "e10_gap_fill": E10_SQL,
+    "e11_cohort_retention": E11_SQL,
 }

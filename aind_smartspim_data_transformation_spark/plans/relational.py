@@ -787,6 +787,115 @@ ORDER BY column_name
 
 
 # ---------------------------------------------------------------------------
+# Q25 — correlated EXISTS (TPC-H Q4 shape): order-priority checking.
+# Orders with at least one line item shipped >60 days after the order
+# date, counted by priority.  The DataFrame form is the decorrelated
+# left-semi join with a mixed equi + range condition: Catalyst keeps the
+# o_orderkey = l_orderkey equi pair for the join key and evaluates the
+# date predicate as a post-join filter inside the same SMJ operator —
+# exactly the plan a correlated EXISTS decorrelates to.
+#
+# Scale posture: semi join shuffles both facts on orderkey once; no
+# duplicate-row blowup (semi short-circuits on first match), and the
+# final groupBy is over ~5 priority values (map-side combine collapses
+# it before the 5-row shuffle).
+# ---------------------------------------------------------------------------
+def q25_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q25_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q26 — two-nation volume shipping (TPC-H Q7 shape): the same dimension
+# table joined twice under different roles (supplier nation vs customer
+# nation).  Both nation sides are broadcast (25 rows); the only real
+# shuffle is lineitem ⋈ orders on orderkey.  The symmetric pair filter
+# ((A,B) or (B,A)) lands *before* the fact-fact join via Catalyst's
+# predicate pushdown through the broadcast joins, so the orderkey
+# shuffle carries only the two nations' rows — at 100 TB this is the
+# difference between shuffling 8% of the fact table and all of it.
+# ---------------------------------------------------------------------------
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+def q26_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = _Q7_NATIONS
+    pair_ok = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q26_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+   OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -814,6 +923,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_grouping_sets": q22_grouping_sets,
     "q23_percentiles": q23_percentiles,
     "q24_column_profile": q24_column_profile,
+    "q25_exists_late_ship": q25_exists_late_ship,
+    "q26_volume_shipping": q26_volume_shipping,
 }
 
 ORACLE: dict[str, str] = {
@@ -841,4 +952,6 @@ ORACLE: dict[str, str] = {
     "q22_grouping_sets": Q22_SQL,
     "q23_percentiles": Q23_SQL,
     "q24_column_profile": Q24_SQL,
+    "q25_exists_late_ship": Q25_SQL,
+    "q26_volume_shipping": Q26_SQL,
 }
