@@ -831,10 +831,14 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 # table joined twice under different roles (supplier nation vs customer
 # nation).  Both nation sides are broadcast (25 rows); the only real
 # shuffle is lineitem ⋈ orders on orderkey.  The symmetric pair filter
-# ((A,B) or (B,A)) lands *before* the fact-fact join via Catalyst's
-# predicate pushdown through the broadcast joins, so the orderkey
-# shuffle carries only the two nations' rows — at 100 TB this is the
-# difference between shuffling 8% of the fact table and all of it.
+# ((A,B) or (B,A)) references both sides so it cannot itself move below
+# that join — but Catalyst's PushExtraPredicateThroughJoin derives the
+# single-side consequence `n_name IN (A, B)` and pushes it into BOTH
+# nation parquet scans (asserted in
+# tests/test_relational.py::test_q26_nation_filter_derived_on_both_scans),
+# so the orderkey shuffle carries only the two nations' rows — at
+# 100 TB this is the difference between shuffling ~8% of the fact table
+# and all of it.
 # ---------------------------------------------------------------------------
 _Q7_NATIONS = ("NATION_3", "NATION_7")
 

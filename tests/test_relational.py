@@ -50,6 +50,47 @@ def test_q03_plan_broadcasts_dims(spark, sf_dir):
     assert "*(1)" in plan
 
 
+def test_q25_plan_is_semi_join(spark, sf_dir):
+    """Correlated EXISTS decorrelates to a single left-semi join: no
+    duplicate-row blowup, date predicate evaluated inside the join."""
+    df = relational.q25_exists_late_ship(spark, sf_dir)
+    df.collect()
+    # AQE toString appends the pre-adaptive "Initial Plan" — inspect only
+    # the finalized section.
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert "LeftSemi" in plan
+    # Semi join visits lineitem once; no inner-join + distinct fallback.
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q26_nation_filter_derived_on_both_scans(spark, sf_dir):
+    """The symmetric pair filter references both sides, so it cannot move
+    below the fact-fact join itself — but Catalyst's
+    PushExtraPredicateThroughJoin derives the single-side consequence
+    `n_name IN (A, B)` and pushes it into BOTH nation parquet scans.
+    After the broadcast supplier⋈nation join this prunes lineitem to the
+    two nations' rows before any orderkey shuffle — at 100 TB that is the
+    difference between shuffling ~8% of the fact table and all of it."""
+    df = relational.q26_volume_shipping(spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    nation_scans = [
+        seg for seg in plan.split("FileScan parquet ")[1:] if "nation.parquet" in seg.split("\n")[0]
+    ]
+    assert nation_scans, "no nation scan in final plan"
+    for seg in nation_scans:
+        data_filters = seg.split("DataFilters: ")[1].split("]")[0]
+        assert "NATION_3" in data_filters and "NATION_7" in data_filters
+    # Both roles are served by the SAME filtered broadcast: either two
+    # identically-filtered scans, or (what AQE actually does here) one
+    # scan whose broadcast exchange is reused for the second role.
+    assert len(nation_scans) == 2 or "ReusedExchange" in plan
+
+
 def test_q02_topk_is_take_ordered(spark, sf_dir):
     """Top-k must compile to TakeOrderedAndProject, not a global sort."""
     plan = (

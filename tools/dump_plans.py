@@ -107,6 +107,30 @@ ANNOTATIONS = {
         "narrow-map shape that lets a billion-vector corpus quantize "
         "in one pass with no shuffle at all."
     ),
+    "q25_exists_late_ship": (
+        "Correlated EXISTS (TPC-H Q4 shape). Look for: ONE "
+        "`SortMergeJoin LeftSemi` (or BroadcastHashJoin LeftSemi under "
+        "AQE) with the date-range predicate as the join's extra "
+        "condition — the decorrelated form; no inner-join + distinct, "
+        "no second lineitem scan, no duplicate-row blowup before the "
+        "priority rollup."
+    ),
+    "q26_volume_shipping": (
+        "Two-nation volume shipping (TPC-H Q7 shape — same dim joined "
+        "in two roles). Look for: `(n_name = A) OR (n_name = B)` inside "
+        "the nation scan's `PushedFilters` — Catalyst's "
+        "PushExtraPredicateThroughJoin derives it from the symmetric "
+        "pair disjunction, so lineitem is pruned to the two nations' "
+        "suppliers BEFORE the orderkey join; AQE additionally serves "
+        "both nation roles from one `ReusedExchange` broadcast."
+    ),
+    "e11_cohort_retention": (
+        "Weekly cohort retention triangle. Look for: ONE "
+        "`hashpartitioning(user_id, week)` exchange for the distinct, "
+        "then the per-user min() and the activity⋈cohort join both "
+        "reusing user_id partitioning (AQE-planned broadcast at this "
+        "SF); final agg output is ~weeks² rows regardless of input TB."
+    ),
     "i01_windowed_mean_grid": (
         "Imaging windowed-mean as relational agg. Look for: the "
         "grid-key groupBy with `partial_avg` before the exchange — "
