@@ -900,6 +900,50 @@ ORDER BY supp_nation, cust_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# Q27 — distribution window functions + a VALUE-range frame: percent_rank
+# and cume_dist over suppliers within their nation, plus a rolling sum
+# over an acctbal RANGE frame (all rows within 100.0 below the current
+# value — rangeBetween, not rowsBetween: the frame is defined by value
+# distance, so tied rows share a frame and the result is tie-order
+# independent).  percent_rank/cume_dist are single IEEE divisions of
+# exact integers — bit-identical across engines, no rounding needed.
+#
+# Scale posture: one hashpartitioning(s_nationkey) exchange feeds all
+# three window specs (same partition key); per-partition sort only.
+# ---------------------------------------------------------------------------
+def q27_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    wr = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal"))
+        .rangeBetween(-100, W.currentRow)
+    )
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.round(F.sum("s_acctbal").over(wr), 2).alias("range_sum"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )
+
+
+Q27_SQL = """
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+       percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS pct_rank,
+       cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS cume,
+       round(sum(s_acctbal) OVER (
+         PARTITION BY s_nationkey ORDER BY s_acctbal
+         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS range_sum
+FROM supplier ORDER BY s_nationkey, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -929,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_column_profile": q24_column_profile,
     "q25_exists_late_ship": q25_exists_late_ship,
     "q26_volume_shipping": q26_volume_shipping,
+    "q27_percent_rank": q27_percent_rank,
 }
 
 ORACLE: dict[str, str] = {
@@ -958,4 +1003,5 @@ ORACLE: dict[str, str] = {
     "q24_column_profile": Q24_SQL,
     "q25_exists_late_ship": Q25_SQL,
     "q26_volume_shipping": Q26_SQL,
+    "q27_percent_rank": Q27_SQL,
 }
