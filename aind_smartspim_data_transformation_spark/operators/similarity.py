@@ -400,6 +400,47 @@ FROM q ORDER BY mse DESC, vec_id ASC LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# S7 — ANN recall QA: recall@k of the IVF path (s05) against the exact
+# brute-force top-k (s01).  The standard acceptance gate every ANN
+# deployment runs before flipping traffic: build both answers for the
+# same query, join on vec_id, report hits/k.  Output is one row of
+# integer ppm — engine-stable by construction.
+#
+# Scale posture: both inputs are top-k results (k rows each); the
+# recall join is driver-trivial no matter the corpus size.  At scale
+# you'd run this over a panel of held-out queries — same shape, one
+# extra groupBy(query_id).
+# ---------------------------------------------------------------------------
+RECALL_K = 5
+
+
+def s07_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = s01_cosine_topk(spark, sf_dir).limit(RECALL_K).select("vec_id")
+    approx = s05_ann_ivf(spark, sf_dir).select(F.col("vec_id").alias("a_vec_id"))
+    return (
+        exact.join(approx, F.col("vec_id") == F.col("a_vec_id"), "left")
+        .agg(F.count("a_vec_id").alias("n_hits"))
+        .select(
+            F.lit(RECALL_K).cast("long").alias("k"),
+            F.col("n_hits"),
+            F.floor(F.col("n_hits") * F.lit(1_000_000) / F.lit(RECALL_K))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+S07_SQL = f"""
+WITH exact AS ({S01_SQL.replace(f"LIMIT {TOP_K}", f"LIMIT {RECALL_K}")}),
+approx AS ({S05_SQL})
+SELECT CAST({RECALL_K} AS BIGINT) AS k,
+       count(a.vec_id) AS n_hits,
+       CAST((count(a.vec_id) * 1000000) // {RECALL_K} AS BIGINT) AS recall_ppm
+FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
@@ -407,6 +448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s04_similarity_join": s04_similarity_join,
     "s05_ann_ivf": s05_ann_ivf,
     "s06_quantize_int8": s06_quantize_int8,
+    "s07_ann_recall": s07_ann_recall,
 }
 
 ORACLE: dict[str, str] = {
@@ -416,4 +458,5 @@ ORACLE: dict[str, str] = {
     "s04_similarity_join": S04_SQL,
     "s05_ann_ivf": S05_SQL,
     "s06_quantize_int8": S06_SQL,
+    "s07_ann_recall": S07_SQL,
 }
