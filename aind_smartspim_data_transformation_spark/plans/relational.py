@@ -944,6 +944,52 @@ FROM supplier ORDER BY s_nationkey, s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Q28 — map-type scalar functions (the F11 map_* surface): construct a
+# map from columns, merge maps, extract by key, enumerate keys.  Output
+# is scalars only (extracted values, joined key list) — MAP-typed
+# columns hash differently across engines, so the comparison surface
+# stays primitive.  All per-row narrow expressions; zero shuffle before
+# the output sort.
+# ---------------------------------------------------------------------------
+def q28_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("tax"), F.col("l_tax")))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.element_at(m, "qty").alias("qty_val"),
+            F.concat_ws(",", F.map_keys(merged)).alias("keys_csv"),
+            F.size(merged).alias("n_entries"),
+            F.round(
+                F.element_at(merged, "tax") + F.element_at(merged, "disc"), 2
+            ).alias("tax_plus_disc"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q28_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         map(['qty','disc'], [l_quantity, l_discount]) AS m,
+         map_concat(map(['qty','disc'], [l_quantity, l_discount]),
+                    map(['tax'], [l_tax])) AS mm
+  FROM lineitem WHERE l_orderkey < 100
+)
+SELECT l_orderkey, l_linenumber,
+       m['qty'][1] AS qty_val,
+       array_to_string(map_keys(mm), ',') AS keys_csv,
+       CAST(cardinality(mm) AS INT) AS n_entries,
+       round(mm['tax'][1] + mm['disc'][1], 2) AS tax_plus_disc
+FROM base ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -974,6 +1020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_exists_late_ship": q25_exists_late_ship,
     "q26_volume_shipping": q26_volume_shipping,
     "q27_percent_rank": q27_percent_rank,
+    "q28_map_funcs": q28_map_funcs,
 }
 
 ORACLE: dict[str, str] = {
@@ -1004,4 +1051,5 @@ ORACLE: dict[str, str] = {
     "q25_exists_late_ship": Q25_SQL,
     "q26_volume_shipping": Q26_SQL,
     "q27_percent_rank": Q27_SQL,
+    "q28_map_funcs": Q28_SQL,
 }
