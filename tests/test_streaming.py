@@ -173,3 +173,66 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     )
     expect = {r["user_id"]: (r["n"], r["tv"]) for r in batch}
     assert final == expect
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics, not just smoke: an event older than the
+    watermark is DROPPED from its (already-finalized) window in append
+    mode.  Batch 1 seeds window [10:00,11:00) with 2 events and advances
+    the watermark to 12:00 via a 13:00 event; batch 2 then delivers a
+    10:45 straggler — below the watermark, so the finalized window must
+    still count 2.  This is the state-bound guarantee SCALE.md §3 relies
+    on for 24/7 streams: state for closed windows is gone, late rows
+    cannot resurrect it."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def drop_files(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    drop_files(
+        [
+            (1, dt(2024, 1, 1, 10, 0), 1, 1.0),
+            (2, dt(2024, 1, 1, 10, 15), 1, 1.0),
+            (3, dt(2024, 1, 1, 13, 0), 1, 1.0),  # advances watermark to 12:00
+        ]
+    )
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_demo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a late straggler for the 10:00 window + a fresh event
+        drop_files(
+            [
+                (4, dt(2024, 1, 1, 10, 45), 1, 1.0),  # LATE — below watermark
+                (5, dt(2024, 1, 1, 14, 0), 1, 1.0),
+            ]
+        )
+        q.processAllAvailable()
+        rows = {
+            r["w_start"]: r["n"]
+            for r in spark.sql("SELECT * FROM late_demo").collect()
+        }
+    finally:
+        q.stop()
+    assert rows[dt(2024, 1, 1, 10, 0)] == 2  # straggler was dropped
+    assert all(n <= 2 for n in rows.values())
