@@ -27,3 +27,45 @@ def test_e09_dims_broadcast_no_fact_shuffle(spark, sf_dir):
     )
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_cogroup_applyinpandas_matches_join(spark, sf_dir):
+    """§2.9 surface completeness: cogrouped ``applyInPandas`` — per-key
+    pandas alignment of TWO tables in one shuffle each (the API for
+    custom two-sided per-key logic Spark's built-ins can't express).
+    The pandas body here just counts both sides, so a pure-DataFrame
+    outer-join aggregate is an exact oracle for it."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from aind_smartspim_data_transformation_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "value"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+
+    def count_both(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": [key[0]], "n_ev": [len(left)], "n_ord": [len(right)]}
+        )
+
+    got = {
+        r["k"]: (r["n_ev"], r["n_ord"])
+        for r in ev.groupBy("k")
+        .cogroup(od.groupBy("k"))
+        .applyInPandas(count_both, "k long, n_ev long, n_ord long")
+        .collect()
+    }
+    ev_counts = ev.groupBy("k").agg(F.count("*").alias("n_ev"))
+    od_counts = od.groupBy("k").agg(F.count("*").alias("n_ord"))
+    expect = {
+        r["k"]: (r["n_ev"] or 0, r["n_ord"] or 0)
+        for r in ev_counts.join(od_counts, "k", "full_outer")
+        .select("k", "n_ev", "n_ord")
+        .collect()
+    }
+    assert got == expect
