@@ -474,6 +474,55 @@ ORDER BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T9 — Flesch-style readability in centi-points, all-integer:
+#   flesch ≈ 206.84 - 1.015·(words/sentences) - 84.6·(syllables/word)
+#   centi  = 20684 - (203·W) // (2·S) - (8460·Y) // W
+# Sentences = terminal-punctuation runs (min 1); syllables = vowel
+# groups (the standard cheap approximation).  Floor division keeps the
+# score bit-identical across engines (see quality_ppm_expr); the
+# classic float formula would hit round-half boundaries.
+# All narrow per-row regex/array expressions — zero shuffle.
+# ---------------------------------------------------------------------------
+def t09_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiou]+")).cast("long")
+    centi = (
+        F.lit(20684)
+        - _idiv(F.lit(203) * n_words, F.lit(2) * n_sent)
+        - _idiv(F.lit(8460) * n_syll, n_words)
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            centi.cast("long").alias("flesch_centi"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T09_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(20684 - (203 * n_words) // (2 * n_sentences)
+                  - (8460 * n_syllables) // n_words AS BIGINT) AS flesch_centi
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -483,6 +532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t06_top_bigrams": t06_top_bigrams,
     "t07_tfidf_top_terms": t07_tfidf_top_terms,
     "t08_repetition_stats": t08_repetition_stats,
+    "t09_readability": t09_readability,
 }
 
 ORACLE: dict[str, str] = {
@@ -494,4 +544,5 @@ ORACLE: dict[str, str] = {
     "t06_top_bigrams": T06_SQL,
     "t07_tfidf_top_terms": T07_SQL,
     "t08_repetition_stats": T08_SQL,
+    "t09_readability": T09_SQL,
 }

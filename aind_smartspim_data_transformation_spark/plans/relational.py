@@ -990,6 +990,55 @@ FROM base ORDER BY l_orderkey, l_linenumber
 
 
 # ---------------------------------------------------------------------------
+# Q29 — top supplier by revenue (TPC-H Q15 shape): an aggregated CTE
+# referenced twice — once as the ranking relation, once inside a scalar
+# max() subquery selecting the winner(s).  The revenue agg computes
+# ONCE; Catalyst reuses the exchange for both consumers.  The
+# max-equality filter happens on the UNROUNDED double within one
+# engine (internally consistent on both sides); only the reported
+# revenue is rounded.
+#
+# Scale posture: one shuffle on l_suppkey with map-side partial sum;
+# the max() side is a 1-row agg broadcast back — no second scan of
+# lineitem.
+# ---------------------------------------------------------------------------
+def q29_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(top), revenue.total_revenue == top.mx)
+        .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q29_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1021,6 +1070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_volume_shipping": q26_volume_shipping,
     "q27_percent_rank": q27_percent_rank,
     "q28_map_funcs": q28_map_funcs,
+    "q29_top_supplier": q29_top_supplier,
 }
 
 ORACLE: dict[str, str] = {
@@ -1052,4 +1102,5 @@ ORACLE: dict[str, str] = {
     "q26_volume_shipping": Q26_SQL,
     "q27_percent_rank": Q27_SQL,
     "q28_map_funcs": Q28_SQL,
+    "q29_top_supplier": Q29_SQL,
 }
