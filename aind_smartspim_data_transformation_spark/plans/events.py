@@ -496,6 +496,51 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# E12 — week-over-week change per event type: the trend report every
+# events dashboard computes.  Weekly counts, then lag() within each
+# event_type to get absolute delta and a ratio in integer ppm (floor
+# division — engine-stable; a float percentage could round-half
+# differently across engines).
+#
+# Scale posture: the weekly rollup collapses the fact table to
+# O(types × weeks) rows in one shuffle with map-side combine; the lag
+# window then sorts only that tiny aggregate.  The window NEVER runs
+# on raw events.
+# ---------------------------------------------------------------------------
+def e12_weekly_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return (
+        weekly.select(
+            "week",
+            "event_type",
+            "n",
+            (F.col("n") - prev).alias("delta"),
+            F.when(prev.isNotNull(), F.floor(F.col("n") * 1_000_000 / prev))
+            .cast("long")
+            .alias("ratio_ppm"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+E12_SQL = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type, count(*) AS n
+  FROM events GROUP BY week, event_type
+)
+SELECT week, event_type, n,
+       n - lag(n) OVER (PARTITION BY event_type ORDER BY week) AS delta,
+       CAST((n * 1000000) // lag(n) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT) AS ratio_ppm
+FROM weekly ORDER BY event_type, week
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_json_extract": e01_json_extract,
     "e02_tumbling_window": e02_tumbling_window,
@@ -508,6 +553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e09_stream_static_enrich": e09_stream_static_enrich,
     "e10_gap_fill": e10_gap_fill,
     "e11_cohort_retention": e11_cohort_retention,
+    "e12_weekly_change": e12_weekly_change,
 }
 
 ORACLE: dict[str, str] = {
@@ -522,4 +568,5 @@ ORACLE: dict[str, str] = {
     "e09_stream_static_enrich": E09_SQL,
     "e10_gap_fill": E10_SQL,
     "e11_cohort_retention": E11_SQL,
+    "e12_weekly_change": E12_SQL,
 }
