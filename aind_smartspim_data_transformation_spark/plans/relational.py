@@ -1039,6 +1039,46 @@ ORDER BY s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Q30 — first/last analytic window functions (completing the §2.5
+# ranking/analytic list): richest and poorest supplier of each nation
+# attached to every supplier row via first_value/last_value over an
+# unbounded frame.  The order key (acctbal, suppkey) is unique, so both
+# endpoints are deterministic.
+#
+# Scale posture: one hashpartitioning(s_nationkey) exchange + one
+# per-partition sort serves both window functions (same spec).
+# ---------------------------------------------------------------------------
+def q30_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    w = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.first("s_name").over(w).alias("richest"),
+            F.last("s_name").over(w).alias("poorest"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q30_SQL = """
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+       first_value(s_name) OVER w AS richest,
+       last_value(s_name) OVER w AS poorest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1071,6 +1111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_percent_rank": q27_percent_rank,
     "q28_map_funcs": q28_map_funcs,
     "q29_top_supplier": q29_top_supplier,
+    "q30_first_last": q30_first_last,
 }
 
 ORACLE: dict[str, str] = {
@@ -1103,4 +1144,5 @@ ORACLE: dict[str, str] = {
     "q27_percent_rank": Q27_SQL,
     "q28_map_funcs": Q28_SQL,
     "q29_top_supplier": Q29_SQL,
+    "q30_first_last": Q30_SQL,
 }
