@@ -53,7 +53,13 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
         raise FileNotFoundError(f"derivatives folder not found at {deriv}")
     shutil.copytree(deriv, Path(out) / "derivatives", dirs_exist_ok=True)
 
-    chunks = read_stack_tree(spark, f"{root}/SmartSPIM", chunk_z=settings.chunk_size[0])
+    chunks = read_stack_tree(
+        spark,
+        f"{root}/SmartSPIM",
+        chunk_z=settings.chunk_size[0],
+        chunk_y=settings.chunk_size[1],
+        chunk_x=settings.chunk_size[2],
+    )
     # Observation metrics ride the FIRST action over the chunk table —
     # ingest volume accounting with no second scan (the reference logs
     # wall-clock only, `smartspim_job.py:219,231-233`; at 100 TB a
@@ -68,8 +74,17 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
         (r["channel"], r["stack"])
         for r in chunks.select("channel", "stack").distinct().collect()
     ]
-    written = []
-    for channel, stack in sorted(pairs):
+
+    # Stacks are independent (the reference fans them out as N separate
+    # job *processes*, `smartspim_job.py:30-41`); here they run as
+    # CONCURRENT Spark jobs from a thread pool inside one app — each
+    # stack's small per-level jobs interleave in the scheduler so the
+    # executors stay saturated instead of draining between sequential
+    # stacks.  Spark job submission is thread-safe; the zarr sink's
+    # metadata writes are atomic-rename so sibling stacks can share a
+    # channel root.
+    def _process(pair: tuple[str, str]) -> str:
+        channel, stack = pair
         stack_chunks = chunks.filter(
             (chunks.channel == channel) & (chunks.stack == stack)
         )
@@ -89,10 +104,15 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
             compressor_name=settings.compressor_name.value,
             compressor_kwargs=settings.compressor_kwargs,
         )
-        written.append(group)
         for lvl in levels:
             if lvl.is_cached:
                 lvl.unpersist()
+        return group
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(len(pairs), 1))) as ex:
+        written = list(ex.map(_process, sorted(pairs)))
 
     return {
         "status_code": 200,

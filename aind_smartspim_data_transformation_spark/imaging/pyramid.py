@@ -112,13 +112,25 @@ def build_pyramid(
 
 def assemble_array(chunks: DataFrame, chunk_z: int) -> np.ndarray:
     """Collect one stack's chunk table into a dense (Z, Y, X) numpy
-    array — TEST/DEBUG helper only (driver-side materialization)."""
+    array — TEST/DEBUG helper only (driver-side materialization).
+    Handles the full 3-D (cz, cy, cx) tile grid: tile offsets come from
+    the (0,0,0) tile's dims (the grid is regular except at upper
+    edges)."""
     rows = chunks.orderBy("cz", "cy", "cx").collect()
     if not rows:
         return np.zeros((0, 0, 0))
     dtype = np.dtype(rows[0]["dtype"])
-    zs = [
-        np.frombuffer(r["data"], dtype=dtype).reshape(r["dz"], r["dy"], r["dx"])
-        for r in rows
-    ]
-    return np.concatenate(zs, axis=0)
+    dz0, dy0, dx0 = rows[0]["dz"], rows[0]["dy"], rows[0]["dx"]
+    shape = (
+        max(r["cz"] * dz0 + r["dz"] for r in rows),
+        max(r["cy"] * dy0 + r["dy"] for r in rows),
+        max(r["cx"] * dx0 + r["dx"] for r in rows),
+    )
+    out = np.zeros(shape, dtype=dtype)
+    for r in rows:
+        tile = np.frombuffer(r["data"], dtype=dtype).reshape(
+            r["dz"], r["dy"], r["dx"]
+        )
+        z0, y0, x0 = r["cz"] * dz0, r["cy"] * dy0, r["cx"] * dx0
+        out[z0 : z0 + r["dz"], y0 : y0 + r["dy"], x0 : x0 + r["dx"]] = tile
+    return out

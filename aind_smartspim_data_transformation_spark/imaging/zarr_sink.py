@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import zlib
 from typing import Any
 
@@ -100,9 +101,16 @@ def _make_decodec(meta: dict[str, Any] | None):
 
 
 def _write_json(path: str, obj: Any) -> None:
+    """Atomic metadata write (tmp + rename): stacks are written
+    concurrently (imaging/job.py) and sibling stacks share the root
+    ``.zgroup`` — rename makes identical concurrent writes race-free
+    (the reference handles the same race with ContainsGroupError
+    catching, `compress/png_to_zarr.py:503-530`)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as f:
         json.dump(obj, f, indent=2)
+    os.replace(tmp, path)
 
 
 def _level_geometry(level_df: DataFrame) -> tuple[tuple[int, ...], str]:

@@ -165,12 +165,25 @@ def probe_shapes(files: DataFrame) -> DataFrame:
     )
 
 
-def slices_to_chunks(slices: DataFrame, chunk_z: int) -> DataFrame:
+def slices_to_chunks(
+    slices: DataFrame,
+    chunk_z: int,
+    chunk_y: int | None = None,
+    chunk_x: int | None = None,
+) -> DataFrame:
     """Assemble z-runs of slices into 3-D chunks (one shuffle).
 
-    Output chunk coords are (t=0, c=0, cz=z//chunk_z, cy=0, cx=0) with
-    dims (dz<=chunk_z, H, W): the reference's one-chunk-per-slice dask
-    layout generalized to a z-blocked layout, padded to 5-D.
+    Output chunk coords are (t=0, c=0, cz=z//chunk_z, cy, cx) with dims
+    (dz<=chunk_z, dy<=chunk_y, dx<=chunk_x).  With chunk_y/chunk_x None
+    each chunk spans the full slice plane (the reference's
+    one-chunk-per-slice dask layout generalized to a z-blocked layout);
+    passing them tiles the plane into the reference's 128³-style bricks
+    — at microscopy plane sizes (2000×1600 uint16) a full-plane z-slab
+    is hundreds of MB in ONE row, which serializes the downstream
+    pyramid/sink onto single tasks and strains Arrow batches, whereas
+    128×128 tiles give ~4 MB rows and per-tile parallelism.  Peak
+    assembly memory per group is still chunk_z × plane bytes (the slab
+    must exist to be tiled); size chunk_z accordingly.
     """
     spark = slices.sparkSession
     spark.conf.set(
@@ -190,23 +203,32 @@ def slices_to_chunks(slices: DataFrame, chunk_z: int) -> DataFrame:
                 for b in pdf["data"]
             ]
         )
-        return pd.DataFrame(
-            [
-                (
-                    channel,
-                    stack,
-                    0,
-                    0,
-                    int(cz),
-                    0,
-                    0,
-                    block.shape[0],
-                    h,
-                    wd,
-                    dtype,
-                    block.tobytes(),
+        ty = chunk_y or h
+        tx = chunk_x or wd
+        rows = []
+        for cy in range(-(-h // ty)):
+            for cx in range(-(-wd // tx)):
+                tile = np.ascontiguousarray(
+                    block[:, cy * ty : (cy + 1) * ty, cx * tx : (cx + 1) * tx]
                 )
-            ],
+                rows.append(
+                    (
+                        channel,
+                        stack,
+                        0,
+                        0,
+                        int(cz),
+                        cy,
+                        cx,
+                        tile.shape[0],
+                        tile.shape[1],
+                        tile.shape[2],
+                        dtype,
+                        tile.tobytes(),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
             columns=[
                 "channel",
                 "stack",
@@ -228,6 +250,14 @@ def slices_to_chunks(slices: DataFrame, chunk_z: int) -> DataFrame:
     )
 
 
-def read_stack_tree(spark: SparkSession, root: str, chunk_z: int = 64) -> DataFrame:
+def read_stack_tree(
+    spark: SparkSession,
+    root: str,
+    chunk_z: int = 64,
+    chunk_y: int | None = None,
+    chunk_x: int | None = None,
+) -> DataFrame:
     """Scan + decode + chunk in one declarative pipeline."""
-    return slices_to_chunks(decode_slices(scan_stack_files(spark, root)), chunk_z)
+    return slices_to_chunks(
+        decode_slices(scan_stack_files(spark, root)), chunk_z, chunk_y, chunk_x
+    )

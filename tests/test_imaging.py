@@ -305,3 +305,26 @@ def test_zarr_codec_blosc_gated():
     else:  # pragma: no cover - container has no blosc
         meta, _ = _make_codec("blosc", {"cname": "zstd", "clevel": 3})
         assert meta["id"] == "blosc" and meta["cname"] == "zstd"
+
+
+def test_tiled_chunks_match_full_plane(spark, dataset):
+    """Y/X tiling (the reference's 128³-brick layout, `models.py:65-69`)
+    must be a pure re-partitioning of the same voxels: the tiled chunk
+    table reassembles to the identical array, and the tiled pyramid
+    level equals the full-plane pyramid level (tile dims stay
+    factor-aligned, so the windowed mean is tile-local either way)."""
+    root, arrays = dataset
+    sel = "channel = 'Ex_445_Em_469' AND stack = '432380_504340'"
+    src = arrays["Ex_445_Em_469/432380_504340"]
+    tiled = read_stack_tree(
+        spark, str(root / "SmartSPIM"), chunk_z=64, chunk_y=32, chunk_x=48
+    ).filter(sel)
+    rows = tiled.select("cy", "cx", "dy", "dx").distinct().collect()
+    # 64×80 plane with 32×48 tiles → 2×2 grid, edge tiles truncated
+    assert {(r["cy"], r["cx"]) for r in rows} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert {(r["dy"], r["dx"]) for r in rows} == {(32, 48), (32, 32)}
+    assert np.array_equal(assemble_array(tiled, 64), src)
+    lvl1_tiled = assemble_array(
+        build_pyramid(tiled, (2, 2, 2), 2, persist_levels=False)[1], 64
+    )
+    assert np.array_equal(lvl1_tiled, windowed_mean(src, (2, 2, 2)))
