@@ -174,19 +174,26 @@ def write_ome_zarr(
     )
 
     shape = [1, 1, z0, y0, x0]
-    for lvl, level_df in enumerate(levels):
-        from pyspark.sql import functions as F
+    # nominal chunk = dims of the (0,0,0) chunk: the stored grid is
+    # regular except at upper edges, and may differ from the *requested*
+    # chunk (e.g. full-plane assembly keeps whole Y/X slices).  ONE
+    # lookup at level 0; deeper levels follow exactly — the windowed
+    # mean maps tile dims d → ceil(d/f) per level, so no per-level
+    # first() job (each was a full Spark job; at 4 levels × many stacks
+    # the saved scheduling is material).
+    from pyspark.sql import functions as F
 
+    first = (
+        levels[0]
+        .filter((F.col("cz") == 0) & (F.col("cy") == 0) & (F.col("cx") == 0))
+        .select("dz", "dy", "dx")
+        .first()
+    )
+    chunk_dims = [int(first["dz"]), int(first["dy"]), int(first["dx"])]
+
+    for lvl, level_df in enumerate(levels):
         lvl_dir = os.path.join(group, str(lvl))
-        # nominal chunk = dims of the (0,0,0) chunk: the stored grid is
-        # regular except at upper edges, and may differ from the
-        # *requested* chunk (e.g. z-only chunking keeps full Y/X planes)
-        first = (
-            level_df.filter((F.col("cz") == 0) & (F.col("cy") == 0) & (F.col("cx") == 0))
-            .select("dz", "dy", "dx")
-            .first()
-        )
-        nominal_chunk = [1, 1, int(first["dz"]), int(first["dy"]), int(first["dx"])]
+        nominal_chunk = [1, 1, *chunk_dims]
         _write_json(
             os.path.join(lvl_dir, ".zarray"),
             {
@@ -228,6 +235,11 @@ def write_ome_zarr(
             -(-shape[2] // scale_factor_zyx[0]),
             -(-shape[3] // scale_factor_zyx[1]),
             -(-shape[4] // scale_factor_zyx[2]),
+        ]
+        chunk_dims = [
+            -(-chunk_dims[0] // scale_factor_zyx[0]),
+            -(-chunk_dims[1] // scale_factor_zyx[1]),
+            -(-chunk_dims[2] // scale_factor_zyx[2]),
         ]
     return group
 
