@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 from aind_smartspim_data_transformation_spark.config.settings import ImagingJobSettings
 from aind_smartspim_data_transformation_spark.imaging.pyramid import build_pyramid
-from aind_smartspim_data_transformation_spark.imaging.zarr_sink import write_ome_zarr
+from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+    write_ome_zarr_all,
+)
 from aind_smartspim_data_transformation_spark.sources.acquisition import (
     get_voxel_resolution,
 )
@@ -70,49 +72,31 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.length("data")).alias("chunk_bytes"),
     )
-    pairs = [
-        (r["channel"], r["stack"])
-        for r in chunks.select("channel", "stack").distinct().collect()
-    ]
-
-    # Stacks are independent (the reference fans them out as N separate
-    # job *processes*, `smartspim_job.py:30-41`); here they run as
-    # CONCURRENT Spark jobs from a thread pool inside one app — each
-    # stack's small per-level jobs interleave in the scheduler so the
-    # executors stay saturated instead of draining between sequential
-    # stacks.  Spark job submission is thread-safe; the zarr sink's
-    # metadata writes are atomic-rename so sibling stacks can share a
-    # channel root.
-    def _process(pair: tuple[str, str]) -> str:
-        channel, stack = pair
-        stack_chunks = chunks.filter(
-            (chunks.channel == channel) & (chunks.stack == stack)
-        )
-        levels = build_pyramid(
-            stack_chunks,
-            tuple(settings.scale_factor),
-            settings.downsample_levels,
-        )
-        group = write_ome_zarr(
-            levels,
-            f"{out}/{channel}",
-            stack_name=stack,
-            channel_name=channel,
-            voxel_size_zyx=voxel_zyx,
-            scale_factor_zyx=list(settings.scale_factor),
-            chunk_zyx=list(settings.chunk_size),
-            compressor_name=settings.compressor_name.value,
-            compressor_kwargs=settings.compressor_kwargs,
-        )
-        for lvl in levels:
-            if lvl.is_cached:
-                lvl.unpersist()
-        return group
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(8, max(len(pairs), 1))) as ex:
-        written = list(ex.map(_process, sorted(pairs)))
+    # ONE pipeline over ALL stacks (the 1000-executor shape): the
+    # pyramid and each level's zarr write run as one Spark job whose
+    # tasks span every stack's tiles — the scheduler sees a few big
+    # jobs with thousands of tasks instead of stacks × levels small
+    # jobs (the reference fans stacks out as N separate *processes*,
+    # `smartspim_job.py:30-41`; Spark's task scheduler replaces that
+    # machinery outright).  Per-stack routing happens inside the write
+    # task from each row's channel/stack columns.
+    levels = build_pyramid(
+        chunks,
+        tuple(settings.scale_factor),
+        settings.downsample_levels,
+    )
+    written = write_ome_zarr_all(
+        levels,
+        out,
+        voxel_size_zyx=voxel_zyx,
+        scale_factor_zyx=list(settings.scale_factor),
+        chunk_zyx=list(settings.chunk_size),
+        compressor_name=settings.compressor_name.value,
+        compressor_kwargs=settings.compressor_kwargs,
+    )
+    for lvl in levels:
+        if lvl.is_cached:
+            lvl.unpersist()
 
     return {
         "status_code": 200,

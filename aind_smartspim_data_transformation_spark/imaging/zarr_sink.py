@@ -244,6 +244,147 @@ def write_ome_zarr(
     return group
 
 
+def write_ome_zarr_all(
+    levels: list[DataFrame],
+    output_root: str,
+    voxel_size_zyx: list[float],
+    scale_factor_zyx: list[int],
+    chunk_zyx: list[int],
+    compressor_name: str = "zlib",
+    compressor_kwargs: dict[str, Any] | None = None,
+) -> list[str]:
+    """Multi-stack sink: ``levels[i]`` is the level-i chunk table over
+    ALL stacks (rows keyed by channel/stack).  Stack groups land at
+    ``<output_root>/<channel>/<stack>.ome.zarr``.
+
+    This is the 1000-executor shape: ONE geometry aggregation and ONE
+    ``foreachPartition`` write job per level for the whole dataset —
+    per-stack routing happens inside the task from each row's
+    channel/stack columns — instead of the per-stack sink's
+    jobs × stacks fan-out.  Metadata stays driver-side single-writer.
+    Returns the sorted stack group paths.
+    """
+    from pyspark.sql import functions as F
+
+    codec_meta, compress = _make_codec(compressor_name, compressor_kwargs)
+
+    origin = (F.col("cy") == 0) & (F.col("cx") == 0) & (F.col("cz") == 0)
+    geo = (
+        levels[0]
+        .groupBy("channel", "stack")
+        .agg(
+            F.sum(
+                F.when((F.col("cy") == 0) & (F.col("cx") == 0), F.col("dz"))
+            ).alias("z"),
+            F.sum(
+                F.when((F.col("cz") == 0) & (F.col("cx") == 0), F.col("dy"))
+            ).alias("y"),
+            F.sum(
+                F.when((F.col("cz") == 0) & (F.col("cy") == 0), F.col("dx"))
+            ).alias("x"),
+            F.first("dtype").alias("dtype"),
+            F.first(F.when(origin, F.col("dz")), ignorenulls=True).alias("cdz"),
+            F.first(F.when(origin, F.col("dy")), ignorenulls=True).alias("cdy"),
+            F.first(F.when(origin, F.col("dx")), ignorenulls=True).alias("cdx"),
+        )
+        .collect()
+    )
+
+    n_lvls = len(levels)
+    fz, fy, fx = scale_factor_zyx
+    groups: list[str] = []
+    # per (channel, stack): chunk dims ladder for the writer's padding
+    chunk_ladder: dict[tuple[str, str], list[tuple[int, int, int]]] = {}
+    for r in geo:
+        channel, stack = r["channel"], r["stack"]
+        group = os.path.join(output_root, channel, f"{stack}.ome.zarr")
+        groups.append(group)
+        shape_5d = (1, 1, int(r["z"]), int(r["y"]), int(r["x"]))
+        transforms, _ = compute_scale_ladder(
+            voxel_size_zyx, scale_factor_zyx, n_lvls, shape_5d, chunk_zyx
+        )
+        _write_json(
+            os.path.join(output_root, channel, ".zgroup"), {"zarr_format": 2}
+        )
+        _write_json(os.path.join(group, ".zgroup"), {"zarr_format": 2})
+        _write_json(
+            os.path.join(group, ".zattrs"),
+            {
+                "multiscales": [
+                    {
+                        "axes": axes_5d(),
+                        "datasets": [
+                            {
+                                "path": str(i),
+                                "coordinateTransformations": transforms[i],
+                            }
+                            for i in range(n_lvls)
+                        ],
+                        "name": f"/{stack}.ome.zarr",
+                        "version": "0.4",
+                        "metadata": pyramid_provenance(),
+                    }
+                ],
+                "omero": build_omero(channel, shape_5d, np.dtype(r["dtype"])),
+            },
+        )
+        shape = list(shape_5d)
+        dims = (int(r["cdz"]), int(r["cdy"]), int(r["cdx"]))
+        ladder = []
+        for lvl in range(n_lvls):
+            ladder.append(dims)
+            _write_json(
+                os.path.join(group, str(lvl), ".zarray"),
+                {
+                    "zarr_format": 2,
+                    "shape": shape,
+                    "chunks": [1, 1, *dims],
+                    "dtype": _ZARR_DTYPES[r["dtype"]],
+                    "compressor": codec_meta,
+                    "fill_value": 0,
+                    "filters": None,
+                    "order": "C",
+                    "dimension_separator": "/",
+                },
+            )
+            shape = [1, 1, -(-shape[2] // fz), -(-shape[3] // fy), -(-shape[4] // fx)]
+            dims = (-(-dims[0] // fz), -(-dims[1] // fy), -(-dims[2] // fx))
+        chunk_ladder[(channel, stack)] = ladder
+
+    for lvl, level_df in enumerate(levels):
+
+        def _write_partition(
+            rows, lvl=lvl, root=output_root, ladder=chunk_ladder, compress=compress
+        ):
+            for r in rows:
+                chunk_shape = ladder[(r["channel"], r["stack"])][lvl]
+                arr = np.frombuffer(
+                    r["data"], dtype=np.dtype(r["dtype"])
+                ).reshape(r["dz"], r["dy"], r["dx"])
+                if arr.shape != chunk_shape:  # edge chunk → zero-pad
+                    full = np.zeros(chunk_shape, dtype=arr.dtype)
+                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
+                    arr = full
+                key = os.path.join(
+                    root,
+                    r["channel"],
+                    f"{r['stack']}.ome.zarr",
+                    str(lvl),
+                    "0",
+                    "0",
+                    str(r["cz"]),
+                    str(r["cy"]),
+                    str(r["cx"]),
+                )
+                os.makedirs(os.path.dirname(key), exist_ok=True)
+                with open(key, "wb") as f:
+                    f.write(compress(np.ascontiguousarray(arr).tobytes()))
+
+        level_df.foreachPartition(_write_partition)
+
+    return sorted(groups)
+
+
 def read_zarr_level(group: str, level: int) -> np.ndarray:
     """Spec-only reader: reassemble one level into (Z, Y, X) numpy."""
     lvl_dir = os.path.join(group, str(level))

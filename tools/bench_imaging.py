@@ -15,9 +15,11 @@ via $IMG_BENCH_SLICES, default 32) through the Spark pipeline on
 local[*] — generation time is excluded, job wall-clock (decode +
 4-level pyramid + zarr write + metadata) is what's timed.
 
-Measured scaling (local[32], 4 stacks, 128³ bricks): 205 MB → 82 s,
-819 MB → 83 s — wall-clock is Spark job overhead, not bytes, so
-per-stack depth growth is nearly free until tasks saturate cores.
+Measured (local[32], 4 stacks, 128³ bricks, single-pipeline sink):
+819 MB in ~64 s vs ~200 s for the sequential per-stack/full-plane
+layout — and wall-clock stays near-flat in bytes (fixed scheduling
+cost), so per-stack depth growth is nearly free until tasks saturate
+cores.
 
     python tools/bench_imaging.py
     IMG_BENCH_SLICES=64 python tools/bench_imaging.py
