@@ -17,9 +17,9 @@ local[*] — generation time is excluded, job wall-clock (decode +
 
 Measured (local[32], 4 stacks, 128³ bricks, single-pipeline sink):
 819 MB in ~64 s vs ~200 s for the sequential per-stack/full-plane
-layout — and wall-clock stays near-flat in bytes (fixed scheduling
-cost), so per-stack depth growth is nearly free until tasks saturate
-cores.
+layout; 1.6 GB in ~105 s (throughput RISES with depth — 13→16 MB/s —
+as tile tasks amortize the fixed per-level scheduling), so per-stack
+depth growth is nearly free until tasks saturate cores.
 
     python tools/bench_imaging.py
     IMG_BENCH_SLICES=64 python tools/bench_imaging.py
