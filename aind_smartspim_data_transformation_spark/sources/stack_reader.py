@@ -165,6 +165,30 @@ def probe_shapes(files: DataFrame) -> DataFrame:
     )
 
 
+def tile_plane_block(
+    block: "np.ndarray", chunk_y: int | None, chunk_x: int | None
+):
+    """Split a (dz, H, W) block into contiguous Y/X tiles.
+
+    Yields (cy, cx, tile); edge tiles truncate to the remaining extent.
+    With chunk_y/chunk_x None the block passes through as one tile.
+    Pure function (property-tested in tests/test_imaging.py) — the
+    chunk-assembly UDF is a thin wrapper around it.
+    """
+    h, wd = block.shape[1], block.shape[2]
+    ty = chunk_y or h
+    tx = chunk_x or wd
+    for cy in range(-(-h // ty)):
+        for cx in range(-(-wd // tx)):
+            yield (
+                cy,
+                cx,
+                np.ascontiguousarray(
+                    block[:, cy * ty : (cy + 1) * ty, cx * tx : (cx + 1) * tx]
+                ),
+            )
+
+
 def slices_to_chunks(
     slices: DataFrame,
     chunk_z: int,
@@ -203,30 +227,23 @@ def slices_to_chunks(
                 for b in pdf["data"]
             ]
         )
-        ty = chunk_y or h
-        tx = chunk_x or wd
-        rows = []
-        for cy in range(-(-h // ty)):
-            for cx in range(-(-wd // tx)):
-                tile = np.ascontiguousarray(
-                    block[:, cy * ty : (cy + 1) * ty, cx * tx : (cx + 1) * tx]
-                )
-                rows.append(
-                    (
-                        channel,
-                        stack,
-                        0,
-                        0,
-                        int(cz),
-                        cy,
-                        cx,
-                        tile.shape[0],
-                        tile.shape[1],
-                        tile.shape[2],
-                        dtype,
-                        tile.tobytes(),
-                    )
-                )
+        rows = [
+            (
+                channel,
+                stack,
+                0,
+                0,
+                int(cz),
+                cy,
+                cx,
+                tile.shape[0],
+                tile.shape[1],
+                tile.shape[2],
+                dtype,
+                tile.tobytes(),
+            )
+            for cy, cx, tile in tile_plane_block(block, chunk_y, chunk_x)
+        ]
         return pd.DataFrame(
             rows,
             columns=[

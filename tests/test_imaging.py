@@ -328,3 +328,39 @@ def test_tiled_chunks_match_full_plane(spark, dataset):
         build_pyramid(tiled, (2, 2, 2), 2, persist_levels=False)[1], 64
     )
     assert np.array_equal(lvl1_tiled, windowed_mean(src, (2, 2, 2)))
+
+
+@st.composite
+def _blocks_and_tiles(draw):
+    dz = draw(st.integers(1, 4))
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    ty = draw(st.one_of(st.none(), st.integers(1, 48)))
+    tx = draw(st.one_of(st.none(), st.integers(1, 48)))
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    block = rng.integers(0, 65535, size=(dz, h, w), dtype=np.uint16)
+    return block, ty, tx
+
+
+@given(_blocks_and_tiles())
+@settings(max_examples=80, deadline=None)
+def test_tile_plane_block_property(case):
+    """Tiling is a lossless re-partitioning: tiles are contiguous,
+    edge-truncated, and reassemble to the exact source block."""
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        tile_plane_block,
+    )
+
+    block, ty, tx = case
+    _, h, w = block.shape
+    ety, etx = ty or h, tx or w
+    tiles = list(tile_plane_block(block, ty, tx))
+    assert len(tiles) == (-(-h // ety)) * (-(-w // etx))
+    out = np.zeros_like(block)
+    for cy, cx, tile in tiles:
+        assert tile.flags["C_CONTIGUOUS"]
+        assert tile.shape[0] == block.shape[0]
+        assert tile.shape[1] == min(ety, h - cy * ety)
+        assert tile.shape[2] == min(etx, w - cx * etx)
+        out[:, cy * ety : cy * ety + tile.shape[1], cx * etx : cx * etx + tile.shape[2]] = tile
+    assert np.array_equal(out, block)
