@@ -1079,6 +1079,44 @@ ORDER BY s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Q31 — customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+# join so customers with zero orders keep a 0-count row, then a
+# count-of-counts histogram.  The outer join is the part an inner-join
+# formulation silently gets wrong (it drops the zero bucket).
+#
+# Scale posture: customer⋈orders shuffles on custkey with the
+# per-customer count folding map-side; the histogram agg's domain is
+# O(max orders per customer) — tiny — and the final sort is on that
+# histogram, never on facts.
+# ---------------------------------------------------------------------------
+def q31_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q31_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1112,6 +1150,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_map_funcs": q28_map_funcs,
     "q29_top_supplier": q29_top_supplier,
     "q30_first_last": q30_first_last,
+    "q31_custdist": q31_custdist,
 }
 
 ORACLE: dict[str, str] = {
@@ -1145,4 +1184,5 @@ ORACLE: dict[str, str] = {
     "q28_map_funcs": Q28_SQL,
     "q29_top_supplier": Q29_SQL,
     "q30_first_last": Q30_SQL,
+    "q31_custdist": Q31_SQL,
 }
