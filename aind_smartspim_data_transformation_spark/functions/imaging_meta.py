@@ -147,14 +147,24 @@ DISPLAY_WINDOW = (0.0, 350.0)
 
 
 def build_omero(
-    channel_name: str, shape_5d: tuple[int, ...], dtype: np.dtype
+    channel_name: str,
+    shape_5d: tuple[int, ...],
+    dtype: np.dtype,
+    image_name: str | None = None,
 ) -> dict[str, Any]:
-    """OMERO rendering metadata for one channel."""
+    """OMERO rendering metadata for one channel.
+
+    Matches the reference checkpoint format (`compress/png_to_zarr.py:36-104`
+    called with ``image_name=f"{stack_name}.ome.zarr"`` and
+    ``channel_names=[channel_name]``, `smartspim_job.py:164` +
+    `png_to_zarr.py:596,630-645`): ``name`` is the stack image name and
+    the channel ``label`` is the bare channel name.
+    """
     em = parse_emission_wavelength(channel_name)
     lo, hi = dtype_display_range(dtype)
     return {
         "id": 1,
-        "name": channel_name,
+        "name": image_name if image_name is not None else channel_name,
         "version": "0.4",
         "channels": [
             {
@@ -163,7 +173,7 @@ def build_omero(
                 "color": f"{wavelength_to_hex(em):06x}",
                 "family": "linear",
                 "inverted": False,
-                "label": f"Channel:{channel_name}:0",
+                "label": channel_name,
                 "window": {
                     "min": lo,
                     "max": hi,
@@ -181,15 +191,17 @@ def build_omero(
 
 
 def pyramid_provenance() -> dict[str, Any]:
-    """Records how the pyramid was computed (method + implementation)."""
+    """Records how the pyramid was computed (method + implementation).
+
+    Flat dict, the reference's `_get_pyramid_metadata` shape
+    (`compress/png_to_zarr.py:332-347`): this is the value of
+    ``multiscales[0]["metadata"]``, so the keys live at that level —
+    no extra nesting.
+    """
     return {
-        "metadata": {
-            "description": "multiscale pyramid by non-overlapping windowed mean",
-            "method": "aind_smartspim_data_transformation_spark.imaging.pyramid.windowed_mean",
-            "args": None,
-            "kwargs": {"preserve_dtype": True},
-        },
-        "name": "windowed_mean",
-        "type": "reduction",
+        "description": "Downscaling using the windowed mean",
+        "method": "aind_smartspim_data_transformation_spark.imaging.pyramid.windowed_mean",
         "version": "0.1.0",
+        "args": None,
+        "kwargs": {"preserve_dtype": True},
     }

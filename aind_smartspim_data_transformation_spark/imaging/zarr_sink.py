@@ -169,7 +169,12 @@ def write_ome_zarr(
                     "metadata": pyramid_provenance(),
                 }
             ],
-            "omero": build_omero(channel_name, shape_5d, np.dtype(dtype)),
+            "omero": build_omero(
+                channel_name,
+                shape_5d,
+                np.dtype(dtype),
+                image_name=f"{stack_name}.ome.zarr",
+            ),
         },
     )
 
@@ -325,7 +330,12 @@ def write_ome_zarr_all(
                         "metadata": pyramid_provenance(),
                     }
                 ],
-                "omero": build_omero(channel, shape_5d, np.dtype(r["dtype"])),
+                "omero": build_omero(
+                    channel,
+                    shape_5d,
+                    np.dtype(r["dtype"]),
+                    image_name=f"{stack}.ome.zarr",
+                ),
             },
         )
         shape = list(shape_5d)

@@ -74,10 +74,12 @@ def asof_join(
         .withColumn("_m", F.last("_asof_payload", ignorenulls=True).over(w))
         .filter(F.col("_asof_side") == 1)
     )
-    out = joined.select(
+    if how == "inner":
+        # Match on the carried struct itself, not a payload column: a
+        # right row whose first payload column is legitimately NULL is
+        # still a match (the struct is non-null).
+        joined = joined.filter(F.col("_m").isNotNull())
+    return joined.select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"_m.{c}").alias(c) for c in right_payload],
     )
-    if how == "inner":
-        out = out.filter(F.col(right_payload[0]).isNotNull())
-    return out
