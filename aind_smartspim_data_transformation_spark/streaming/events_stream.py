@@ -8,9 +8,11 @@ what the DuckDB oracle verifies; these functions prove the expressions
 stream (smoke-tested with a file source + memory sink, driven to
 completion with ``processAllAvailable``).
 
-The parquet ts column is TIMESTAMP(NANOS) which the streaming parquet
-reader also rejects — the stream source reads nanos as long (schema
-declares LongType) and converts exactly like tables.load_events.
+Depending on the testdata generation, the parquet ts column is either
+TIMESTAMP(NANOS) — which the streaming parquet reader rejects, so the
+stream source reads nanos as long and converts exactly like
+tables.load_events — or a plain timestamp[us] that reads natively.  The
+source probes the batch footer schema once to pick the right shape.
 
 Scale posture: these are the operators a production events pipeline
 runs 24/7 — watermark bounds state; session_window/dropDuplicates state
@@ -24,26 +26,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Footer probe (metadata only, no data scan) to decide the ts shape.
+    batch_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    nanos_as_long = batch_ts in ("bigint", "long")
+    ts_type = T.LongType() if nanos_as_long else T.TimestampNTZType()
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos_as_long:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # NTZ→LTZ is wall-clock identity under the pinned-UTC session TZ;
+        # keeps the stream's ts type identical to tables.load_events.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

@@ -39,18 +39,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default (PARQUET_TYPE_ILLEGAL).  Read nanos as long
-    and truncate to microsecond timestamps — the same ns→µs truncation
-    DuckDB applies, so oracle comparisons agree.
+    """Load events with a normalized microsecond-timestamp ``ts``.
+
+    Some generations of the testdata store ts as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects by default (PARQUET_TYPE_ILLEGAL); those
+    are read as long (``nanosAsLong``) and truncated to microseconds — the
+    same ns→µs truncation DuckDB applies.  Current generations store a
+    plain ``timestamp[us]`` that reads natively; detect which we have and
+    only convert when needed.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer division: ns epoch ≈ 1.7e18 exceeds double's 2^53 mantissa,
-    # so a float divide here would corrupt the microsecond digit.
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        # Integer division: ns epoch ≈ 1.7e18 exceeds double's 2^53
+        # mantissa, so a float divide would corrupt the microsecond digit.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Session TZ is pinned UTC (session.py), so NTZ→LTZ preserves the
+        # wall clock; downstream plans (epoch-second gap arithmetic in
+        # sessionization, window()) expect plain TIMESTAMP.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

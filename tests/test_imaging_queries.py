@@ -67,7 +67,13 @@ def test_omero_metadata_golden():
     assert ch["window"] == {"min": 0.0, "max": 65535.0, "start": 0.0, "end": 350.0}
     assert omero["rdefs"]["defaultZ"] == 32
     assert [a["name"] for a in axes_5d()] == ["t", "c", "z", "y", "x"]
-    assert pyramid_provenance()["name"] == "windowed_mean"
+    # Flat reference shape (compress/png_to_zarr.py:332-347): the keys sit
+    # directly at multiscales[0]["metadata"] level — no nested "name" dict.
+    prov = pyramid_provenance()
+    assert set(prov) == {"description", "method", "version", "args", "kwargs"}
+    assert prov["method"].endswith("windowed_mean")
+    assert prov["args"] is None
+    assert prov["kwargs"] == {"preserve_dtype": True}
 
 
 def test_approx_count_distinct_tracks_exact(spark, sf_dir):
