@@ -84,6 +84,7 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
         chunks,
         tuple(settings.scale_factor),
         settings.downsample_levels,
+        chunk_zyx=list(settings.chunk_size),
     )
     written = write_ome_zarr_all(
         levels,

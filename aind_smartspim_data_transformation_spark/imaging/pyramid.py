@@ -9,7 +9,10 @@ Spark-first design: the chunk table makes this a **shuffle-free map**.
 Each chunk row downsamples locally in numpy (`mapInPandas`); chunk
 coordinates keep their grid index, dims shrink by f.  This is correct
 whenever every non-edge chunk dim is divisible by f (the 128-chunk /
-factor-2 default guarantees it; asserted in the kernel).  After k
+factor-2 default guarantees it; :func:`validate_pyramid_geometry`
+rejects configurations that break it — per-chunk windows would
+otherwise truncate at interior chunk boundaries and silently diverge
+from the global windowed mean).  After k
 levels chunks have shrunk f^k×, so an optional ``regroup`` stage
 (one 8:1 shuffle of already-reduced data) restores the nominal chunk
 size for the sink — the same two-phase shape the reference gets from
@@ -24,7 +27,7 @@ shuffles are optional regroups of geometrically shrinking data.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -33,6 +36,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aind_smartspim_data_transformation_spark.sources.stack_reader import CHUNK_SCHEMA
+
+
+def validate_pyramid_geometry(
+    chunk_zyx: Sequence[int],
+    scale_factor_zyx: Sequence[int],
+    n_levels: int,
+) -> None:
+    """Reject chunk/factor combinations the per-chunk kernel cannot
+    compute exactly.
+
+    The distributed pyramid reduces each chunk independently, so the
+    truncated "edge" windows of :func:`windowed_mean` must only ever
+    occur at the array's true upper edge.  That holds iff every
+    *retained* level's chunk dims are divisible by the factor — i.e.
+    ``chunk % f**(n_levels-1) == 0`` per axis.  The reference's global
+    dask reduction (`compress/png_to_zarr.py:350-394`) has no such
+    constraint, so we must refuse loudly rather than silently diverge
+    (and the sink's global-ceil ``.zarray`` ladder would also disagree
+    with the sum of per-chunk dims → corrupt levels).
+    """
+    if n_levels < 1:
+        raise ValueError(f"n_levels must be >= 1, got {n_levels}")
+    for axis, (c, f) in enumerate(zip(chunk_zyx, scale_factor_zyx)):
+        if c < 1 or f < 1:
+            raise ValueError(
+                f"chunk dims and scale factors must be >= 1; axis {'zyx'[axis]} "
+                f"has chunk={c}, factor={f}"
+            )
+        need = f ** (n_levels - 1)
+        if c % need != 0:
+            raise ValueError(
+                f"pyramid geometry invalid on axis {'zyx'[axis]}: chunk dim {c} "
+                f"is not divisible by factor {f} across {n_levels} levels "
+                f"(requires chunk % {need} == 0).  Per-chunk windowed means "
+                f"would truncate at interior chunk boundaries and diverge "
+                f"from the global windowed mean; choose a chunk size "
+                f"divisible by factor**(n_levels-1) or fewer levels."
+            )
 
 
 def windowed_mean(arr: np.ndarray, factors: tuple[int, ...]) -> np.ndarray:
@@ -93,13 +134,21 @@ def build_pyramid(
     factors: tuple[int, int, int],
     n_levels: int,
     persist_levels: bool = True,
+    chunk_zyx: Sequence[int] | None = None,
 ) -> list[DataFrame]:
     """Levels [0..n_levels-1]; level 0 is the input.
 
     ``persist_levels`` replaces the reference's write-then-read-back
     materialization barrier with ``persist()`` — each level is computed
     once even though level i+1 and the sink both consume level i.
+
+    Pass ``chunk_zyx`` (the nominal chunk dims of the input table) to
+    fail fast on geometries the per-chunk kernel cannot compute exactly
+    (see :func:`validate_pyramid_geometry`); the sink re-validates
+    against actual chunk dims regardless.
     """
+    if chunk_zyx is not None:
+        validate_pyramid_geometry(chunk_zyx, factors, n_levels)
     levels = [chunks]
     for _ in range(1, n_levels):
         prev = levels[-1]

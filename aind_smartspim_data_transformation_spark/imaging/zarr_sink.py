@@ -197,6 +197,19 @@ def write_ome_zarr(
     chunk_dims = [int(first["dz"]), int(first["dy"]), int(first["dx"])]
 
     for lvl, level_df in enumerate(levels):
+        # Same geometry guard as write_ome_zarr_all: refuse chunk dims a
+        # per-chunk pyramid can't reduce exactly (divisible by factor or
+        # full-extent on each axis) instead of writing divergent levels.
+        if lvl < n_lvls - 1:
+            for ax, (d, f) in enumerate(zip(chunk_dims, scale_factor_zyx)):
+                if d % f != 0 and d != shape[2 + ax]:
+                    raise ValueError(
+                        f"zarr sink: level-{lvl} chunk dim {d} on axis "
+                        f"{'zyx'[ax]} of {stack_name} is neither divisible "
+                        f"by factor {f} nor the full extent {shape[2 + ax]} "
+                        f"— per-chunk pyramid would diverge from the "
+                        f"global windowed mean"
+                    )
         lvl_dir = os.path.join(group, str(lvl))
         nominal_chunk = [1, 1, *chunk_dims]
         _write_json(
@@ -342,6 +355,22 @@ def write_ome_zarr_all(
         dims = (int(r["cdz"]), int(r["cdy"]), int(r["cdx"]))
         ladder = []
         for lvl in range(n_lvls):
+            # Geometry guard: per-chunk downsampling is exact only when
+            # a retained level's chunk dims are divisible by the factor
+            # OR the chunk spans the whole extent on that axis (then the
+            # truncated window IS the array edge).  Refuse loudly
+            # instead of writing levels that diverge from the global
+            # windowed mean (see pyramid.validate_pyramid_geometry).
+            if lvl < n_lvls - 1:
+                for ax, (d, f) in enumerate(zip(dims, (fz, fy, fx))):
+                    if d % f != 0 and d != shape[2 + ax]:
+                        raise ValueError(
+                            f"zarr sink: level-{lvl} chunk dim {d} on axis "
+                            f"{'zyx'[ax]} of {channel}/{stack} is neither "
+                            f"divisible by factor {f} nor the full extent "
+                            f"{shape[2 + ax]} — per-chunk pyramid would "
+                            f"diverge from the global windowed mean"
+                        )
             ladder.append(dims)
             _write_json(
                 os.path.join(group, str(lvl), ".zarray"),

@@ -55,9 +55,15 @@ CHUNK_SCHEMA = (
     "dz int, dy int, dx int, dtype string, data binary"
 )
 
-# Arrow batches must be counted in rows-of-megabytes here, not the
-# relational default (see session.py) — 32 × ~6.4 MB ≈ 200 MB per batch.
-_IMAGING_ARROW_BATCH = "32"
+# Imaging rows are megabytes, not bytes, so Arrow batches are sized
+# KERNEL-SIDE: decode yields output in slices of this many rows
+# (32 × ~6.4 MB ≈ 200 MB) instead of mutating the session-wide
+# ``arrow.maxRecordsPerBatch`` (which would silently shrink every later
+# relational pandas-UDF batch in a shared session).  Input batches need
+# no override: a binaryFile scan partition is bounded by
+# ``spark.sql.files.maxPartitionBytes`` (~128 MB), so the JVM can never
+# hand the Python worker more than a partition's worth of slices.
+_IMAGING_OUT_ROWS = 32
 
 
 def scan_stack_files(spark: SparkSession, root: str) -> DataFrame:
@@ -104,16 +110,13 @@ def decode_slices(files: DataFrame) -> DataFrame:
     z is assigned by lexicographic filename order within the stack —
     the reference's sorted-glob semantics (`io/readers.py:145`).
     """
-    spark = files.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", _IMAGING_ARROW_BATCH
-    )
     w = W.partitionBy("channel", "stack").orderBy("path")
     indexed = files.withColumn("z", (F.row_number().over(w) - 1).cast("int"))
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["channel", "stack", "z", "height", "width", "dtype", "data"]
+        out: list[tuple] = []
         for pdf in batches:
-            out = []
             for r in pdf.itertuples(index=False):
                 arr = decode_png_gray(bytes(r.content))
                 out.append(
@@ -127,18 +130,12 @@ def decode_slices(files: DataFrame) -> DataFrame:
                         arr.tobytes(),  # C-order, native (little) endian
                     )
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "channel",
-                    "stack",
-                    "z",
-                    "height",
-                    "width",
-                    "dtype",
-                    "data",
-                ],
-            )
+                # kernel-side Arrow batch sizing (see _IMAGING_OUT_ROWS)
+                if len(out) >= _IMAGING_OUT_ROWS:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
     return indexed.select(
         "channel", "stack", "z", "path", "content"
@@ -209,10 +206,6 @@ def slices_to_chunks(
     assembly memory per group is still chunk_z × plane bytes (the slab
     must exist to be tiled); size chunk_z accordingly.
     """
-    spark = slices.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", _IMAGING_ARROW_BATCH
-    )
     keyed = slices.withColumn("cz", (F.col("z") / chunk_z).cast("int"))
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -364,3 +364,109 @@ def test_tile_plane_block_property(case):
         assert tile.shape[2] == min(etx, w - cx * etx)
         out[:, cy * ety : cy * ety + tile.shape[1], cx * etx : cx * etx + tile.shape[2]] = tile
     assert np.array_equal(out, block)
+
+
+# ---------------------------------------------------------------------------
+# Pyramid geometry validation (A1 divisibility — ADVICE r2 medium item):
+# per-chunk windowed means are exact only when retained-level chunk dims
+# divide by the factor; anything else must raise, never silently diverge.
+# ---------------------------------------------------------------------------
+def _chunk_table(spark, arr, chunk):
+    """Synthetic single-stack chunk table over a (Z,Y,X) numpy array."""
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        CHUNK_SCHEMA,
+    )
+
+    cz_n = -(-arr.shape[0] // chunk[0])
+    cy_n = -(-arr.shape[1] // chunk[1])
+    cx_n = -(-arr.shape[2] // chunk[2])
+    rows = []
+    for cz in range(cz_n):
+        for cy in range(cy_n):
+            for cx in range(cx_n):
+                tile = arr[
+                    cz * chunk[0] : (cz + 1) * chunk[0],
+                    cy * chunk[1] : (cy + 1) * chunk[1],
+                    cx * chunk[2] : (cx + 1) * chunk[2],
+                ]
+                rows.append(
+                    (
+                        "ch", "st", 0, 0, cz, cy, cx,
+                        tile.shape[0], tile.shape[1], tile.shape[2],
+                        str(arr.dtype), np.ascontiguousarray(tile).tobytes(),
+                    )
+                )
+    return spark.createDataFrame(rows, schema=CHUNK_SCHEMA)
+
+
+def test_validate_pyramid_geometry():
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        validate_pyramid_geometry,
+    )
+
+    # reference defaults: chunk 128³, factor 2, 4 levels → 128 % 8 == 0
+    validate_pyramid_geometry([128, 128, 128], [2, 2, 2], 4)
+    # factor 3 with a divisible chunk
+    validate_pyramid_geometry([81, 81, 81], [3, 3, 3], 4)
+    # factor 3 with the default chunk is NOT computable per-chunk
+    with pytest.raises(ValueError, match="not divisible"):
+        validate_pyramid_geometry([128, 128, 128], [3, 3, 3], 2)
+    with pytest.raises(ValueError, match=">= 1"):
+        validate_pyramid_geometry([128, 0, 128], [2, 2, 2], 2)
+
+
+def test_build_pyramid_rejects_indivisible_geometry(spark):
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import build_pyramid
+
+    arr = np.arange(4 * 4 * 4, dtype=np.uint16).reshape(4, 4, 4)
+    chunks = _chunk_table(spark, arr, (4, 4, 4))
+    with pytest.raises(ValueError, match="not divisible"):
+        build_pyramid(chunks, (3, 3, 3), 2, chunk_zyx=[128, 128, 128])
+
+
+def test_factor3_pyramid_matches_numpy(spark):
+    """scale_factor=[3,3,3] with a divisible chunk: the distributed
+    per-chunk pyramid equals the global numpy windowed mean exactly."""
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import build_pyramid
+
+    rng = np.random.default_rng(33)
+    arr = rng.integers(0, 65535, size=(18, 18, 27), dtype=np.uint16)
+    chunks = _chunk_table(spark, arr, (9, 9, 9))
+    levels = build_pyramid(
+        chunks, (3, 3, 3), 3, persist_levels=False, chunk_zyx=[9, 9, 9]
+    )
+    expect = arr
+    for lvl in range(3):
+        got = assemble_array(levels[lvl], 9)
+        assert np.array_equal(got, expect), f"level {lvl}"
+        expect = windowed_mean(expect, (3, 3, 3))
+
+
+def test_zarr_sink_rejects_indivisible_chunks(spark, tmp_path):
+    """The sink re-validates actual chunk dims: dz=10 with factor 3 and
+    a 20-deep stack (two chunks) can't be reduced per-chunk → raise."""
+    arr = np.arange(20 * 6 * 6, dtype=np.uint16).reshape(20, 6, 6)
+    chunks = _chunk_table(spark, arr, (10, 6, 6))
+    with pytest.raises(ValueError, match="neither divisible"):
+        write_ome_zarr(
+            [chunks, chunks],  # 2 levels is enough to trigger the guard
+            str(tmp_path),
+            stack_name="st",
+            channel_name="Ex_445_Em_469",
+            voxel_size_zyx=[2.0, 1.8, 1.8],
+            scale_factor_zyx=[3, 3, 3],
+            chunk_zyx=[10, 6, 6],
+        )
+
+
+def test_imaging_does_not_clobber_arrow_batch_conf(spark, dataset):
+    """Regression (ADVICE r2): building+running imaging plans must not
+    mutate the session-wide Arrow batch size — later relational
+    pandas-UDF queries in the same session would silently run 32-row
+    batches instead of the 4096 configured in session.py."""
+    root, _ = dataset
+    chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=64)
+    chunks.limit(2).collect()  # execute decode + assembly kernels
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "4096"
+    )
