@@ -18,7 +18,6 @@ Returns a JobResponse-like dict (status_code / message / duration).
 
 from __future__ import annotations
 
-import shutil
 import time
 from pathlib import Path
 
@@ -43,7 +42,11 @@ from aind_smartspim_data_transformation_spark.sources.stack_reader import (
 def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
     start = time.time()
     root = str(settings.input_source)
-    out = str(settings.output_directory)
+    # With s3_location set, executors write STRAIGHT to the object
+    # store (pyarrow.fs inside the sink) — no local staging, no
+    # subprocess `aws s3 sync`, no post-upload rmtree (the reference's
+    # S9 flow, `smartspim_job.py:169-195`).
+    out = settings.s3_location or str(settings.output_directory)
 
     voxel_zyx = get_voxel_resolution(spark, f"{root}/acquisition.json")
     validate_extensions(spark, f"{root}/SmartSPIM")
@@ -53,7 +56,7 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
     deriv = Path(root) / "derivatives"
     if not deriv.is_dir():
         raise FileNotFoundError(f"derivatives folder not found at {deriv}")
-    shutil.copytree(deriv, Path(out) / "derivatives", dirs_exist_ok=True)
+    _copy_tree(deriv, f"{out}/derivatives")
 
     chunks = read_stack_tree(
         spark,
@@ -105,6 +108,23 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
         "written": written,
         "metrics": obs.get,
     }
+
+
+def _copy_tree(src: Path, dst_root: str) -> None:
+    """Recursive copy of a local folder to a local path OR any
+    pyarrow.fs URI (s3:// file:// ...) — driver-side, derivatives are
+    small metadata files (reference S10)."""
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import _fs_for
+
+    fs, base = _fs_for(dst_root)
+    for p in sorted(src.rglob("*")):
+        if not p.is_file():
+            continue
+        rel = p.relative_to(src).as_posix()
+        dst = f"{base}/{rel}"
+        fs.create_dir(dst.rsplit("/", 1)[0], recursive=True)
+        with fs.open_output_stream(dst) as f:
+            f.write(p.read_bytes())
 
 
 def job_entrypoint(argv: list[str] | None = None) -> dict:

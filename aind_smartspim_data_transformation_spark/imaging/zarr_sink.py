@@ -25,8 +25,10 @@ sink wrote from the spec alone (no zarr library), used by the golden
 round-trip tests.
 
 Scale: writes go straight from executors to the target filesystem
-(s3a:// on a cluster — replacing the reference's subprocess
-``aws s3 sync`` staging, SURVEY.md §2.1 S9); the reference's
+through ``pyarrow.fs`` — any URI it resolves (``s3://``, ``gs://``,
+``hdfs://``, ``file://``) or a plain local path — replacing the
+reference's subprocess ``aws s3 sync`` staging (SURVEY.md §2.1 S9)
+with direct object-store PUTs from the write tasks; the reference's
 super-block scheduling workaround (S8 BlockedArrayWriter) has no
 equivalent because Spark bounds in-flight tasks natively.
 """
@@ -100,17 +102,41 @@ def _make_decodec(meta: dict[str, Any] | None):
     raise ValueError(f"unsupported compressor metadata {meta!r}")
 
 
+def _fs_for(root: str):
+    """(pyarrow filesystem, filesystem-local path) for a plain local
+    path or any URI pyarrow.fs resolves (``file://``, ``s3://``,
+    ``gs://``, ``hdfs://``...).  This is what makes the sink
+    object-store capable: executors and the driver write through the
+    same abstraction, no subprocess staging (reference S9 shells out to
+    ``aws s3 sync``, `io/utils.py:138-201`)."""
+    from pyarrow import fs as pafs
+
+    if "://" in root:
+        return pafs.FileSystem.from_uri(root)
+    return pafs.LocalFileSystem(), root
+
+
 def _write_json(path: str, obj: Any) -> None:
-    """Atomic metadata write (tmp + rename): stacks are written
-    concurrently (imaging/job.py) and sibling stacks share the root
-    ``.zgroup`` — rename makes identical concurrent writes race-free
-    (the reference handles the same race with ContainsGroupError
-    catching, `compress/png_to_zarr.py:503-530`)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=2)
-    os.replace(tmp, path)
+    """Race-free metadata write: stacks are written concurrently
+    (imaging/job.py) and sibling stacks share the root ``.zgroup``.
+    On a local filesystem this is tmp + atomic rename (the reference
+    handles the same race with ContainsGroupError catching,
+    `compress/png_to_zarr.py:503-530`); on an object store a single
+    PUT is already atomic, so the write goes straight through."""
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_for(path)
+    payload = json.dumps(obj, indent=2).encode()
+    parent = p.rsplit("/", 1)[0]
+    fs.create_dir(parent, recursive=True)
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = f"{p}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with fs.open_output_stream(tmp) as f:
+            f.write(payload)
+        fs.move(tmp, p)  # rename(2): atomic on POSIX
+    else:
+        with fs.open_output_stream(p) as f:
+            f.write(payload)
 
 
 def _level_geometry(level_df: DataFrame) -> tuple[tuple[int, ...], str]:
@@ -231,6 +257,8 @@ def write_ome_zarr(
         def _write_partition(
             rows, lvl_dir=lvl_dir, chunk_shape=chunk_shape, compress=compress
         ):
+            fs, base = _fs_for(lvl_dir)  # once per task, not per chunk
+            made: set[str] = set()
             for r in rows:
                 arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
                     r["dz"], r["dy"], r["dx"]
@@ -239,11 +267,14 @@ def write_ome_zarr(
                     full = np.zeros(chunk_shape, dtype=arr.dtype)
                     full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
                     arr = full
-                key = os.path.join(
-                    lvl_dir, "0", "0", str(r["cz"]), str(r["cy"]), str(r["cx"])
+                key = "/".join(
+                    [base, "0", "0", str(r["cz"]), str(r["cy"]), str(r["cx"])]
                 )
-                os.makedirs(os.path.dirname(key), exist_ok=True)
-                with open(key, "wb") as f:
+                parent = key.rsplit("/", 1)[0]
+                if parent not in made:
+                    fs.create_dir(parent, recursive=True)
+                    made.add(parent)
+                with fs.open_output_stream(key) as f:
                     f.write(compress(np.ascontiguousarray(arr).tobytes()))
 
         level_df.foreachPartition(_write_partition)
@@ -395,6 +426,8 @@ def write_ome_zarr_all(
         def _write_partition(
             rows, lvl=lvl, root=output_root, ladder=chunk_ladder, compress=compress
         ):
+            fs, base = _fs_for(root)  # once per task, not per chunk
+            made: set[str] = set()
             for r in rows:
                 chunk_shape = ladder[(r["channel"], r["stack"])][lvl]
                 arr = np.frombuffer(
@@ -404,19 +437,24 @@ def write_ome_zarr_all(
                     full = np.zeros(chunk_shape, dtype=arr.dtype)
                     full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
                     arr = full
-                key = os.path.join(
-                    root,
-                    r["channel"],
-                    f"{r['stack']}.ome.zarr",
-                    str(lvl),
-                    "0",
-                    "0",
-                    str(r["cz"]),
-                    str(r["cy"]),
-                    str(r["cx"]),
+                key = "/".join(
+                    [
+                        base,
+                        r["channel"],
+                        f"{r['stack']}.ome.zarr",
+                        str(lvl),
+                        "0",
+                        "0",
+                        str(r["cz"]),
+                        str(r["cy"]),
+                        str(r["cx"]),
+                    ]
                 )
-                os.makedirs(os.path.dirname(key), exist_ok=True)
-                with open(key, "wb") as f:
+                parent = key.rsplit("/", 1)[0]
+                if parent not in made:
+                    fs.create_dir(parent, recursive=True)
+                    made.add(parent)
+                with fs.open_output_stream(key) as f:
                     f.write(compress(np.ascontiguousarray(arr).tobytes()))
 
         level_df.foreachPartition(_write_partition)
@@ -425,10 +463,14 @@ def write_ome_zarr_all(
 
 
 def read_zarr_level(group: str, level: int) -> np.ndarray:
-    """Spec-only reader: reassemble one level into (Z, Y, X) numpy."""
-    lvl_dir = os.path.join(group, str(level))
-    with open(os.path.join(lvl_dir, ".zarray")) as f:
-        meta = json.load(f)
+    """Spec-only reader: reassemble one level into (Z, Y, X) numpy.
+    Accepts local paths and pyarrow.fs URIs (file:// s3:// ...)."""
+    from pyarrow import fs as pafs
+
+    fs, gpath = _fs_for(group)
+    lvl_dir = f"{gpath}/{level}"
+    with fs.open_input_stream(f"{lvl_dir}/.zarray") as f:
+        meta = json.loads(f.read().decode())
     shape = meta["shape"]
     chunks = meta["chunks"]
     dtype = np.dtype(meta["dtype"])
@@ -440,10 +482,10 @@ def read_zarr_level(group: str, level: int) -> np.ndarray:
     for cz in range(cz_n):
         for cy in range(cy_n):
             for cx in range(cx_n):
-                key = os.path.join(lvl_dir, "0", "0", str(cz), str(cy), str(cx))
-                if not os.path.exists(key):
+                key = "/".join([lvl_dir, "0", "0", str(cz), str(cy), str(cx)])
+                if fs.get_file_info(key).type == pafs.FileType.NotFound:
                     continue
-                with open(key, "rb") as f:
+                with fs.open_input_stream(key) as f:
                     raw = decompress(f.read())
                 block = np.frombuffer(raw, dtype=dtype).reshape(tuple(chunks[2:]))
                 z0, y0, x0 = cz * chunks[2], cy * chunks[3], cx * chunks[4]

@@ -441,6 +441,170 @@ FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# S8 — ANN recall PANEL: recall@k of the IVF path over a panel of
+# queries in ONE dataflow (the s07 shape generalized with a
+# groupBy(query_id), exactly as its docstring promised).
+#
+# Scale posture: the panel is Q rows → broadcast; the corpus is scanned
+# ONCE for cell assignment (broadcast centroid fold, no shuffle), once
+# for the exact QA side (Q cosines per row against the broadcast
+# panel).  Per-query top-k is a window over candidate sets, partitioned
+# by query_id — state is O(Q × k).  The exact side is the QA cost you
+# pay for ground truth; production would sample the panel.
+# ---------------------------------------------------------------------------
+PANEL_IDS = (0, 9, 12, 23, 42)
+
+
+def s08_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS))
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cscores",
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _cos_cols(F.col("embedding"), c["cvec"]).alias("cos"),
+                (-c["cid"]).cast("long").alias("negcid"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    assigned = scored.select(
+        "vec_id", "embedding", F.array_max("cscores")["cid"].alias("cell"), "cscores"
+    )
+    panel = assigned.filter(F.col("vec_id").isin(*PANEL_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.transform(
+            F.slice(F.reverse(F.array_sort("cscores")), 1, N_PROBE),
+            lambda s: s["cid"],
+        ).alias("probe_cells"),
+    )
+    corpus = assigned.drop("cscores")
+    rank_w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    approx = (
+        corpus.crossJoin(F.broadcast(panel))
+        .filter(
+            F.array_contains(F.col("probe_cells"), F.col("cell"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_cols(F.col("embedding"), F.col("qvec")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= RECALL_K)
+        # rename BOTH columns: exact/approx share the scan lineage, and
+        # a same-name join condition self-resolves to trivially-true
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("vec_id").alias("a_vec_id"),
+        )
+    )
+    exact = (
+        e.crossJoin(F.broadcast(panel.select("query_id", "qvec")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_cols(F.col("embedding"), F.col("qvec")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vec_id").alias("n_hits"))
+        .select(
+            "query_id",
+            F.lit(RECALL_K).cast("long").alias("k"),
+            "n_hits",
+            F.floor(F.col("n_hits") * F.lit(1_000_000) / F.lit(RECALL_K))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_PANEL_LIST = ", ".join(str(i) for i in PANEL_IDS)
+
+S08_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+         list_dot_product(e.embedding::DOUBLE[], c.cvec)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored WHERE vec_id IN ({_PANEL_LIST})) WHERE rn <= {N_PROBE}
+), panel AS (
+  SELECT vec_id AS query_id, v AS qvec FROM assigned
+  WHERE vec_id IN ({_PANEL_LIST})
+), approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_dot_product(a.v, p.qvec)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(p.qvec, p.qvec))) DESC,
+                      a.vec_id ASC) AS rn
+    FROM assigned a JOIN panel p ON a.vec_id != p.query_id
+    WHERE a.cell IN (SELECT cid FROM probes WHERE probes.query_id = p.query_id)
+  ) WHERE rn <= {RECALL_K}
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_dot_product(a.v, p.qvec)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(p.qvec, p.qvec))) DESC,
+                      a.vec_id ASC) AS rn
+    FROM assigned a JOIN panel p ON a.vec_id != p.query_id
+  ) WHERE rn <= {RECALL_K}
+)
+SELECT e.query_id, CAST({RECALL_K} AS BIGINT) AS k,
+       count(x.vec_id) AS n_hits,
+       CAST((count(x.vec_id) * 1000000) // {RECALL_K} AS BIGINT) AS recall_ppm
+FROM exact e LEFT JOIN approx x
+  ON e.query_id = x.query_id AND e.vec_id = x.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
@@ -449,6 +613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s05_ann_ivf": s05_ann_ivf,
     "s06_quantize_int8": s06_quantize_int8,
     "s07_ann_recall": s07_ann_recall,
+    "s08_ann_recall_panel": s08_ann_recall_panel,
 }
 
 ORACLE: dict[str, str] = {
@@ -459,4 +624,5 @@ ORACLE: dict[str, str] = {
     "s05_ann_ivf": S05_SQL,
     "s06_quantize_int8": S06_SQL,
     "s07_ann_recall": S07_SQL,
+    "s08_ann_recall_panel": S08_SQL,
 }

@@ -7,11 +7,23 @@ this minimal codec built on ``zlib`` + ``numpy`` only (PNG is a public
 spec: RFC 2083).  Supports what the imaging plane needs:
 
 - decode: 8/16-bit grayscale (colortype 0), filters 0-4, no interlace;
-- encode: 8/16-bit grayscale, filter 0 scanlines;
+- encode: 8/16-bit grayscale, any single filter type 0-4 (non-zero
+  filters exist to build real filtered test vectors);
 - header probe: width/height/bitdepth without decompressing (the
   reference's shape-sniff operator, SURVEY.md §2.1 S4).
 
 16-bit samples are big-endian per the PNG spec.
+
+Decode is vectorized for every filter type.  Filters 0 (none) and
+2 (up) are whole-row numpy ops; filter 1 (sub) is a per-lane cumsum;
+filters 3 (average) and 4 (Paeth) have an intra-row sequential
+dependency that no row-wise expression removes, so contiguous bands of
+3/4 rows are decoded by an **anti-diagonal wavefront**: cell (y, x)
+depends only on (y, x-1), (y-1, x), (y-1, x-1), so every cell on the
+anti-diagonal y + x = d is computable at once from diagonals d-1/d-2 —
+O(h + w) numpy steps on vectors up to min(h, w) long instead of
+O(h · w) interpreted-Python pixel visits.  Short bands (< _WAVE_MIN
+rows) fall back to the scalar loop, which wins on per-step overhead.
 """
 
 from __future__ import annotations
@@ -29,8 +41,15 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
 
-def encode_png_gray(arr: np.ndarray, compress_level: int = 1) -> bytes:
-    """Encode a 2-D uint8/uint16 array as a grayscale PNG (filter 0)."""
+def encode_png_gray(
+    arr: np.ndarray, compress_level: int = 1, filter_type: int = 0
+) -> bytes:
+    """Encode a 2-D uint8/uint16 array as a grayscale PNG.
+
+    ``filter_type`` applies one PNG filter (0 none / 1 sub / 2 up /
+    3 average / 4 Paeth) to every scanline.  Encoding predicts from RAW
+    neighbor bytes, so all five filters vectorize with plain shifts.
+    """
     if arr.ndim != 2:
         raise ValueError(f"expected 2-D array, got shape {arr.shape}")
     if arr.dtype == np.uint8:
@@ -39,16 +58,35 @@ def encode_png_gray(arr: np.ndarray, compress_level: int = 1) -> bytes:
         bitdepth, payload = 16, arr.astype(">u2")
     else:
         raise ValueError(f"unsupported dtype {arr.dtype} (uint8/uint16 only)")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
     h, w = arr.shape
+    bpp = bitdepth // 8
+    stride = w * bpp
     ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, 0, 0, 0, 0)
-    raw = payload.tobytes()
-    stride = w * (bitdepth // 8)
-    # filter byte 0 prepended to every scanline
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    filtered = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), lines], axis=1
+    lines = np.frombuffer(payload.tobytes(), dtype=np.uint8).reshape(h, stride)
+    raw = lines.astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, bpp:] = raw[:-1, :-bpp]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - ((left + up) >> 1)
+    else:
+        filt = raw - _paeth_vec(left, up, ul)
+    body = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), (filt & 0xFF).astype(np.uint8)],
+        axis=1,
     ).tobytes()
-    idat = zlib.compress(filtered, compress_level)
+    idat = zlib.compress(body, compress_level)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -70,6 +108,99 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (values fit int16: a+b-c ∈ [-255, 510])."""
+    p = a + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+# Bands of filter-3/4 rows shorter than this decode faster with the
+# scalar loop (the wavefront's per-diagonal numpy dispatch overhead
+# dominates on 1-2 row vectors).
+_WAVE_MIN = 8
+
+
+def _decode_band_scalar(
+    cur: np.ndarray, fts: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Per-pixel reference decode for a short filter-3/4 band."""
+    k, stride = cur.shape
+    out = np.zeros((k, stride), dtype=np.int64)
+    pr = prev
+    for y in range(k):
+        rec = cur[y].astype(np.int64)
+        if fts[y] == 3:
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + pr[x]) // 2) & 0xFF
+        else:
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                ul = pr[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(int(left), int(pr[x]), int(ul))) & 0xFF
+        out[y] = rec
+        pr = rec
+    return out
+
+
+def _decode_band_wavefront(
+    cur: np.ndarray, fts: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Anti-diagonal wavefront decode of a filter-3/4 row band.
+
+    Layout trick: skew each row r right by r columns, so the cells of
+    anti-diagonal d = r + i all live in ONE column of the skewed array
+    and every step is plain column slicing (no gather/scatter).  Row 0
+    of the skew holds the already-decoded row above the band; +2 column
+    offset zero-pads the virtual i = -1 / i = -2 neighbors.
+    """
+    k, stride = cur.shape
+    w = stride // bpp
+    # S[r, i + r + 2, lane] = decoded byte; r=0 is the prior row.
+    S = np.zeros((k + 1, w + k + 2, bpp), dtype=np.int16)
+    S[0, 2 : w + 2] = prev.reshape(w, bpp)
+    curS = np.zeros_like(S)
+    for r in range(1, k + 1):
+        curS[r, r + 2 : r + 2 + w] = cur[r - 1].reshape(w, bpp)
+    is_avg = (fts == 3)[:, None]  # broadcasts over the lane dim of (rows, lanes)
+    all_avg = bool(is_avg.all())
+    all_paeth = bool((~is_avg).all())
+    for d in range(1, k + w):
+        lo = max(1, d - w + 1)
+        hi = min(k, d)  # inclusive
+        c = d + 2
+        left = S[lo : hi + 1, c - 1]
+        up = S[lo - 1 : hi, c - 1]
+        ul = S[lo - 1 : hi, c - 2]
+        if all_avg:
+            pred = (left + up) >> 1
+        elif all_paeth:
+            # fused Paeth: p-a = b-c, p-b = a-c, p-c = (a-c)+(b-c),
+            # so two subtractions feed all three distances.
+            t1 = up - ul
+            t2 = left - ul
+            pa = np.abs(t1)
+            pb = np.abs(t2)
+            pc = np.abs(t1 + t2)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+        else:
+            pred = np.where(
+                is_avg[lo - 1 : hi],
+                (left + up) >> 1,
+                _paeth_vec(left, up, ul),
+            )
+        S[lo : hi + 1, c] = (curS[lo : hi + 1, c] + pred) & 0xFF
+    out = np.empty((k, stride), dtype=np.int64)
+    for r in range(1, k + 1):
+        out[r - 1] = S[r, r + 2 : r + 2 + w].reshape(stride)
+    return out
+
+
 def decode_png_gray(data: bytes) -> np.ndarray:
     """Decode a grayscale PNG into a 2-D uint8/uint16 array."""
     w, h, bitdepth = probe_png_header(data)
@@ -89,35 +220,38 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = rows[:, 0]
-    cur = rows[:, 1:].astype(np.int16)  # room for mod-256 arithmetic
+    cur = rows[:, 1:]
+    bad = set(np.unique(ftypes)) - {0, 1, 2, 3, 4}
+    if bad:
+        raise ValueError(f"unknown PNG filter type {bad.pop()}")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        line = cur[y].astype(np.int64)
+    y = 0
+    while y < h:
         ft = ftypes[y]
         if ft == 0:
-            rec = line
-        elif ft == 2:  # up
-            rec = (line + prev) & 0xFF
-        elif ft == 1:  # sub
-            rec = line.copy()
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
-        elif ft == 3:  # average
-            rec = line.copy()
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + (left + prev[x]) // 2) & 0xFF
-        elif ft == 4:  # paeth
-            rec = line.copy()
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
+            rec = cur[y].astype(np.int64)
+        elif ft == 2:  # up — whole-row add
+            rec = (cur[y] + prev) & 0xFF
+        elif ft == 1:  # sub — per-lane cumulative sum
+            lanes = cur[y].reshape(w, bpp).astype(np.int64)
+            rec = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
+        else:  # 3/4 — decode the maximal contiguous band at once
+            y2 = y
+            while y2 < h and ftypes[y2] in (3, 4):
+                y2 += 1
+            band_fts = ftypes[y:y2]
+            if y2 - y >= _WAVE_MIN:
+                band = _decode_band_wavefront(cur[y:y2], band_fts, prev, bpp)
+            else:
+                band = _decode_band_scalar(cur[y:y2], band_fts, prev, bpp)
+            out[y:y2] = band
+            prev = band[-1]
+            y = y2
+            continue
         out[y] = rec
         prev = rec
+        y += 1
     if bitdepth == 16:
         return out.reshape(h, w, 2).view(np.dtype(">u2")).reshape(h, w).astype(np.uint16)
     return out.reshape(h, w)

@@ -7,8 +7,10 @@ Re-expresses the reference's imaging ingest (SURVEY.md §2.1 S1-S4):
   DataFrame scan with ``recursiveFileLookup`` + ``regexp_extract`` path
   parsing.  Spark's file listing is deterministic, which replaces the
   reference's explicit ``sort(key=str)`` (`smartspim_job.py:59-60`).
-- S2 lazy PNG stack reader (`io/readers.py:129-145`, one dask chunk per
-  slice) → ``mapInPandas`` PNG decode producing one row per slice.
+- S2/S3 lazy PNG/TIFF stack reader (`io/readers.py:129-145`, one dask
+  chunk per slice; `compress/png_to_zarr.py:459-500` TIFF path) →
+  ``mapInPandas`` decode producing one row per slice, format picked by
+  magic bytes per file.
 - S4 header probe (`io/readers.py:147-174`) → ``probe_png_header`` over
   the first KB of content, no decompression.
 - P1 extension whitelist (`smartspim_job.py:145-150`).
@@ -42,8 +44,35 @@ from aind_smartspim_data_transformation_spark.sources.png_codec import (
     decode_png_gray,
     probe_png_header,
 )
+from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+    decode_tiff_gray,
+    probe_tiff_header,
+)
 
 ALLOWED_EXTENSIONS = ("png", "tif", "tiff")
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_gray(data: bytes) -> "np.ndarray":
+    """Magic-byte dispatch over the supported slice formats (the
+    reference's pims reader handles both PNG and TIFF stacks,
+    `io/readers.py:112-184`; content sniffing beats extension trust —
+    a mislabeled file fails with a clear codec error, not garbage)."""
+    if data[:8] == _PNG_SIG:
+        return decode_png_gray(data)
+    if data[:2] in (b"II", b"MM"):
+        return decode_tiff_gray(data)
+    raise ValueError("unrecognized image format (PNG/TIFF supported)")
+
+
+def probe_image_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, bitdepth) without decompressing pixel data."""
+    if data[:8] == _PNG_SIG:
+        return probe_png_header(data)
+    if data[:2] in (b"II", b"MM"):
+        return probe_tiff_header(data)
+    raise ValueError("unrecognized image format (PNG/TIFF supported)")
 
 SLICE_SCHEMA = (
     "channel string, stack string, z int, height int, width int, "
@@ -118,7 +147,7 @@ def decode_slices(files: DataFrame) -> DataFrame:
         out: list[tuple] = []
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                arr = decode_png_gray(bytes(r.content))
+                arr = decode_image_gray(bytes(r.content))
                 out.append(
                     (
                         r.channel,
@@ -147,7 +176,10 @@ def probe_shapes(files: DataFrame) -> DataFrame:
 
     @F.pandas_udf("struct<width:int, height:int, bitdepth:int>")
     def _probe(content: pd.Series) -> pd.DataFrame:
-        rows = [probe_png_header(bytes(b)[:64]) for b in content]
+        # PNG needs only the IHDR prefix; TIFF's IFD can sit anywhere in
+        # the file, so the probe dispatches on the full (already-read)
+        # buffer — still metadata-only, no pixel decompression.
+        rows = [probe_image_header(bytes(b)) for b in content]
         return pd.DataFrame(rows, columns=["width", "height", "bitdepth"])
 
     return (

@@ -14,17 +14,26 @@ from pathlib import Path
 import numpy as np
 
 from aind_smartspim_data_transformation_spark.sources.png_codec import encode_png_gray
+from aind_smartspim_data_transformation_spark.sources.tiff_codec import encode_tiff_gray
 
 CHANNELS = ("Ex_445_Em_469", "Ex_561_Em_600")
 COLS = ("432380", "464780")
 ROWS = ("504340", "530260")
-SLICES = ("000000.png", "000020.png")
+SLICES = ("000000", "000020")
 
 
 def make_dataset(
-    root: Path, height: int = 64, width: int = 80, seed: int = 42
+    root: Path,
+    height: int = 64,
+    width: int = 80,
+    seed: int = 42,
+    fmt: str = "png",
 ) -> dict[str, np.ndarray]:
-    """Returns {'<channel>/<stack>': (Z, Y, X) uint16 array}."""
+    """Returns {'<channel>/<stack>': (Z, Y, X) uint16 array}.
+
+    ``fmt``: "png", "tif", or "mixed" (alternates per slice — the
+    reference's reader accepts either extension in one acquisition).
+    """
     rng = np.random.default_rng(seed)
     arrays: dict[str, np.ndarray] = {}
     for ch in CHANNELS:
@@ -37,7 +46,11 @@ def make_dataset(
                     np.uint16
                 )
                 for z, name in enumerate(SLICES):
-                    (d / name).write_bytes(encode_png_gray(vol[z]))
+                    use_tif = fmt == "tif" or (fmt == "mixed" and z % 2 == 1)
+                    if use_tif:
+                        (d / f"{name}.tif").write_bytes(encode_tiff_gray(vol[z]))
+                    else:
+                        (d / f"{name}.png").write_bytes(encode_png_gray(vol[z]))
                 arrays[f"{ch}/{stack}"] = vol
     (root / "derivatives").mkdir(exist_ok=True)
     (root / "derivatives" / "metadata.json").write_text('{"origin": "test"}')

@@ -1,0 +1,263 @@
+"""Codec tests: PNG filters 0-4 (incl. the wavefront band decoder) and
+the baseline TIFF codec + format dispatch in the ingest path."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aind_smartspim_data_transformation_spark.sources.png_codec import (
+    _SIG,
+    _chunk,
+    decode_png_gray,
+    encode_png_gray,
+)
+from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+    decode_tiff_gray,
+    encode_tiff_gray,
+    probe_tiff_header,
+)
+
+
+# ---------------------------------------------------------------------------
+# PNG filters
+# ---------------------------------------------------------------------------
+@st.composite
+def _images(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    dtype = draw(st.sampled_from([np.uint8, np.uint16]))
+    seed = draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    # mix of smooth and noisy data so the filters actually predict
+    if draw(st.booleans()):
+        arr = rng.integers(0, np.iinfo(dtype).max, size=(h, w)).astype(dtype)
+    else:
+        arr = (np.cumsum(rng.integers(0, 3, size=(h, w)), axis=1) % 251).astype(dtype)
+    return arr
+
+
+@given(_images(), st.integers(0, 4))
+@settings(max_examples=120, deadline=None)
+def test_png_filter_roundtrip_property(arr, ft):
+    dec = decode_png_gray(encode_png_gray(arr, filter_type=ft))
+    assert dec.dtype == arr.dtype
+    assert np.array_equal(dec, arr)
+
+
+def _encode_png_mixed_filters(arr: np.ndarray, ftypes: list[int]) -> bytes:
+    """Build a PNG whose row y uses filter ftypes[y] (predicting from
+    RAW neighbors, valid per the PNG spec) — exercises band
+    segmentation in the decoder: scalar path for short 3/4 bands, the
+    wavefront for long ones, and transitions through 0/1/2 rows."""
+    assert arr.dtype == np.uint16
+    h, w = arr.shape
+    bpp = 2
+    lines = np.frombuffer(arr.astype(">u2").tobytes(), dtype=np.uint8).reshape(
+        h, w * bpp
+    )
+    raw = lines.astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, bpp:] = raw[:-1, :-bpp]
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    preds = {0: np.zeros_like(raw), 1: left, 2: up, 3: (left + up) >> 1, 4: paeth}
+    body = bytearray()
+    for y, ft in enumerate(ftypes):
+        body.append(ft)
+        body += ((raw[y] - preds[ft][y]) & 0xFF).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(body), 1))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(12, 48), st.integers(3, 30))
+@settings(max_examples=60, deadline=None)
+def test_png_mixed_filter_rows_property(seed, h, w):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 65535, size=(h, w)).astype(np.uint16)
+    ftypes = list(rng.integers(0, 5, size=h))
+    dec = decode_png_gray(_encode_png_mixed_filters(arr, ftypes))
+    assert np.array_equal(dec, arr)
+
+
+def test_png_long_paeth_band_uses_wavefront():
+    """A 64-row all-Paeth image goes through the wavefront path (band
+    >= _WAVE_MIN) and still decodes exactly."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 65535, size=(64, 50)).astype(np.uint16)
+    dec = decode_png_gray(encode_png_gray(arr, filter_type=4))
+    assert np.array_equal(dec, arr)
+
+
+def test_png_paeth_decode_throughput():
+    """Paeth decode must be within ~30× of filter-0 on a full
+    microscopy plane (pure-numpy wavefront; the old per-pixel loop was
+    ~500× slower).  Generous bound so CI noise can't flake it."""
+    import time
+
+    rng = np.random.default_rng(9)
+    plane = rng.integers(0, 65535, size=(1600, 2000)).astype(np.uint16)
+    enc0 = encode_png_gray(plane, filter_type=0)
+    enc4 = encode_png_gray(plane, filter_type=4)
+    t0 = time.perf_counter()
+    decode_png_gray(enc0)
+    t_f0 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decode_png_gray(enc4)
+    t_f4 = time.perf_counter() - t0
+    assert t_f4 < max(30 * t_f0, 1.5), f"paeth {t_f4:.3f}s vs filter0 {t_f0:.3f}s"
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+@given(_images(), st.sampled_from([1, 8]))
+@settings(max_examples=80, deadline=None)
+def test_tiff_roundtrip_property(arr, compression):
+    data = encode_tiff_gray(arr, compression=compression)
+    dec = decode_tiff_gray(data)
+    assert dec.dtype == arr.dtype
+    assert np.array_equal(dec, arr)
+
+
+def test_tiff_probe_golden():
+    arr = np.zeros((1600, 2000), dtype=np.uint16)
+    data = encode_tiff_gray(arr)
+    assert probe_tiff_header(data) == (2000, 1600, 16)
+
+
+def test_tiff_big_endian_decode():
+    """Hand-build an MM (big-endian) uncompressed TIFF; decode must
+    byte-swap samples correctly."""
+    arr = np.arange(12, dtype=np.uint16).reshape(3, 4) * 1000
+    payload = arr.astype(">u2").tobytes()
+    ifd_off = 8 + len(payload)
+    entries = [
+        (256, 4, 1, 4),
+        (257, 4, 1, 3),
+        (258, 3, 1, 16),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (273, 4, 1, 8),
+        (277, 3, 1, 1),
+        (278, 4, 1, 3),
+        (279, 4, 1, len(payload)),
+    ]
+    out = bytearray(b"MM" + struct.pack(">HI", 42, ifd_off)) + bytearray(payload)
+    out += struct.pack(">H", len(entries))
+    for tag, typ, count, value in entries:
+        if typ == 3:  # SHORT inline values are left-justified
+            out += struct.pack(">HHIHH", tag, typ, count, value, 0)
+        else:
+            out += struct.pack(">HHII", tag, typ, count, value)
+    out += struct.pack(">I", 0)
+    assert np.array_equal(decode_tiff_gray(bytes(out)), arr)
+
+
+def test_tiff_predictor_horizontal_differencing():
+    """Deflate + predictor 2 (per-row horizontal differencing)."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 65535, size=(5, 7)).astype(np.uint16)
+    diff = arr.astype(np.int64)
+    diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) & 0xFFFF
+    payload = zlib.compress(diff.astype("<u2").tobytes(), 1)
+    ifd_off = 8 + len(payload)
+    entries = [
+        (256, 4, 1, 7),
+        (257, 4, 1, 5),
+        (258, 3, 1, 16),
+        (259, 3, 1, 8),
+        (262, 3, 1, 1),
+        (273, 4, 1, 8),
+        (277, 3, 1, 1),
+        (278, 4, 1, 5),
+        (279, 4, 1, len(payload)),
+        (317, 3, 1, 2),
+    ]
+    out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off)) + bytearray(payload)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)
+    assert np.array_equal(decode_tiff_gray(bytes(out)), arr)
+
+
+def test_tiff_tiled_raises():
+    arr = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(encode_tiff_gray(arr))
+    # splice a TileWidth (322) tag in place of RowsPerStrip (278)
+    idx = data.find(struct.pack("<HH", 278, 4))
+    data[idx : idx + 2] = struct.pack("<H", 322)
+    with pytest.raises(ValueError, match="tiled"):
+        decode_tiff_gray(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# ingest-path dispatch
+# ---------------------------------------------------------------------------
+def test_decode_image_gray_dispatch():
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        decode_image_gray,
+        probe_image_header,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 65535, size=(6, 9)).astype(np.uint16)
+    assert np.array_equal(decode_image_gray(encode_png_gray(arr)), arr)
+    assert np.array_equal(decode_image_gray(encode_tiff_gray(arr)), arr)
+    assert probe_image_header(encode_tiff_gray(arr)) == (9, 6, 16)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image_gray(b"\x00\x01\x02\x03 definitely not an image")
+
+
+def test_tiff_stack_tree_golden(spark, tmp_path):
+    """Mirror of the PNG golden-shape test over a TIFF acquisition
+    (reference `tests/test_smartspim_job.py:138-150` exercises extension
+    handling; our scan admits .tif and the decode path must deliver)."""
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        assemble_array,
+    )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        read_stack_tree,
+    )
+    from tests.imaging_fixtures import make_dataset
+
+    arrays = make_dataset(tmp_path, fmt="tif")
+    chunks = read_stack_tree(spark, str(tmp_path / "SmartSPIM"), chunk_z=64).filter(
+        "channel = 'Ex_445_Em_469' AND stack = '432380_504340'"
+    )
+    got = assemble_array(chunks, 64)
+    assert np.array_equal(got, arrays["Ex_445_Em_469/432380_504340"])
+
+
+def test_mixed_png_tiff_stack(spark, tmp_path):
+    """One acquisition mixing .png and .tif slices decodes seamlessly."""
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        assemble_array,
+    )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        read_stack_tree,
+    )
+    from tests.imaging_fixtures import make_dataset
+
+    arrays = make_dataset(tmp_path, fmt="mixed")
+    chunks = read_stack_tree(spark, str(tmp_path / "SmartSPIM"), chunk_z=64).filter(
+        "channel = 'Ex_561_Em_600' AND stack = '464780_530260'"
+    )
+    got = assemble_array(chunks, 64)
+    assert np.array_equal(got, arrays["Ex_561_Em_600/464780_530260"])

@@ -104,3 +104,34 @@ def test_job_entrypoint_json_arg(tmp_path):
     assert resp["status_code"] == 200
     assert len(resp["written"]) == 8  # 2 channels x 4 stacks
     assert (out / "derivatives" / "metadata.json").exists()
+
+
+def test_job_remote_uri_output(spark, tmp_path):
+    """s3_location-style URI output: the whole job (zarr chunks, NGFF
+    metadata, derivatives) writes through pyarrow.fs to a file:// URI —
+    the same code path an s3:// root takes on a cluster (reference S9,
+    minus the subprocess staging)."""
+    root = tmp_path / "ds"
+    out_dir = tmp_path / "remote"
+    arrays = make_dataset(root, height=32, width=40)
+    settings = ImagingJobSettings(
+        input_source=str(root),
+        output_directory=str(tmp_path / "unused_local"),
+        s3_location=f"file://{out_dir}",
+        chunk_size=[64, 64, 64],
+        downsample_levels=2,
+    )
+    resp = run_imaging_job(spark, settings)
+    assert resp["status_code"] == 200
+    # groups returned as URIs; readable via the URI-aware reader
+    group = sorted(resp["written"])[0]
+    assert group.startswith("file://")
+    lvl0 = read_zarr_level(group, 0)
+    assert np.array_equal(lvl0, arrays["Ex_445_Em_469/432380_504340"])
+    lvl1 = read_zarr_level(group, 1)
+    assert np.array_equal(
+        lvl1, windowed_mean(arrays["Ex_445_Em_469/432380_504340"], (2, 2, 2))
+    )
+    # derivatives landed under the URI root too, local dir untouched
+    assert (out_dir / "derivatives" / "metadata.json").is_file()
+    assert not (tmp_path / "unused_local").exists()
