@@ -418,6 +418,94 @@ FROM g ORDER BY lang, bucket_bits
 """
 
 
+# ---------------------------------------------------------------------------
+# C8 — benchmark-contamination check: which training documents share a
+# word 5-gram with the held-out eval set (doc_id % EVAL_MOD == 0)?  The
+# decontamination pass every serious pretraining pipeline runs before
+# training (n-gram overlap against benchmark test sets).
+#
+# Scale posture: the eval side is a benchmark — tiny by construction —
+# so its DISTINCT shingle set broadcasts and the train side is ONE
+# narrow scan + explode + broadcast LEFT SEMI join; the train corpus is
+# never shuffled.  Per-source rates aggregate O(sources) rows.
+# ---------------------------------------------------------------------------
+EVAL_MOD = 50
+# 3-word shingles: real pipelines use 8-13-gram windows, but the
+# synthetic corpus' tiny vocabulary makes 3 the n where overlap is
+# actually informative (5-grams never collide → all-zero output).
+CONTAM_N = 3
+
+
+def c08_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingled = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {CONTAM_N - 1}, 0)), "
+                f"i -> array_join(slice(split(text, ' '), i, {CONTAM_N}), ' '))"
+            )
+        ).alias("shingle"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_shingles = shingled.filter(is_eval).select("shingle").distinct()
+    train = shingled.filter(~is_eval)
+    contaminated = (
+        train.join(F.broadcast(eval_shingles), "shingle", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    per_source = (
+        docs.filter(~is_eval)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_train"))
+    )
+    hits = contaminated.groupBy("source").agg(F.count("*").alias("n_contaminated"))
+    return (
+        per_source.join(hits, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.expr("coalesce(n_contaminated, 0) * 10000 div n_train").alias(
+                "rate_bps"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+C08_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), shingles AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - {CONTAM_N - 1}, 0)),
+           i -> array_to_string(w[i : i + {CONTAM_N - 1}], ' '))) AS shingle
+  FROM toks
+), eval_shingles AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {EVAL_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id, source FROM shingles
+  WHERE doc_id % {EVAL_MOD} != 0
+    AND shingle IN (SELECT shingle FROM eval_shingles)
+), per_source AS (
+  SELECT source, count(*) AS n_train FROM documents
+  WHERE doc_id % {EVAL_MOD} != 0 GROUP BY source
+)
+SELECT p.source, p.n_train,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
+       CAST((coalesce(c.n, 0) * 10000) // p.n_train AS BIGINT) AS rate_bps
+FROM per_source p
+LEFT JOIN (SELECT source, count(*) AS n FROM contaminated GROUP BY source) c
+  USING (source)
+ORDER BY p.source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_train_split": c01_train_split,
     "c02_pack_sequences": c02_pack_sequences,
@@ -426,6 +514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c05_quality_filter": c05_quality_filter,
     "c06_stratified_sample": c06_stratified_sample,
     "c07_length_buckets": c07_length_buckets,
+    "c08_contamination": c08_contamination,
 }
 
 ORACLE: dict[str, str] = {
@@ -436,4 +525,5 @@ ORACLE: dict[str, str] = {
     "c05_quality_filter": _c05_sql(),
     "c06_stratified_sample": C06_SQL,
     "c07_length_buckets": C07_SQL,
+    "c08_contamination": C08_SQL,
 }

@@ -605,6 +605,131 @@ ORDER BY e.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# S9 — k-means (Lloyd) training for the IVF coarse quantizer: the
+# iterative algorithm behind s05's centroid table, expressed as a
+# deterministic dataflow.  Embeddings are quantized to integers
+# (floor(v·1000)) so every distance, sum, and floor-divided mean is
+# EXACT in both engines — no float-order sensitivity anywhere, which is
+# what makes an iterative numeric algorithm oracle-checkable.
+#
+# Iteration shape (the canonical Spark k-means):
+#   1. centroids are K×d values → collected to the driver, folded into
+#      LITERAL arrays → assignment is a narrow broadcast map, NO
+#      shuffle of the corpus;
+#   2. centroid update is posexplode → groupBy(cell, dim) with map-side
+#      combine → K×d rows shuffled, corpus touched once per iteration.
+# At a billion vectors that is ITERS corpus scans and K×d-sized
+# shuffles — the textbook scalable shape.
+# ---------------------------------------------------------------------------
+KM_K = 4
+KM_ITERS = 2
+KM_SCALE = 1000
+
+
+def _kmeans_assign(e: DataFrame, cents: list[tuple[int, list[int]]]):
+    """cell = argmin ||x-c||² (tie → smaller cid) against literal centroids."""
+    dists = []
+    for cid, cvec in cents:
+        c = F.array(*[F.lit(int(v)) for v in cvec])
+        d2 = F.aggregate(
+            F.zip_with("x", c, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+        dists.append(F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("cid")))
+    return F.array_min(F.array(*dists))["cid"]
+
+
+def s09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT))"
+        ).alias("x"),
+    )
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["x"]])
+        for r in e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= KM_K)).collect()
+    ]
+    cents.sort()
+    assigned = None
+    for _ in range(KM_ITERS):
+        assigned = e.withColumn("cell", _kmeans_assign(e, cents))
+        new_cents = (
+            assigned.select("cell", F.posexplode("x").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("c")
+            )
+        )
+        cents = [
+            (int(r["cell"]), [int(v) for v in r["c"]]) for r in new_cents.collect()
+        ]
+        cents.sort()
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    cent_rows = spark.createDataFrame(
+        [(cid, sum(abs(v) for v in cvec)) for cid, cvec in cents],
+        schema="cell long, centroid_l1 long",
+    )
+    return (
+        sizes.join(cent_rows, "cell")
+        .select(F.col("cell").alias("cid"), "n_members", "centroid_l1")
+        .orderBy("cid")
+    )
+
+
+def _km_sql_assign(src: str, cents: str) -> str:
+    """One Lloyd assignment in DuckDB (exact integer distances)."""
+    return f"""
+  SELECT vec_id, x, cid AS cell FROM (
+    SELECT q.vec_id, q.x, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, len(q.x)),
+                        i -> (q.x[i] - c.c[i]) * (q.x[i] - c.c[i]))) ASC,
+                      c.cid ASC) AS rn
+    FROM {src} q CROSS JOIN {cents} c) WHERE rn = 1
+"""
+
+
+def _km_sql_update(assigned: str) -> str:
+    return f"""
+  SELECT cell AS cid, list(m ORDER BY dim) AS c FROM (
+    SELECT cell, dim, CAST(sum(val) // count(*) AS BIGINT) AS m FROM (
+      SELECT cell, unnest(x) AS val, generate_subscripts(x, 1) AS dim
+      FROM {assigned}
+    ) GROUP BY cell, dim
+  ) GROUP BY cell
+"""
+
+
+S09_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        v -> CAST(floor(v * {KM_SCALE}) AS BIGINT)) AS x
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, x AS c FROM q WHERE vec_id BETWEEN 1 AND {KM_K}
+), a1 AS ({_km_sql_assign("q", "c0")}
+), c1 AS ({_km_sql_update("a1")}
+), a2 AS ({_km_sql_assign("q", "c1")}
+), c2 AS ({_km_sql_update("a2")}
+)
+SELECT c2.cid, s.n_members,
+       CAST(list_sum(list_transform(c2.c, v -> abs(v))) AS BIGINT) AS centroid_l1
+FROM c2
+JOIN (SELECT cell AS cid, count(*) AS n_members FROM a2 GROUP BY cell) s
+  USING (cid)
+ORDER BY cid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
@@ -614,6 +739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s06_quantize_int8": s06_quantize_int8,
     "s07_ann_recall": s07_ann_recall,
     "s08_ann_recall_panel": s08_ann_recall_panel,
+    "s09_kmeans_train": s09_kmeans_train,
 }
 
 ORACLE: dict[str, str] = {
@@ -625,4 +751,5 @@ ORACLE: dict[str, str] = {
     "s06_quantize_int8": S06_SQL,
     "s07_ann_recall": S07_SQL,
     "s08_ann_recall_panel": S08_SQL,
+    "s09_kmeans_train": S09_SQL,
 }

@@ -523,6 +523,64 @@ FROM base ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T10 — vocabulary building with Zipf coverage: global word frequencies,
+# rank, and cumulative corpus coverage (the pass that sizes a tokenizer
+# vocab: "how many types cover 95% of tokens?").
+#
+# Scale posture: the explode+groupBy collapses the corpus to vocab-sized
+# data in ONE shuffle with map-side combine; the global rank window then
+# runs over vocab rows only (≪ corpus; a 1M-type vocab is one executor's
+# work).  Never rank the raw token stream.
+# ---------------------------------------------------------------------------
+VOCAB_TOP = 20
+
+
+def t10_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w_rank = W.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.select(
+            F.row_number().over(w_rank).alias("rnk"),
+            "word",
+            "n",
+            F.sum("n").over(w_rank.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+            F.sum("n").over(W.partitionBy()).alias("total"),
+        )
+        .filter(F.col("rnk") <= VOCAB_TOP)
+        .select(
+            "rnk",
+            "word",
+            "n",
+            F.expr("cum * 1000000 div total").alias("coverage_ppm"),
+        )
+        .orderBy("rnk")
+    )
+
+
+T10_SQL = f"""
+WITH wds AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT word, count(*) AS n FROM wds GROUP BY word
+), r AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word ASC) AS rnk,
+         sum(n) OVER (ORDER BY n DESC, word ASC ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM c
+)
+SELECT rnk, word, n,
+       CAST((cum * 1000000) // total AS BIGINT) AS coverage_ppm
+FROM r WHERE rnk <= {VOCAB_TOP} ORDER BY rnk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -533,6 +591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t07_tfidf_top_terms": t07_tfidf_top_terms,
     "t08_repetition_stats": t08_repetition_stats,
     "t09_readability": t09_readability,
+    "t10_vocab_zipf": t10_vocab_zipf,
 }
 
 ORACLE: dict[str, str] = {
@@ -545,4 +604,5 @@ ORACLE: dict[str, str] = {
     "t07_tfidf_top_terms": T07_SQL,
     "t08_repetition_stats": T08_SQL,
     "t09_readability": T09_SQL,
+    "t10_vocab_zipf": T10_SQL,
 }
