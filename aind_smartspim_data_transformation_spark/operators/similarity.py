@@ -527,7 +527,9 @@ def s08_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact.join(
-            approx,
+            # both sides are panel×k rows; broadcast beats the SMJ Spark
+            # would otherwise pick (it can't see the top-k cardinality)
+            F.broadcast(approx),
             (F.col("query_id") == F.col("a_query_id"))
             & (F.col("vec_id") == F.col("a_vec_id")),
             "left",

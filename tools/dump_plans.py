@@ -138,6 +138,30 @@ ANNOTATIONS = {
         "(mapInPandas) needs NO shuffle at all; this query is its "
         "relational twin for the oracle."
     ),
+    "c08_contamination": (
+        "Benchmark decontamination. Look for: the eval shingle set "
+        "(tiny by construction — benchmarks are small) built once and "
+        "attached via `BroadcastHashJoin LeftSemi` — the train corpus "
+        "explodes to shingles in codegen (`Generate`) but is NEVER "
+        "shuffled for the membership test; only the per-doc distinct "
+        "and the O(sources) rollup exchange."
+    ),
+    "t10_vocab_zipf": (
+        "Vocabulary/Zipf coverage. Look for: exactly TWO exchanges — "
+        "the word groupBy (with partial_count map-side combine, so the "
+        "shuffle carries vocab-sized data, not the token stream) and "
+        "the single-partition global-rank window, which runs over vocab "
+        "rows only. The corpus is read once; the window never sees it."
+    ),
+    "s08_ann_recall_panel": (
+        "Multi-query ANN recall panel. Look for: the centroid index and "
+        "the Q-row query panel both attached via broadcast "
+        "(`BroadcastNestedLoopJoin` of 1-row/Q-row build sides); "
+        "per-query top-k as Window over hashpartitioning(query_id) — "
+        "state O(Q×k); the final exact⋈approx recall join is a "
+        "`BroadcastHashJoin` (hinted: Spark can't see top-k cardinality "
+        "through the Window)."
+    ),
 }
 
 
