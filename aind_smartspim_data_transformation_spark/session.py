@@ -45,6 +45,36 @@ _COMMON = {
 }
 
 
+# Arrow batch rows for imaging pipelines: rows are megabytes (a decoded
+# 2000×1600 uint16 slice ≈ 6.4 MB), so the relational 4096-row batch
+# target would build multi-GB Arrow batches in the JVM and Python
+# workers.  32 × ~6.4 MB ≈ 200 MB per batch.
+IMAGING_ARROW_ROWS = "32"
+
+_imaging_sessions: dict[int, SparkSession] = {}
+
+
+def imaging_session(spark: SparkSession) -> SparkSession:
+    """Child session (shared SparkContext, OWN SQLConf) for imaging
+    pipelines.
+
+    DataFrames remember the session that created them, so building the
+    imaging scan here pins megabyte-row Arrow batching to the imaging
+    lineage only — relational queries on the parent session keep their
+    4096-row batches.  This replaces the former session-wide
+    ``spark.conf.set`` in the scan builders, which silently degraded
+    every later pandas-UDF query in a shared session (ADVICE r2)."""
+    key = id(spark)
+    child = _imaging_sessions.get(key)
+    if child is None:
+        child = spark.newSession()
+        child.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", IMAGING_ARROW_ROWS
+        )
+        _imaging_sessions[key] = child
+    return child
+
+
 def build_local_session(
     app_name: str = "aind-smartspim-spark",
     cpus: int | None = None,

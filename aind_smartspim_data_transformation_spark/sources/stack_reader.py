@@ -84,21 +84,30 @@ CHUNK_SCHEMA = (
     "dz int, dy int, dx int, dtype string, data binary"
 )
 
-# Imaging rows are megabytes, not bytes, so Arrow batches are sized
-# KERNEL-SIDE: decode yields output in slices of this many rows
-# (32 × ~6.4 MB ≈ 200 MB) instead of mutating the session-wide
-# ``arrow.maxRecordsPerBatch`` (which would silently shrink every later
-# relational pandas-UDF batch in a shared session).  Input batches need
-# no override: a binaryFile scan partition is bounded by
-# ``spark.sql.files.maxPartitionBytes`` (~128 MB), so the JVM can never
-# hand the Python worker more than a partition's worth of slices.
+# Imaging rows are megabytes, not bytes.  Batch sizing happens at TWO
+# layers, neither of which touches the caller's session config:
+# 1. the scan runs on the imaging CHILD session (session.py), whose own
+#    SQLConf caps JVM→Python Arrow batches at IMAGING_ARROW_ROWS for
+#    the whole downstream lineage (decode, pyramid, sink);
+# 2. the decode kernel additionally slices its OUTPUT at this many rows
+#    (32 × ~6.4 MB ≈ 200 MB) so a future caller who builds the plan on
+#    a plain session still gets bounded output batches.
 _IMAGING_OUT_ROWS = 32
 
 
 def scan_stack_files(spark: SparkSession, root: str) -> DataFrame:
-    """binaryFile scan of a SmartSPIM tree with path-derived columns."""
+    """binaryFile scan of a SmartSPIM tree with path-derived columns.
+
+    Built on the imaging CHILD session (session.imaging_session): the
+    whole downstream lineage (decode, pyramid, sink) then executes with
+    imaging-sized Arrow batches while the caller's session keeps its
+    relational batch config untouched.
+    """
+    from aind_smartspim_data_transformation_spark.session import imaging_session
+
     df = (
-        spark.read.format("binaryFile")
+        imaging_session(spark)
+        .read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(root)
     )

@@ -66,8 +66,11 @@ def stream_stack_files(
 ) -> DataFrame:
     """Streaming twin of ``scan_stack_files``: same path-derived columns,
     plus the batch-independent ``slice_key`` (numeric filename stem)."""
+    from aind_smartspim_data_transformation_spark.session import imaging_session
+
     reader = (
-        spark.readStream.format("binaryFile")
+        imaging_session(spark)  # megabyte-row Arrow batches, own SQLConf
+        .readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.png")

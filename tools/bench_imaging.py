@@ -21,6 +21,11 @@ layout; 1.6 GB in ~105 s (throughput RISES with depth — 13→16 MB/s —
 as tile tasks amortize the fixed per-level scheduling), so per-stack
 depth growth is nearly free until tasks saturate cores.
 
+CAVEAT: the container shares a host and wall-clock swings 3-5× with
+neighbor load (identical code measured 36 s and 110 s an hour apart).
+Never compare against a figure recorded earlier — interleave ABAB runs
+against a git worktree of the old commit instead.
+
     python tools/bench_imaging.py
     IMG_BENCH_SLICES=64 python tools/bench_imaging.py
 """
