@@ -70,15 +70,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best, n = float("inf"), 0
-        for _ in range(2):  # best-of-2: steady-state, not GC/JIT noise
+        # Adaptive best-of: the container shares a host and neighbor
+        # load can double a run at random.  Keep timing (max 4 runs)
+        # until the two fastest agree within 30% — the reported best is
+        # then a steady-state measurement, not a noise draw.
+        runs: list[float] = []
+        n = 0
+        for attempt in range(4):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = len(df.collect())
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            if attempt >= 1:
+                a, b = sorted(runs)[:2]
+                if b <= a * 1.3:
+                    break
+        timings[name] = round(min(runs), 4)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows, {len(runs)} runs)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
