@@ -633,6 +633,94 @@ FROM comp GROUP BY component ORDER BY component
 """
 
 
+# ---------------------------------------------------------------------------
+# D9 — duplicate clusters via LARGE-STAR / SMALL-STAR (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond"): the O(log n)-round
+# algorithm d08's docstring names as the web-scale upgrade, implemented
+# for real.  Same output contract as d08 (component = min doc_id,
+# size, max member), so the SAME recursive-CTE oracle verifies both —
+# and a test asserts d08 ≡ d09 row-for-row.
+#
+# Round = large-star (hook every node's larger neighbors to its local
+# minimum) then small-star (collapse each node's smaller neighborhood
+# onto its minimum).  Both are ONE groupBy(min) + ONE join each —
+# |E|-row shuffles, no neighbor-list materialization — and the edge set
+# provably converges to component-minimum stars in O(log n) rounds
+# regardless of component diameter (label propagation, d08, needs
+# O(diameter) rounds — the difference between 20 and 10⁶ iterations on
+# a path-shaped graph).  ``localCheckpoint`` per round cuts lineage.
+# The fixpoint test here is two exceptAll probes (fine at dedup scale);
+# a petabyte graph would keep a changed-edges accumulator instead.
+# ---------------------------------------------------------------------------
+def _large_star(bidir: DataFrame) -> DataFrame:
+    """Edges (u,v) in BOTH directions → undirected (a,b), a > b."""
+    m = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        bidir.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("a"),
+            F.least(F.col("u"), F.col("mv")).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """Undirected (a,b) with a > b → next round's (a,b), a > b."""
+    m = pairs.groupBy("a").agg(F.min("b").alias("mv"))
+    hang = (
+        pairs.join(m, "a")
+        .filter(F.col("b") != F.col("mv"))
+        .select(F.col("b").alias("a"), F.col("mv").alias("b"))
+    )
+    selfe = m.select(F.col("a"), F.col("mv").alias("b"))
+    return hang.union(selfe).distinct()
+
+
+def connected_components_star(pairs: DataFrame) -> DataFrame:
+    """(doc1, doc2) edge list → (node, label) with label = component min."""
+    p = (
+        pairs.select(
+            F.greatest("doc1", "doc2").alias("a"),
+            F.least("doc1", "doc2").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    while True:
+        bidir = p.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            p.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        p_new = _small_star(_large_star(bidir)).localCheckpoint()
+        stable = (
+            p_new.exceptAll(p).limit(1).count() == 0
+            and p.exceptAll(p_new).limit(1).count() == 0
+        )
+        p = p_new
+        if stable:
+            break
+    labels = p.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("label"))
+    roots = (
+        p.select(F.col("b").alias("node"))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return labels.union(roots)
+
+
+def d09_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    comp = connected_components_star(pairs)
+    return (
+        comp.groupBy(F.col("label").alias("component"))
+        .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_doc"))
+        .orderBy("component")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
@@ -642,6 +730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d06_dedup_corpus": d06_dedup_corpus,
     "d07_simhash_hamming_pairs": d07_simhash_hamming_pairs,
     "d08_dup_components": d08_dup_components,
+    "d09_dup_components_star": d09_dup_components_star,
 }
 
 ORACLE: dict[str, str] = {
@@ -653,4 +742,7 @@ ORACLE: dict[str, str] = {
     "d06_dedup_corpus": _d06_sql(),
     "d07_simhash_hamming_pairs": _d07_sql(),
     "d08_dup_components": D08_SQL,
+    # identical output contract — the same recursive-CTE oracle verifies
+    # the O(log n) star algorithm and the label-propagation baseline
+    "d09_dup_components_star": D08_SQL,
 }

@@ -31,3 +31,32 @@ def test_near_dups_found(spark, sf_dir):
     rows = dedup.d03_dedup_minhash_lsh(spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r["jaccard"] >= dedup.JACCARD_THRESHOLD for r in rows)
+
+
+def test_star_components_equal_label_propagation(spark, sf_dir):
+    """d09 (large-star/small-star, O(log n) rounds) and d08 (label
+    propagation, O(diameter) rounds) must produce identical clusters."""
+    a = [tuple(r) for r in dedup.d08_dup_components(spark, sf_dir).collect()]
+    b = [tuple(r) for r in dedup.d09_dup_components_star(spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_star_components_path_graph(spark):
+    """A 6-node path (worst case for label propagation's diameter bound)
+    collapses to one component labeled by its minimum."""
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 50), (50, 60), (70, 80)],
+        "doc1 long, doc2 long",
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == {
+        (10, 10), (20, 10), (30, 10), (40, 10), (50, 10), (60, 10),
+        (70, 70), (80, 70),
+    }
