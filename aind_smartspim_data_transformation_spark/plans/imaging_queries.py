@@ -161,10 +161,73 @@ def i03_pyramid_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cz", "cy", "cx")
 
 
+# ---------------------------------------------------------------------------
+# I4 — NGFF coordinate-transform ladder (SURVEY F4, reference
+# `compress/png_to_zarr.py:107-203`) as an oracle-backed query.  Per
+# level i: voxel scale ×f^i (exact: power-of-two scaling only shifts
+# the exponent), extent = ceil(extent0 / f^i) — valid closed form
+# because ceil-div composes: ceil(ceil(n/a)/b) == ceil(n/(ab)) for
+# positive integers — and stored chunk dims clamp to the extent.
+# Pure integer/exact-float arithmetic end to end, so the DuckDB twin
+# matches bit-for-bit; `functions/imaging_meta.compute_scale_ladder`
+# (the metadata the sink writes) is golden-tested against the same
+# numbers in tests/test_imaging_queries.py.
+# ---------------------------------------------------------------------------
+LADDER_LEVELS = 4
+LADDER_VOX = (2.0, 1.8, 1.8)  # z, y, x µm (reference acquisition golden)
+LADDER_SHAPE = (64, 1600, 2000)
+LADDER_CHUNK = 128
+
+
+def i04_scale_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vz, vy, vx = LADDER_VOX
+    z0, y0, x0 = LADDER_SHAPE
+    c = LADDER_CHUNK
+    lvl = F.explode(F.sequence(F.lit(0), F.lit(LADDER_LEVELS - 1))).alias("lvl")
+    fpow = F.expr("CAST(shiftleft(1, lvl) AS BIGINT)")  # 2^lvl, exact
+    ceil_div = lambda n: ((F.lit(n) + fpow - 1) / fpow).cast("long")  # noqa: E731
+    return (
+        spark.range(1)
+        .select(lvl)
+        .select(
+            "lvl",
+            (F.lit(vz) * fpow).alias("scale_z"),
+            (F.lit(vy) * fpow).alias("scale_y"),
+            (F.lit(vx) * fpow).alias("scale_x"),
+            ceil_div(z0).alias("z"),
+            ceil_div(y0).alias("y"),
+            ceil_div(x0).alias("x"),
+            F.least(ceil_div(z0), F.lit(c).cast("long")).alias("cz"),
+            F.least(ceil_div(y0), F.lit(c).cast("long")).alias("cy"),
+            F.least(ceil_div(x0), F.lit(c).cast("long")).alias("cx"),
+        )
+        .orderBy("lvl")
+    )
+
+
+I04_SQL = f"""
+SELECT lvl,
+       CAST({LADDER_VOX[0]} AS DOUBLE) * f AS scale_z,
+       CAST({LADDER_VOX[1]} AS DOUBLE) * f AS scale_y,
+       CAST({LADDER_VOX[2]} AS DOUBLE) * f AS scale_x,
+       ({LADDER_SHAPE[0]} + f - 1) // f AS z,
+       ({LADDER_SHAPE[1]} + f - 1) // f AS y,
+       ({LADDER_SHAPE[2]} + f - 1) // f AS x,
+       least(({LADDER_SHAPE[0]} + f - 1) // f, {LADDER_CHUNK}) AS cz,
+       least(({LADDER_SHAPE[1]} + f - 1) // f, {LADDER_CHUNK}) AS cy,
+       least(({LADDER_SHAPE[2]} + f - 1) // f, {LADDER_CHUNK}) AS cx
+FROM (SELECT CAST(range AS BIGINT) AS lvl,
+             CAST(1 << range AS BIGINT) AS f
+      FROM range(0, {LADDER_LEVELS}))
+ORDER BY lvl
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "i01_windowed_mean_grid": i01_windowed_mean_grid,
     "i02_wavelength_to_hex": i02_wavelength_to_hex,
     "i03_pyramid_level": i03_pyramid_level,
+    "i04_scale_ladder": i04_scale_ladder,
 }
 
 ORACLE: dict[str, str] = {
@@ -172,4 +235,5 @@ ORACLE: dict[str, str] = {
     "i02_wavelength_to_hex": I02_SQL,
     # i03_pyramid_level: intentionally no oracle (mapInPandas kernel);
     # rows-only for the driver, numpy golden in tests.
+    "i04_scale_ladder": I04_SQL,
 }

@@ -107,3 +107,27 @@ def test_i03_pyramid_level_numpy_golden(spark, sf_dir):
     got = rows[(1, 2, 3)]
     assert got["sum_v"] == int(expect.sum())
     assert abs(got["mean_v"] - float(expect.mean())) < 1e-9
+
+
+def test_i04_matches_compute_scale_ladder(spark, sf_dir):
+    """The i04 closed-form ladder equals the metadata builder the zarr
+    sink actually writes (functions/imaging_meta.compute_scale_ladder)."""
+    from aind_smartspim_data_transformation_spark.functions.imaging_meta import (
+        compute_scale_ladder,
+    )
+
+    transforms, chunks = compute_scale_ladder(
+        voxel_zyx=list(iq.LADDER_VOX),
+        scale_factor_zyx=[2, 2, 2],
+        n_levels=iq.LADDER_LEVELS,
+        shape_5d=(1, 1, *iq.LADDER_SHAPE),
+        chunk_zyx=[iq.LADDER_CHUNK] * 3,
+    )
+    rows = iq.i04_scale_ladder(spark, sf_dir).collect()
+    assert len(rows) == iq.LADDER_LEVELS
+    for r in rows:
+        lvl = r["lvl"]
+        assert transforms[lvl][0]["scale"] == [
+            1.0, 1.0, r["scale_z"], r["scale_y"], r["scale_x"],
+        ]
+        assert tuple(chunks[lvl]) == (1, 1, r["cz"], r["cy"], r["cx"])
