@@ -109,14 +109,14 @@ class SmartspimReader(DataSourceReader):
 
     def read(self, partition: StackPartition) -> Iterator[tuple]:
         # imports here: this body runs on executors
-        from aind_smartspim_data_transformation_spark.sources.png_codec import (
-            decode_png_gray,
+        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+            decode_image_gray,
         )
 
         for idx, path in enumerate(partition.files):
             with open(path, "rb") as f:
                 raw = f.read()
-            arr = decode_png_gray(raw)
+            arr = decode_image_gray(raw)
             yield (
                 partition.channel,
                 partition.stack,

@@ -45,7 +45,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aind_smartspim_data_transformation_spark.sources.png_codec import decode_png_gray
+from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+    decode_image_gray,
+)
 from aind_smartspim_data_transformation_spark.sources.stack_reader import (
     slices_to_chunks,
 )
@@ -73,7 +75,7 @@ def stream_stack_files(
         .readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
         .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.png")
+        .option("pathGlobFilter", "*.{png,tif,tiff}")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -93,13 +95,13 @@ def stream_stack_files(
 
 
 def decode_stream_slices(files: DataFrame) -> DataFrame:
-    """PNG-decode (same kernel as the batch path) keyed by slice_key."""
+    """Decode (same PNG/TIFF dispatch as the batch path) keyed by slice_key."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                arr = decode_png_gray(bytes(r.content))
+                arr = decode_image_gray(bytes(r.content))
                 out.append(
                     (
                         r.channel,

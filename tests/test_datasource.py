@@ -79,3 +79,27 @@ def test_datasource_filter_pushdown_prunes_partitions(spark, ds_dataset):
     )
     assert len(leftover) == 2  # re-checked by Spark, still pushed
     assert len(reader.partitions()) == 1
+
+
+def test_datasource_reads_tiff_stacks(spark, tmp_path):
+    """The Python DataSource decodes TIFF slices via the same
+    magic-byte dispatch as the UDF path."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+    from tests.imaging_fixtures import make_dataset
+
+    arrays = make_dataset(tmp_path, fmt="tif")
+    spark.dataSource.register(SmartspimDataSource)
+    df = (
+        spark.read.format("smartspim")
+        .load(str(tmp_path / "SmartSPIM"))
+        .filter("channel = 'Ex_445_Em_469' AND stack = '432380_504340'")
+    )
+    rows = sorted(df.collect(), key=lambda r: r["slice_idx"])
+    assert len(rows) == 2
+    for z, r in enumerate(rows):
+        got = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
+            r["height"], r["width"]
+        )
+        np.testing.assert_array_equal(got, arrays["Ex_445_Em_469/432380_504340"][z])

@@ -59,3 +59,29 @@ def test_incremental_ingest_matches_batch(spark, tmp_path):
         for r in batch_chunks.collect()
     )
     assert s_rows == b_rows
+
+
+def test_stream_ingests_tiff_slices(spark, tmp_path):
+    """The stream scan admits .tif and the decoder dispatches on magic
+    bytes — a mixed PNG/TIFF wave lands identically to batch."""
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        encode_tiff_gray,
+    )
+
+    root = tmp_path / "acq"
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    d = root / "SmartSPIM" / "Ex_488_Em_525" / "400000" / "400000_500000"
+    d.mkdir(parents=True)
+    a = np.full((8, 10), 111, dtype=np.uint16)
+    b = np.full((8, 10), 222, dtype=np.uint16)
+    (d / "000000.png").write_bytes(encode_png_gray(a))
+    (d / "000020.tif").write_bytes(encode_tiff_gray(b))
+    ss.run_incremental_ingest(spark, str(root / "SmartSPIM"), out, ckpt)
+    landed = spark.read.parquet(out)
+    assert landed.count() == 2
+    vals = {
+        int(np.frombuffer(bytes(r["data"]), dtype=np.uint16)[0])
+        for r in landed.collect()
+    }
+    assert vals == {111, 222}
