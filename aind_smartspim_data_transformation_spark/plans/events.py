@@ -541,6 +541,51 @@ FROM weekly ORDER BY event_type, week
 """
 
 
+# ---------------------------------------------------------------------------
+# E13 — trailing-24h rolling aggregate per user via a RANGE frame (the
+# W-frame variant e03's fixed-grid sliding window can't express: every
+# event sees its own trailing window, not a bucketed one).  Frame keys
+# are integer MICROSECONDS (unix_micros/epoch_us) so both engines bound
+# the frame identically — epoch *seconds* would truncate and disagree
+# on sub-second boundaries.
+#
+# Scale posture: one hash shuffle on user_id + one in-partition sort;
+# frame state is bounded by a user's 24-hour event count.  This is the
+# batch twin of what a streaming job would do with a 24h sliding
+# aggregation.
+# ---------------------------------------------------------------------------
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def e13_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_DAY_US, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("n_24h"),
+            F.round(F.sum("value").over(w), 2).alias("sum_24h"),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+E13_SQL = f"""
+SELECT user_id, ts,
+       count(*) OVER w AS n_24h,
+       round(sum(value) OVER w, 2) AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_DAY_US} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_json_extract": e01_json_extract,
     "e02_tumbling_window": e02_tumbling_window,
@@ -554,6 +599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e10_gap_fill": e10_gap_fill,
     "e11_cohort_retention": e11_cohort_retention,
     "e12_weekly_change": e12_weekly_change,
+    "e13_rolling_24h": e13_rolling_24h,
 }
 
 ORACLE: dict[str, str] = {
@@ -569,4 +615,5 @@ ORACLE: dict[str, str] = {
     "e10_gap_fill": E10_SQL,
     "e11_cohort_retention": E11_SQL,
     "e12_weekly_change": E12_SQL,
+    "e13_rolling_24h": E13_SQL,
 }

@@ -1117,6 +1117,66 @@ ORDER BY custdist DESC, c_count DESC
 
 
 # ---------------------------------------------------------------------------
+# Q32 — disjunctive-predicate revenue (TPC-H Q19 shape): an OR of
+# conjunctive blocks mixing join-side columns.  The optimizer test:
+# Catalyst's predicate infrastructure should derive the COMMON parts of
+# the disjunction (the brand/size membership, the quantity envelope)
+# and push them into BOTH scans, so neither table streams unfiltered
+# into the join — the naive plan filters only after the join.
+#
+# Scale posture: at 100 TB the derived pushdown is the whole game —
+# lineitem shrinks at the parquet scan via the quantity envelope and
+# part via the brand/size union before the (broadcastable) join.
+# ---------------------------------------------------------------------------
+def q32_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    block1 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(5, 20))
+    )
+    block2 = (
+        (F.col("p_brand") == "Brand#4")
+        & (F.col("p_size").between(5, 25))
+        & (F.col("l_quantity").between(15, 35))
+    )
+    block3 = (
+        (F.col("p_brand") == "Brand#17")
+        & (F.col("p_size").between(10, 40))
+        & (F.col("l_quantity").between(25, 50))
+    )
+    return (
+        joined.filter(block1 | block2 | block3)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q32_SQL = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 10
+       AND l_quantity BETWEEN 5  AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 5  AND 25
+       AND l_quantity BETWEEN 15 AND 35)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 40
+       AND l_quantity BETWEEN 25 AND 50)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1151,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_top_supplier": q29_top_supplier,
     "q30_first_last": q30_first_last,
     "q31_custdist": q31_custdist,
+    "q32_disjunctive_revenue": q32_disjunctive_revenue,
 }
 
 ORACLE: dict[str, str] = {
@@ -1185,4 +1246,5 @@ ORACLE: dict[str, str] = {
     "q29_top_supplier": Q29_SQL,
     "q30_first_last": Q30_SQL,
     "q31_custdist": Q31_SQL,
+    "q32_disjunctive_revenue": Q32_SQL,
 }
