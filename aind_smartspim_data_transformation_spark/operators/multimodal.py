@@ -58,7 +58,7 @@ def decode_image_bytes(data: bytes) -> tuple[int, int, bytes]:
 
 
 FEATURE_SCHEMA = (
-    "doc_id long, width int, height int, n_bytes long, mean_intensity double"
+    "doc_id long, width int, height int, n_bytes long, mean_milli long"
 )
 
 
@@ -67,6 +67,10 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
 
     One Arrow batch in, one pandas DataFrame out — the canonical
     multimodal decode shape.  Per-batch (not per-row) Python overhead.
+    Mean intensity is reported as integer MILLI-intensity
+    (sum·1000 // count) — exact integer arithmetic, so the DuckDB twin
+    matches bit-for-bit (a float mean with round() would hit the
+    half-up-vs-banker's rounding mismatch between engines).
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -74,11 +78,11 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
                 w, h, payload = decode_image_bytes(bytes(blob))
-                mean = sum(payload) / len(payload) if payload else 0.0
-                out.append((doc_id, w, h, len(blob), round(mean, 6)))
+                mean_milli = (sum(payload) * 1000) // len(payload) if payload else 0
+                out.append((doc_id, w, h, len(blob), mean_milli))
             yield pd.DataFrame(
                 out,
-                columns=["doc_id", "width", "height", "n_bytes", "mean_intensity"],
+                columns=["doc_id", "width", "height", "n_bytes", "mean_milli"],
             )
 
     return binary_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
@@ -142,12 +146,35 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# M2 — multimodal decode pipeline (rows-only check: mapInPandas is not
-# SQL-expressible; validated by schema/golden tests instead).
+# M2 — multimodal decode pipeline.  The decode itself is a mapInPandas
+# kernel, but because the fake format is a pure function of the text
+# column, the FEATURES are SQL-expressible: DuckDB recomputes the
+# padded payload and its per-char code sum, making this an oracle-backed
+# end-to-end test of the decode path (header parse included — wrong
+# width/height would shift every payload byte).
 # ---------------------------------------------------------------------------
 def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = documents_as_fake_images(spark, sf_dir)
     return extract_image_features(imgs.select("doc_id", "image")).orderBy("doc_id")
+
+
+M02_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INT) AS width,
+         CAST(doc_id % 8 + 2 AS INT) AS height,
+         substring(
+           rpad(text, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT), 'x'),
+           1, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT)) AS payload
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(16 + width * height AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, len(payload) + 1),
+                                    i -> ord(substr(payload, i, 1)))) * 1000
+            // len(payload) AS BIGINT) AS mean_milli
+FROM f ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +268,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "m01_binary_stats": M01_SQL,
-    # m02/m03/m04: intentionally no oracle (mapInPandas decode paths are
-    # not SQL-expressible) — driver records rows-only; deterministic
-    # goldens live in tests/test_multimodal.py.
+    # m02: oracle-backed — the fake format is a pure function of text,
+    # so DuckDB recomputes the features (integer milli-intensity).
+    "m02_image_features": M02_SQL,
+    # m03/m04: intentionally no oracle (mapInPandas resize/frame-sample
+    # byte output is not SQL-expressible) — driver records rows-only;
+    # deterministic goldens live in tests/test_multimodal.py.
 }

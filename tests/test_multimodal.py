@@ -30,7 +30,7 @@ def test_m02_pipeline_schema_and_values(spark, sf_dir):
     r0 = rows[0]  # doc_id 0 → width 4, height 2
     assert (r0["width"], r0["height"]) == (4, 2)
     assert r0["n_bytes"] == 16 + r0["width"] * r0["height"]
-    assert 0 <= r0["mean_intensity"] <= 255
+    assert 0 <= r0["mean_milli"] <= 255_000
 
 
 def test_m03_resize_golden(spark, sf_dir):
