@@ -153,6 +153,22 @@ ANNOTATIONS = {
         "the single-partition global-rank window, which runs over vocab "
         "rows only. The corpus is read once; the window never sees it."
     ),
+    "q32_disjunctive_revenue": (
+        "Disjunctive predicate blocks across join sides (TPC-H Q19 "
+        "shape). Look for: BOTH scans carrying derived `PushedFilters` — "
+        "the brand/size union on the part scan and the quantity envelope "
+        "on the lineitem scan — Catalyst factors the common parts out of "
+        "the OR; the naive plan would stream both tables unfiltered into "
+        "the join and filter after."
+    ),
+    "e13_rolling_24h": (
+        "Trailing-24h RANGE-frame rolling aggregate. Look for: ONE "
+        "`hashpartitioning(user_id)` exchange + in-partition sort on the "
+        "integer-microsecond frame key; `specifiedwindowframe(RangeFrame, "
+        "-86400000000, currentrow$())` — per-event trailing windows with "
+        "state bounded by a user's 24-hour event count, the shape a "
+        "fixed-grid sliding bucket (e03) cannot express."
+    ),
     "s08_ann_recall_panel": (
         "Multi-query ANN recall panel. Look for: the centroid index and "
         "the Q-row query panel both attached via broadcast "
