@@ -1177,6 +1177,90 @@ ORDER BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# Q33 — suppliers who kept orders waiting (TPC-H Q21 shape): the
+# double-correlated EXISTS + NOT EXISTS.  For a finished order, find
+# the supplier whose line shipped late (> 60 days after the order
+# date) where SOME other supplier participated in the order (EXISTS)
+# but NO other supplier was also late (NOT EXISTS) — i.e. the sole
+# culprit.  "Late" is adapted to this schema (no receipt/commit
+# dates; ship-vs-order-date lag plays that role).
+#
+# The optimizer test: both correlations decorrelate to ONE left-semi
+# and ONE left-anti join against the same lineitem table with mixed
+# equi (orderkey) + non-equi (suppkey <>) conditions — no inner-join
+# + distinct blowup, no second aggregation of the fact.
+# ---------------------------------------------------------------------------
+def q33_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late1 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        # interval add (not date_add, which truncates any time-of-day the
+        # timestamp may carry) — keeps semantics identical to the oracle
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_other = late1.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    culprit = (
+        late1.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_other,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_anti",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprit.join(
+            F.broadcast(s), culprit["l_suppkey"] == s["s_suppkey"]
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+Q33_SQL = """
+WITH late1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+), culprit AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM late1 l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey != l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late1 l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey != l1.l_suppkey)
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1212,6 +1296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_first_last": q30_first_last,
     "q31_custdist": q31_custdist,
     "q32_disjunctive_revenue": q32_disjunctive_revenue,
+    "q33_waiting_suppliers": q33_waiting_suppliers,
 }
 
 ORACLE: dict[str, str] = {
@@ -1247,4 +1332,5 @@ ORACLE: dict[str, str] = {
     "q30_first_last": Q30_SQL,
     "q31_custdist": Q31_SQL,
     "q32_disjunctive_revenue": Q32_SQL,
+    "q33_waiting_suppliers": Q33_SQL,
 }
