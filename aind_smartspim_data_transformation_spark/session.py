@@ -51,7 +51,13 @@ _COMMON = {
 # workers.  32 × ~6.4 MB ≈ 200 MB per batch.
 IMAGING_ARROW_ROWS = "32"
 
-_imaging_sessions: dict[int, SparkSession] = {}
+import weakref
+
+# Weak keys: a collected parent session must not pin its child (and a
+# recycled id() must not serve a stale child for a new parent).
+_imaging_sessions: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def imaging_session(spark: SparkSession) -> SparkSession:
@@ -64,14 +70,13 @@ def imaging_session(spark: SparkSession) -> SparkSession:
     4096-row batches.  This replaces the former session-wide
     ``spark.conf.set`` in the scan builders, which silently degraded
     every later pandas-UDF query in a shared session (ADVICE r2)."""
-    key = id(spark)
-    child = _imaging_sessions.get(key)
+    child = _imaging_sessions.get(spark)
     if child is None:
         child = spark.newSession()
         child.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", IMAGING_ARROW_ROWS
         )
-        _imaging_sessions[key] = child
+        _imaging_sessions[spark] = child
     return child
 
 
