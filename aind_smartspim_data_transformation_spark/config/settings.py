@@ -10,10 +10,13 @@ Divergences, by design:
 - ``compressor_name`` allows ``zlib``/``none``/``blosc`` — blosc (the
   reference default) is import-tried in the sink, so it works on any
   cluster with python-blosc and fails fast with a clear error here.
-- ``num_of_partitions``/``partition_to_process`` are accepted for CLI
-  compatibility but ignored: the reference round-robins stacks across
-  N independent job instances (`smartspim_job.py:30-41`) because it has
-  no cluster scheduler; one Spark app replaces all N instances.
+- ``num_of_partitions``/``partition_to_process`` are HONORED for
+  compatibility: the reference round-robins stacks across N independent
+  job instances (`smartspim_job.py:30-41`) because it has no cluster
+  scheduler.  One Spark app replaces all N instances (the default,
+  num_of_partitions=1), but callers who still launch N instances get
+  the same deterministic split (imaging/job.py::partition_stacks) and
+  partition-0-only derivatives upload.
 """
 
 from __future__ import annotations

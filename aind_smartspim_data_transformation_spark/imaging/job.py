@@ -39,6 +39,18 @@ from aind_smartspim_data_transformation_spark.sources.stack_reader import (
 )
 
 
+def partition_stacks(stacks: list, n_partitions: int) -> list[list]:
+    """Round-robin partition of a SORTED stack list — the reference's
+    `partition_list` (`smartspim_job.py:30-41`): element i lands in
+    partition i % n.  Every element appears in exactly one partition;
+    partition sizes differ by at most 1.  Pure function (golden-tested
+    with the reference suite's 75-element counts)."""
+    if n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+    ordered = sorted(stacks)
+    return [ordered[k::n_partitions] for k in range(n_partitions)]
+
+
 def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
     start = time.time()
     root = str(settings.input_source)
@@ -56,7 +68,8 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
     deriv = Path(root) / "derivatives"
     if not deriv.is_dir():
         raise FileNotFoundError(f"derivatives folder not found at {deriv}")
-    _copy_tree(deriv, f"{out}/derivatives")
+    if settings.partition_to_process == 0:
+        _copy_tree(deriv, f"{out}/derivatives")
 
     chunks = read_stack_tree(
         spark,
@@ -65,6 +78,35 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
         chunk_y=settings.chunk_size[1],
         chunk_x=settings.chunk_size[2],
     )
+    # O3 compat: callers who still launch N independent job instances
+    # (the reference's only multi-node mechanism, `smartspim_job.py:
+    # 30-41,226-228`) get the same deterministic round-robin split.  A
+    # single Spark app doesn't need this — the scheduler owns
+    # parallelism — so the filter only engages for num_of_partitions>1.
+    if settings.num_of_partitions > 1:
+        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+            scan_stack_files,
+        )
+
+        all_stacks = sorted(
+            (r["channel"], r["stack"])
+            for r in scan_stack_files(spark, f"{root}/SmartSPIM")
+            .select("channel", "stack")
+            .distinct()
+            .collect()
+        )
+        mine = partition_stacks(all_stacks, settings.num_of_partitions)[
+            settings.partition_to_process
+        ]
+        if not mine:
+            return {
+                "status_code": 200,
+                "message": "empty partition",
+                "written": [],
+                "metrics": {},
+            }
+        keys = spark.createDataFrame(mine, "channel string, stack string")
+        chunks = chunks.join(F.broadcast(keys), ["channel", "stack"])
     # Observation metrics ride the FIRST action over the chunk table —
     # ingest volume accounting with no second scan (the reference logs
     # wall-clock only, `smartspim_job.py:219,231-233`; at 100 TB a

@@ -160,3 +160,103 @@ def compact_parquet(
         "pathGlobFilter", "*.parquet"
     ).load(dst)
     return out.count()
+
+
+# ---------------------------------------------------------------------------
+# Chunk/partition geometry planning (SURVEY F8/F9, reference
+# `compress/zarr_writer.py:15-120`): grow a base chunk toward a byte
+# target so each write task / Arrow batch carries a right-sized block.
+# Driver-side pure functions — they feed `repartition()` / chunk_size
+# choices, they are not data-plane operators (SURVEY §4: "partition
+# sizing via expand_chunks-like heuristic → repartition(n) choice
+# only").
+# ---------------------------------------------------------------------------
+def chunk_bytes(dims: tuple[int, ...], itemsize: int) -> int:
+    """Byte size of a dense chunk; rejects non-positive dims (the
+    reference's `_get_size` contract, `compress/zarr_writer.py:15-26`)."""
+    if any(d <= 0 for d in dims) or itemsize <= 0:
+        raise ValueError(f"dims/itemsize must be positive, got {dims} ×{itemsize}")
+    n = itemsize
+    for d in dims:
+        n *= d
+    return n
+
+
+def _closer_to_target(
+    a: tuple[int, ...], b: tuple[int, ...], target: int, itemsize: int
+) -> tuple[int, ...]:
+    """Candidate whose byte size is nearest the target; tie → smaller
+    (the reference's `_closer_to_target` tie-break,
+    `compress/zarr_writer.py:29-48`)."""
+    da = abs(chunk_bytes(a, itemsize) - target)
+    db = abs(chunk_bytes(b, itemsize) - target)
+    if da < db:
+        return a
+    if db < da:
+        return b
+    return a if chunk_bytes(a, itemsize) <= chunk_bytes(b, itemsize) else b
+
+
+def plan_chunk_dims(
+    base_zyx: tuple[int, int, int],
+    shape_zyx: tuple[int, int, int],
+    itemsize: int,
+    target_bytes: int,
+    mode: str = "cycle",
+) -> tuple[int, int, int]:
+    """Grow ``base_zyx`` toward ``target_bytes`` (reference F9
+    `expand_chunks`, `compress/zarr_writer.py:51-120`).
+
+    - ``cycle``: double ONE axis per step, round-robin z→y→x, so grown
+      dims stay integer multiples of the base (aligned access — a grown
+      chunk always covers whole base chunks);
+    - ``iso``: scale all three axes by the same integer factor i.
+
+    Axes clamp to the data shape; of the last-under and first-over
+    candidates, the byte-size closest to the target wins (tie → the
+    smaller).  Returns the base itself if it already meets the target.
+    """
+    if mode not in ("cycle", "iso"):
+        raise ValueError(f"mode must be 'cycle' or 'iso', got {mode!r}")
+    clamp = lambda dims: tuple(  # noqa: E731
+        min(d, s) for d, s in zip(dims, shape_zyx)
+    )
+    cur = clamp(base_zyx)
+    if chunk_bytes(cur, itemsize) >= target_bytes:
+        return cur
+    if mode == "cycle":
+        axis = 0
+        while chunk_bytes(cur, itemsize) < target_bytes:
+            # double the next axis that is not already clamped
+            for probe in range(3):
+                ax = (axis + probe) % 3
+                grown = list(cur)
+                grown[ax] = min(grown[ax] * 2, shape_zyx[ax])
+                if tuple(grown) != cur:
+                    nxt = clamp(tuple(grown))
+                    axis = (ax + 1) % 3
+                    break
+            else:
+                return cur  # fully clamped: cannot grow further
+            if chunk_bytes(nxt, itemsize) >= target_bytes:
+                return _closer_to_target(cur, nxt, target_bytes, itemsize)
+            cur = nxt
+        return cur
+    # iso
+    i = 1
+    prev = cur
+    while True:
+        i += 1
+        nxt = clamp(tuple(b * i for b in base_zyx))
+        if nxt == prev:
+            return prev  # fully clamped
+        if chunk_bytes(nxt, itemsize) >= target_bytes:
+            return _closer_to_target(prev, nxt, target_bytes, itemsize)
+        prev = nxt
+
+
+def plan_partition_count(total_bytes: int, target_partition_bytes: int) -> int:
+    """ceil(total/target), minimum 1 — the repartition() companion."""
+    if target_partition_bytes <= 0:
+        raise ValueError("target_partition_bytes must be positive")
+    return max(1, -(-total_bytes // target_partition_bytes))

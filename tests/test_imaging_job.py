@@ -135,3 +135,47 @@ def test_job_remote_uri_output(spark, tmp_path):
     # derivatives landed under the URI root too, local dir untouched
     assert (out_dir / "derivatives" / "metadata.json").is_file()
     assert not (tmp_path / "unused_local").exists()
+
+
+def test_partition_stacks_reference_counts():
+    """Reference partitioning goldens (`tests/test_smartspim_job.py:40-54`):
+    75 elements → 5 partitions of 15; → 2 partitions of 38/37; all
+    elements preserved exactly once."""
+    from aind_smartspim_data_transformation_spark.imaging.job import partition_stacks
+
+    items = [f"s{i:03d}" for i in range(75)]
+    p5 = partition_stacks(items, 5)
+    assert [len(p) for p in p5] == [15] * 5
+    assert sorted(sum(p5, [])) == items
+    p2 = partition_stacks(items, 2)
+    assert [len(p) for p in p2] == [38, 37]
+    assert sorted(sum(p2, [])) == items
+    # round-robin: element i in partition i % n (sorted order)
+    assert p2[0][:3] == ["s000", "s002", "s004"]
+
+
+def test_job_partitioned_runs_cover_all_stacks(spark, tmp_path):
+    """num_of_partitions=2 across two runs: disjoint stack sets whose
+    union is the full acquisition; only partition 0 copies derivatives."""
+    root = tmp_path / "ds"
+    make_dataset(root, height=16, width=20)
+    outs = []
+    for k in (0, 1):
+        out = tmp_path / f"out{k}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[64, 64, 64],
+                downsample_levels=1,
+                num_of_partitions=2,
+                partition_to_process=k,
+            ),
+        )
+        assert resp["status_code"] == 200
+        outs.append({g.split(str(out) + "/")[1] for g in resp["written"]})
+    assert outs[0] & outs[1] == set()
+    assert len(outs[0] | outs[1]) == 8  # 2 channels × 4 stacks
+    assert (tmp_path / "out0" / "derivatives" / "metadata.json").is_file()
+    assert not (tmp_path / "out1" / "derivatives").exists()

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from pyspark.sql import functions as F
 
 from aind_smartspim_data_transformation_spark.operators.scale_utils import (
@@ -178,3 +181,68 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# F8/F9 chunk-geometry planning (reference expand_chunks semantics)
+# ---------------------------------------------------------------------------
+def test_chunk_bytes_contract():
+    import pytest
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        chunk_bytes,
+    )
+
+    assert chunk_bytes((128, 128, 128), 2) == 2 * 128**3
+    with pytest.raises(ValueError):
+        chunk_bytes((0, 128, 128), 2)
+
+
+def test_plan_chunk_dims_goldens():
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        plan_chunk_dims,
+    )
+
+    big = (4096, 4096, 4096)
+    # 4 MiB base, 32 MiB target → one doubling of each axis, both modes
+    assert plan_chunk_dims((128,) * 3, big, 2, 32 << 20) == (256, 256, 256)
+    assert plan_chunk_dims((128,) * 3, big, 2, 32 << 20, mode="iso") == (256, 256, 256)
+    # already at/above target → unchanged
+    assert plan_chunk_dims((128,) * 3, big, 2, 1 << 20) == (128, 128, 128)
+    # fully clamped by the data shape → the clamped max
+    assert plan_chunk_dims((128,) * 3, (64, 1600, 2000), 2, 12_800 << 20) == (
+        64, 1600, 2000,
+    )
+    # closest-to-target: 8 MiB (one z-doubling) vs 4 MiB for a 5 MiB
+    # target → 4 MiB is closer (|4-5| < |8-5|)
+    assert plan_chunk_dims((128,) * 3, big, 2, 5 << 20) == (128, 128, 128)
+    # ...but a 7 MiB target picks the doubled chunk
+    assert plan_chunk_dims((128,) * 3, big, 2, 7 << 20) == (256, 128, 128)
+
+
+@given(
+    st.tuples(*[st.integers(1, 64)] * 3),
+    st.tuples(*[st.integers(1, 512)] * 3),
+    st.sampled_from([1, 2, 4]),
+    st.integers(1, 1 << 24),
+    st.sampled_from(["cycle", "iso"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_plan_chunk_dims_properties(base, shape, itemsize, target, mode):
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        chunk_bytes,
+        plan_chunk_dims,
+    )
+
+    got = plan_chunk_dims(base, shape, itemsize, target, mode)
+    # never exceeds the data shape
+    assert all(g <= s for g, s in zip(got, shape))
+    # every axis is >= the (clamped) base
+    assert all(g >= min(b, s) for g, b, s in zip(got, base, shape))
+    # aligned growth: each axis is a multiple of the base or clamped
+    for g, b, s in zip(got, base, shape):
+        assert g % b == 0 or g == s
+    # never overshoots by more than 2× the target unless forced by the
+    # base itself (one doubling past target is the worst case)
+    if chunk_bytes(tuple(min(b, s) for b, s in zip(base, shape)), itemsize) < target:
+        assert chunk_bytes(got, itemsize) <= max(2 * target, target)
