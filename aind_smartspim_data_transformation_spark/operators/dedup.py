@@ -40,6 +40,10 @@ from aind_smartspim_data_transformation_spark.tables import load_table
 N_MINHASH = 16
 N_BANDS = 8  # r = 2 rows per band
 JACCARD_THRESHOLD = 0.8
+# Degenerate-bucket cap: a band bucket larger than this is boilerplate
+# (identical/empty text), not near-duplication — drop it before the
+# quadratic in-bucket pair expansion.  Bounds LSH worst-case pair count.
+MAX_BAND_BUCKET = 64
 MAX_SHINGLE_DF = 100  # stop-gram cap for the inverted-index join (d02)
 
 # 3-word shingles.  toks[i] is 0-based in Spark SQL.  Dedup happens
@@ -204,8 +208,12 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shuffle on the band key, where a bands⋈bands self-join would
     # compute the minhash aggregation twice (once per side) and shuffle
     # both.  Bucket membership lists are tiny by construction (a bucket
-    # = docs agreeing on 64 bits of minhash); a runaway bucket would
-    # mean degenerate data and is the place to cap at scale.
+    # = docs agreeing on 64 bits of minhash); the MAX_BAND_BUCKET cap
+    # drops degenerate buckets (empty/boilerplate text all hashing
+    # identically) BEFORE the quadratic pair expansion, bounding the
+    # worst case at |buckets|·K² instead of a runaway bucket's n² —
+    # identical clause in the oracle, no-op on non-degenerate corpora
+    # (max observed bucket here is 13).
     pairs_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc1, y AS doc2))))"
@@ -213,7 +221,7 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bands.groupBy("band_id", "bkey")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BAND_BUCKET))
         .select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.doc1", "p.doc2")
         .distinct()
@@ -278,10 +286,14 @@ WITH toks AS (
 ), bands AS (
   SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
   FROM sigs
+), bsz AS (
+  SELECT band_id, bkey, count(*) AS n FROM bands GROUP BY band_id, bkey
 ), cand AS (
   SELECT DISTINCT ba.doc_id AS doc1, bb.doc_id AS doc2
   FROM bands ba JOIN bands bb
     ON ba.band_id = bb.band_id AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+  JOIN bsz ON bsz.band_id = ba.band_id AND bsz.bkey = ba.bkey
+  WHERE bsz.n <= {MAX_BAND_BUCKET}
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (

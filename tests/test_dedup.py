@@ -60,3 +60,24 @@ def test_star_components_path_graph(spark):
         (10, 10), (20, 10), (30, 10), (40, 10), (50, 10), (60, 10),
         (70, 70), (80, 70),
     }
+
+
+def test_minhash_degenerate_bucket_cap(spark, tmp_path):
+    """A corpus of identical docs lands in one giant band bucket; the
+    MAX_BAND_BUCKET cap drops it before pair expansion (boilerplate is
+    not near-duplication), in Spark and the oracle identically."""
+    import duckdb
+
+    n = dedup.MAX_BAND_BUCKET + 36
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    spark.createDataFrame(
+        [(i, text, "en", "src0", len(text)) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = dedup.d03_dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    assert got == []  # capped: no quadratic blowup, no pairs
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert con.execute(dedup.ORACLE["d03_dedup_minhash_lsh"]).fetchall() == []
