@@ -506,6 +506,76 @@ ORDER BY p.source
 """
 
 
+# ---------------------------------------------------------------------------
+# C9 — dataset-mixture weighting: sample each SOURCE at its own target
+# rate (the per-source mixing proportions every pretraining run tunes —
+# distinct from c06's uniform per-lang rate).  Membership is a
+# content-stable md5-fraction threshold per doc, so reruns, backfills,
+# and downstream shards agree with zero coordination; the output is the
+# mixture AUDIT (realized vs target bps per source) that data teams
+# monitor.  Target weights derive deterministically from the source
+# number so the oracle replays them exactly.
+#
+# Scale posture: narrow per-row hash + one O(sources) rollup; no join,
+# no stored sample table to keep consistent.
+# ---------------------------------------------------------------------------
+def _mix_target_bps():
+    # source 'srcN' → 1500 + (N % 7) * 1100 bps (varied, all < 10000)
+    return "CAST(1500 + (CAST(substring(source, 4) AS INT) % 7) * 1100 AS BIGINT)"
+
+
+def c09_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    target = F.expr(_mix_target_bps())
+    # first 4 md5 hex digits → uniform integer in [0, 65536); keep iff
+    # below the integer threshold floor(target · 65536 / 10000)
+    frac16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    kept = frac16 < F.expr(f"{_mix_target_bps()} * 65536 div 10000")
+    return (
+        docs.select("source", target.alias("target_bps"), kept.cast("int").alias("k"))
+        .groupBy("source", "target_bps")
+        .agg(F.count("*").alias("n_total"), F.sum("k").alias("n_kept"))
+        .select(
+            "source",
+            "target_bps",
+            "n_total",
+            "n_kept",
+            F.expr("n_kept * 10000 div n_total").alias("kept_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+# DuckDB has no conv(hex→int); decode the 4 hex digits positionally.
+_HEX4 = (
+    "(strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)"
+)
+
+C09_SQL = f"""
+WITH d AS (
+  SELECT source,
+         {_mix_target_bps()} AS target_bps,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents
+), f AS (
+  SELECT source, target_bps,
+         CASE WHEN {_HEX4} < (target_bps * 65536) // 10000
+              THEN 1 ELSE 0 END AS k
+  FROM d
+)
+SELECT source, target_bps,
+       count(*) AS n_total,
+       CAST(sum(k) AS BIGINT) AS n_kept,
+       CAST((sum(k) * 10000) // count(*) AS BIGINT) AS kept_bps
+FROM f GROUP BY source, target_bps ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_train_split": c01_train_split,
     "c02_pack_sequences": c02_pack_sequences,
@@ -515,6 +585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c06_stratified_sample": c06_stratified_sample,
     "c07_length_buckets": c07_length_buckets,
     "c08_contamination": c08_contamination,
+    "c09_source_mixture": c09_source_mixture,
 }
 
 ORACLE: dict[str, str] = {
@@ -526,4 +597,5 @@ ORACLE: dict[str, str] = {
     "c06_stratified_sample": C06_SQL,
     "c07_length_buckets": C07_SQL,
     "c08_contamination": C08_SQL,
+    "c09_source_mixture": C09_SQL,
 }
