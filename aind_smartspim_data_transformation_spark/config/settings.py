@@ -27,7 +27,7 @@ from enum import Enum
 from pathlib import Path
 from typing import Any, Optional
 
-from pydantic import BaseModel, Field
+from pydantic import BaseModel, Field, model_validator
 
 ENV_PREFIX = "TRANSFORMATION_JOB_"
 
@@ -51,6 +51,25 @@ class ImagingJobSettings(BaseModel):
     chunk_size: list[int] = Field(default_factory=lambda: [128, 128, 128])
     scale_factor: list[int] = Field(default_factory=lambda: [2, 2, 2])
     downsample_levels: int = 4
+
+    @model_validator(mode="after")
+    def _check_partitioning(self) -> "ImagingJobSettings":
+        # The N-instance contract (reference `smartspim_job.py:30-41`)
+        # only makes sense for 0 <= partition_to_process < N; out of
+        # range would otherwise surface as a bare IndexError deep in
+        # run_imaging_job, or silently process ALL stacks while
+        # skipping the derivatives upload.
+        if self.num_of_partitions < 1:
+            raise ValueError(
+                f"num_of_partitions must be >= 1, got {self.num_of_partitions}"
+            )
+        if not 0 <= self.partition_to_process < self.num_of_partitions:
+            raise ValueError(
+                "partition_to_process must be in "
+                f"[0, num_of_partitions={self.num_of_partitions}), "
+                f"got {self.partition_to_process}"
+            )
+        return self
 
     @classmethod
     def from_json_str(cls, payload: str) -> "ImagingJobSettings":

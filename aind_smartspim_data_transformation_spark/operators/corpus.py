@@ -438,14 +438,17 @@ CONTAM_N = 3
 
 def c08_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Guard docs shorter than CONTAM_N tokens: Spark's sequence(1, 0) is
+    # the DESCENDING [1, 0] (not empty like DuckDB's generate_series),
+    # and the i=0 step would make slice() raise INVALID_PARAMETER_VALUE.
     shingled = docs.select(
         "doc_id",
         "source",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) - {CONTAM_N - 1}, 0)), "
-                f"i -> array_join(slice(split(text, ' '), i, {CONTAM_N}), ' '))"
+                f"if(size(split(text, ' ')) < {CONTAM_N}, array(), "
+                f"transform(sequence(1, size(split(text, ' ')) - {CONTAM_N - 1}), "
+                f"i -> array_join(slice(split(text, ' '), i, {CONTAM_N}), ' ')))"
             )
         ).alias("shingle"),
     )

@@ -116,6 +116,53 @@ def test_chunker_properties_hypothesis():
     check()
 
 
+def test_c08_handles_short_docs(spark, tmp_path):
+    """Docs with fewer than CONTAM_N tokens produce zero shingles
+    instead of crashing: Spark's sequence(1, 0) is the DESCENDING
+    [1, 0], and slice(w, 0, n) raises — regression for the guard in
+    c08_contamination."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # (doc_id, text, source) — ids divisible by EVAL_MOD are eval
+        (0, "alpha beta gamma delta", "src0"),   # eval
+        (50, "x", "src0"),                       # eval, 1 token
+        (1, "alpha beta gamma delta", "src0"),   # train, contaminated
+        (2, "x y", "src1"),                      # train, 2 tokens (crash case)
+        (3, "z", "src1"),                        # train, 1 token
+        (4, "alpha beta gamma", "src1"),         # train, contaminated
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {r["source"]: r for r in corpus.c08_contamination(spark, str(tmp_path)).collect()}
+    assert out["src0"]["n_train"] == 1 and out["src0"]["n_contaminated"] == 1
+    assert out["src1"]["n_train"] == 3 and out["src1"]["n_contaminated"] == 1
+    # matches the DuckDB oracle on the same tiny table (oracle's
+    # generate_series(1, 0) is empty — semantics now agree)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    o_rows = con.execute(corpus.ORACLE["c08_contamination"]).fetchall()
+    s_rows = sorted(
+        tuple(r)
+        for r in corpus.c08_contamination(spark, str(tmp_path)).collect()
+    )
+    assert s_rows == sorted(map(tuple, o_rows))
+
+
 def test_chunks_cover_and_overlap(spark, sf_dir):
     """Chunk starts tile every doc: stride apart, full CHUNK_TOKS except
     the tail, and token coverage is complete."""

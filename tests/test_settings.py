@@ -65,3 +65,24 @@ def test_env_vars():
 def test_invalid_settings_rejected():
     with pytest.raises(Exception):
         ImagingJobSettings(input_source="/in")  # missing output_directory
+
+
+def test_partition_bounds_validated():
+    """0 <= partition_to_process < num_of_partitions is enforced at
+    settings construction, not as an IndexError deep in the job."""
+    for n, p in [(1, 1), (4, 4), (4, -1), (0, 0), (-2, 0)]:
+        with pytest.raises(ValueError, match="partition|num_of_partitions"):
+            ImagingJobSettings(
+                input_source="/in",
+                output_directory="/out",
+                num_of_partitions=n,
+                partition_to_process=p,
+            )
+    # in-range values still accepted
+    s = ImagingJobSettings(
+        input_source="/in",
+        output_directory="/out",
+        num_of_partitions=4,
+        partition_to_process=3,
+    )
+    assert s.partition_to_process == 3
