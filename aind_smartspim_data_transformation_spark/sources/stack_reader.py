@@ -25,9 +25,12 @@ DataFrame transformations over this table.
 Scale posture: the scan lists files once on the driver (cheap:
 metadata-only), decode is Arrow-batched Python with ~6.4 MB rows, and
 slice→chunk assembly is ONE shuffle keyed by (channel, stack, cz) —
-the only shuffle in the whole ingest.  At 100 TB the same plan holds:
-binaryFile splits by file, AQE coalesces, and per-stack work never
-crosses stacks.
+the only Exchange in the whole ingest that carries pixel data.  The
+z-rank window shuffles a content-pruned (path, channel, stack)
+projection and rejoins by broadcast, so raw bytes never cross the
+wire before chunk assembly (plan-asserted).  At 100 TB the same plan
+holds: binaryFile splits by file, AQE coalesces, and per-stack work
+never crosses stacks.
 """
 
 from __future__ import annotations
@@ -147,9 +150,34 @@ def decode_slices(files: DataFrame) -> DataFrame:
 
     z is assigned by lexicographic filename order within the stack —
     the reference's sorted-glob semantics (`io/readers.py:145`).
+    SmartSPIM slice names are zero-padded depths with arbitrary step
+    ("000000", "000020", ...), so z is the RANK in that order, not the
+    parsed number.
+
+    The rank is computed on a content-PRUNED projection of the same
+    scan (binaryFile materializes only the columns a plan reads, so
+    this side lists paths without reading a single pixel byte) and
+    broadcast-joined back on path.  Consequences, deliberate:
+
+    - the multi-MB ``content`` column never enters an Exchange — the
+      window's shuffle moves ~100-byte path rows only (plan-asserted in
+      tests/test_imaging.py);
+    - decode runs in the scan's own file-split partitions instead of
+      hashing every slice of a stack onto ONE task (the old
+      window-before-decode plan serialized thousands of ~6 MB slices
+      per stack through a single executor thread).
+
+    The broadcast z-map is O(#slice files) small rows; for acquisitions
+    past ~10M slices prefer the one-partition-per-stack DataSource path
+    (sources/smartspim_datasource.py), which needs no z-map at all.
     """
     w = W.partitionBy("channel", "stack").orderBy("path")
-    indexed = files.withColumn("z", (F.row_number().over(w) - 1).cast("int"))
+    zmap = (
+        files.select("path", "channel", "stack")
+        .withColumn("z", (F.row_number().over(w) - 1).cast("int"))
+        .select("path", "z")
+    )
+    indexed = files.join(F.broadcast(zmap), "path")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["channel", "stack", "z", "height", "width", "dtype", "data"]

@@ -63,6 +63,34 @@ def test_decode_matches_source_pixels(spark, dataset):
         assert np.array_equal(got, src[z])
 
 
+def test_ingest_never_shuffles_raw_content(spark, dataset):
+    """The z-rank window runs on a content-pruned scan projection and
+    rejoins by broadcast: no Exchange in the ingest plan may carry the
+    raw binaryFile `content` column (VERDICT r3 scale defect — the old
+    window-before-decode plan shuffled every raw byte AND hashed all
+    slices of a stack onto one task)."""
+    import re
+
+    root, _ = dataset
+    df = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=2)
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    txt = df._jdf.queryExecution().explainString(fmt)
+    # formatted explain prints one "(N) NodeName" block per node with an
+    # "Input [...]" / "Output [...]" line naming the columns it carries
+    blocks = re.split(r"\n(?=\(\d+\) )", txt)
+    exchanges = [b for b in blocks if b.startswith("(") and " Exchange" in b.splitlines()[0]]
+    assert exchanges, "expected at least the chunk-assembly Exchange"
+    for b in exchanges:
+        assert "content#" not in b, f"Exchange carries raw content:\n{b}"
+    # the pruned rank-side scan must not read bytes at all
+    scans = [b for b in blocks if "Scan binaryFile" in b.splitlines()[0]]
+    assert any("ReadSchema: struct<path:string>" in b for b in scans), (
+        "z-rank side should scan path only"
+    )
+
+
 def test_stack_shape_golden(spark, dataset):
     """Reference golden: stack assembles to (n_slices, H, W) (SURVEY §5)."""
     root, arrays = dataset
