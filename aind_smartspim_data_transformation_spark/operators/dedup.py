@@ -661,8 +661,11 @@ FROM comp GROUP BY component ORDER BY component
 # regardless of component diameter (label propagation, d08, needs
 # O(diameter) rounds — the difference between 20 and 10⁶ iterations on
 # a path-shaped graph).  ``localCheckpoint`` per round cuts lineage.
-# The fixpoint test here is two exceptAll probes (fine at dedup scale);
-# a petabyte graph would keep a changed-edges accumulator instead.
+# The fixpoint test is ONE symmetric-difference job per round: both
+# edge sets are distinct, so a signed union (+1/-1) grouped by edge
+# with a nonzero sum pinpoints any change — one shuffle, one action
+# (was two exceptAll probes = two jobs; a petabyte graph would go
+# further and keep a changed-edges accumulator inside the round).
 # ---------------------------------------------------------------------------
 def _large_star(bidir: DataFrame) -> DataFrame:
     """Edges (u,v) in BOTH directions → undirected (a,b), a > b."""
@@ -706,12 +709,20 @@ def connected_components_star(pairs: DataFrame) -> DataFrame:
             p.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
         p_new = _small_star(_large_star(bidir)).localCheckpoint()
-        stable = (
-            p_new.exceptAll(p).limit(1).count() == 0
-            and p.exceptAll(p_new).limit(1).count() == 0
+        # one-job convergence check: signed-union symmetric difference
+        # (both sides are distinct edge sets, so sum(±1) != 0 ⇔ the
+        # edge is in exactly one of them)
+        changed = (
+            p.select("a", "b", F.lit(1).alias("s"))
+            .unionAll(p_new.select("a", "b", F.lit(-1).alias("s")))
+            .groupBy("a", "b")
+            .agg(F.sum("s").alias("s"))
+            .filter(F.col("s") != 0)
+            .limit(1)
+            .count()
         )
         p = p_new
-        if stable:
+        if changed == 0:
             break
     labels = p.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("label"))
     roots = (
