@@ -9,16 +9,20 @@ this minimal codec built on ``struct`` + ``zlib`` + ``numpy`` only
 plane needs:
 
 - decode: single-IFD grayscale (PhotometricInterpretation 0/1),
-  1 sample/pixel, 8/16-bit, strip-organized, compression none (1) or
-  Deflate (8 / legacy 32946), optional horizontal-differencing
-  predictor (tag 317 = 2), both byte orders (II/MM);
-- encode: uint8/uint16 grayscale, uncompressed, single strip, II order
-  (for fixtures and round-trip tests);
+  1 sample/pixel, 8/16-bit, strip-organized, compression none (1),
+  Deflate (8 / legacy 32946) or LZW (5; TIFF 6.0 §13 — MSB-first
+  variable-width codes with early change), optional
+  horizontal-differencing predictor (tag 317 = 2), both byte orders
+  (II/MM);
+- encode: uint8/uint16 grayscale, none/Deflate/LZW, single strip, II
+  order (for fixtures and round-trip tests);
 - header probe: width/height/bitdepth from the IFD without touching
   strip data (same contract as ``probe_png_header``).
 
-Tiled TIFFs, palettes, multi-sample images, and LZW/JPEG compression
-raise ``ValueError`` — loudly unsupported rather than silently wrong.
+Tiled TIFFs, palettes, multi-sample images, and JPEG compression raise
+``ValueError`` — loudly unsupported rather than silently wrong.  LZW
+decode is a pure-python code loop (fallback for microscopy exports);
+Deflate rides zlib's C path and is the fast option.
 """
 
 from __future__ import annotations
@@ -66,6 +70,113 @@ def _read_ifd(data: bytes) -> tuple[dict[int, list[int]], str]:
     return tags, en
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decompress(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9→12-bit
+    variable-width codes, CLEAR=256 / EOI=257, EARLY CHANGE: the
+    encoder widens when its next free code reaches 2^w - 1 (511/1023/
+    2047 — one sooner than plain LZW).  The decoder's table lags the
+    encoder's by exactly one append (it reconstructs entry k while
+    reading code k+1), so it must widen one append earlier still: when
+    ITS table size reaches 2^w - 2 (510/1022/2046).  Verified by
+    round-trip property tests that cross every width boundary and the
+    4094-entry table reset."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    buf = 0  # MSB-first bit accumulator
+    nbuf = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbuf < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: EOI implied
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbuf += 8
+        nbuf -= width
+        code = (buf >> nbuf) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("LZW stream must start with CLEAR or literal")
+            entry = table[code] if table else bytes([code])
+            if not table:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_compress(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture/round-trip support)."""
+    out = bytearray()
+    buf = 0
+    nbuf = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbuf
+        buf = (buf << width) | code
+        nbuf += width
+        while nbuf >= 8:
+            nbuf -= 8
+            out.append((buf >> nbuf) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    omega = b""
+    for b in data:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        emit(table[omega], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:  # 12-bit table nearly full: reset
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        omega = bytes([b])
+    if omega:
+        emit(table[omega], width)
+        # The decoder appends a table entry for this final code even
+        # though the encoder has nothing to add (no next symbol), and
+        # may WIDEN as a result — count the phantom append so EOI is
+        # written at the width the decoder will read it with.
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(_LZW_EOI, width)
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)  # flush, zero-padded
+    return bytes(out)
+
+
 def probe_tiff_header(data: bytes) -> tuple[int, int, int]:
     """(width, height, bitdepth) from the IFD without reading strips."""
     tags, _ = _read_ifd(data)
@@ -101,16 +212,21 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         raise ValueError("TIFF missing StripOffsets")
     if not counts:
         raise ValueError("TIFF missing StripByteCounts")
-    if compression not in (1, 8, 32946):
+    if compression not in (1, 5, 8, 32946):
         raise ValueError(
-            f"unsupported TIFF compression {compression} (none/deflate only)"
+            f"unsupported TIFF compression {compression} (none/lzw/deflate only)"
         )
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     raw = bytearray()
     for off, cnt in zip(offsets, counts):
         strip = data[off : off + cnt]
-        raw += zlib.decompress(strip) if compression != 1 else strip
+        if compression == 1:
+            raw += strip
+        elif compression == 5:
+            raw += _lzw_decompress(strip)
+        else:
+            raw += zlib.decompress(strip)
     dtype = np.dtype(en + ("u2" if bits == 16 else "u1"))
     arr = np.frombuffer(bytes(raw), dtype=dtype, count=h * w).reshape(h, w)
     if predictor == 2:  # horizontal differencing: cumsum per row
@@ -122,7 +238,7 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
 def encode_tiff_gray(arr: np.ndarray, compression: int = 1) -> bytes:
     """Encode a 2-D uint8/uint16 array as a single-strip II TIFF.
 
-    ``compression``: 1 (none) or 8 (Deflate).
+    ``compression``: 1 (none), 5 (LZW) or 8 (Deflate).
     """
     if arr.ndim != 2:
         raise ValueError(f"expected 2-D array, got shape {arr.shape}")
@@ -132,12 +248,14 @@ def encode_tiff_gray(arr: np.ndarray, compression: int = 1) -> bytes:
         bits = 16
     else:
         raise ValueError(f"unsupported dtype {arr.dtype} (uint8/uint16 only)")
-    if compression not in (1, 8):
+    if compression not in (1, 5, 8):
         raise ValueError(f"unsupported compression {compression}")
     h, w = arr.shape
     payload = np.ascontiguousarray(arr.astype("<u2" if bits == 16 else "u1")).tobytes()
     if compression == 8:
         payload = zlib.compress(payload, 1)
+    elif compression == 5:
+        payload = _lzw_compress(payload)
     # layout: header(8) | strip data | IFD
     strip_off = 8
     ifd_off = strip_off + len(payload)

@@ -126,13 +126,95 @@ def test_png_paeth_decode_throughput():
 # ---------------------------------------------------------------------------
 # TIFF
 # ---------------------------------------------------------------------------
-@given(_images(), st.sampled_from([1, 8]))
+@given(_images(), st.sampled_from([1, 5, 8]))
 @settings(max_examples=80, deadline=None)
 def test_tiff_roundtrip_property(arr, compression):
     data = encode_tiff_gray(arr, compression=compression)
     dec = decode_tiff_gray(data)
     assert dec.dtype == arr.dtype
     assert np.array_equal(dec, arr)
+
+
+def test_lzw_spec_vector():
+    """Decoder vs a hand-packed TIFF 6.0 §13 code stream (the bit
+    packing here is written independently of the codec): encoding
+    [7,7,7,8,8] yields codes CLEAR,7,258,8,8,EOI — 258 is the entry
+    the encoder adds for the repeated '7 7'."""
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    codes = [256, 7, 258, 8, 8, 257]
+    buf = 0
+    nbits = 0
+    packed = bytearray()
+    for c in codes:  # all under the 510-entry boundary → 9 bits each
+        buf = (buf << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            nbits -= 8
+            packed.append((buf >> nbits) & 0xFF)
+    if nbits:
+        packed.append((buf << (8 - nbits)) & 0xFF)
+    assert _lzw_decompress(bytes(packed)) == bytes([7, 7, 7, 8, 8])
+    # and the encoder produces exactly this stream
+    assert _lzw_compress(bytes([7, 7, 7, 8, 8])) == bytes(packed)
+
+
+def test_lzw_width_boundaries_and_reset():
+    """Round-trip data large/diverse enough to cross the 9→10→11→12-bit
+    width transitions AND the 4094-entry table reset (early-change
+    off-by-ones corrupt everything after the first boundary, so exact
+    equality here is a strong check)."""
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = np.random.default_rng(7)
+    # random bytes maximize fresh table entries → fastest table growth
+    blob = rng.integers(0, 256, size=40_000).astype(np.uint8).tobytes()
+    assert _lzw_decompress(_lzw_compress(blob)) == blob
+    # highly repetitive data exercises long table entries + KwKwK
+    rep = (b"\x07" * 97 + b"\x08\x09" * 53) * 200
+    assert _lzw_decompress(_lzw_compress(rep)) == rep
+
+
+def test_lzw_tail_lands_on_every_width_boundary():
+    """Regression: the decoder appends a table entry for the FINAL data
+    code (the encoder has none to pair with it), so a stream whose last
+    code falls exactly on a width boundary made the decoder widen
+    before EOI and misread it.  Sweeping lengths around the 9→10-bit
+    boundary (table size 510 after ~252 appends) guarantees some length
+    puts the tail exactly on the boundary; random bytes keep one append
+    per emitted code."""
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in range(240, 280):
+        blob = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+        assert _lzw_decompress(_lzw_compress(blob)) == blob, n
+    # empty + single-byte degenerate streams
+    assert _lzw_decompress(_lzw_compress(b"")) == b""
+    assert _lzw_decompress(_lzw_compress(b"\x00")) == b"\x00"
+
+
+def test_tiff_lzw_full_image_roundtrip():
+    """A realistic 16-bit plane through the LZW path end-to-end,
+    including the magic-byte dispatch used by the stack reader."""
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        decode_image_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 65535, size=(64, 80)).astype(np.uint16)
+    data = encode_tiff_gray(arr, compression=5)
+    assert np.array_equal(decode_tiff_gray(data), arr)
+    assert np.array_equal(decode_image_gray(data), arr)
 
 
 def test_tiff_probe_golden():
