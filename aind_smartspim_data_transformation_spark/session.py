@@ -76,6 +76,16 @@ def imaging_session(spark: SparkSession) -> SparkSession:
         child.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", IMAGING_ARROW_ROWS
         )
+        # One slice file per scan partition: decode is the expensive
+        # step (pure-Python codec, ~1 s per 2000×1600 slice) and now
+        # runs IN the scan partitions (no pre-decode shuffle), so
+        # parallelism = scan splits.  The relational default packs
+        # ~128 MB of files per partition — twenty ~6 MB slices would
+        # serialize onto one task.  openCost == maxPartitionBytes means
+        # a partition closes after its first file; at 100 TB this stays
+        # right: per-file tasks are decode-bound, scheduling is noise.
+        child.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        child.conf.set("spark.sql.files.openCostInBytes", str(32 * 1024 * 1024))
         _imaging_sessions[spark] = child
     return child
 

@@ -92,6 +92,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Imaging end-to-end (scan → decode → pyramid → OME-Zarr) on a
+    # generated 2000×1600 stack tree, graduated from
+    # tools/bench_imaging.py so ingest regressions land in BENCH_r{N}.
+    # Reported as its own block — NOT folded into total_query_sec, which
+    # stays comparable round-over-round.  mb_per_sec is the depth-robust
+    # comparable (r3 micro-bench: ~13-16 MB/s on an idle host).
+    imaging = None
+    try:
+        from tools.bench_imaging import run_e2e
+
+        imaging = run_e2e(spark, int(os.environ.get("IMG_BENCH_SLICES", "16")))
+        print(f"# imaging_e2e: {imaging}", file=sys.stderr)
+    except Exception as exc:  # imaging bench must never fail the harness
+        print(f"# imaging e2e skipped: {exc}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -100,6 +115,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "imaging_e2e": imaging,
                 "sf": sf,
             }
         )

@@ -100,10 +100,16 @@ def generate(root: Path, n_slices: int) -> int:
     return raw
 
 
-def main() -> None:
-    n_slices = int(os.environ.get("IMG_BENCH_SLICES", "32"))
-    spark = build_local_session(app_name="bench-imaging", driver_memory="32g")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+def run_e2e(spark, n_slices: int) -> dict:
+    """Generate a stack tree, run the full imaging job, return metrics.
+
+    Importable from bench.py (the per-round BENCH harness) so ingest
+    regressions surface in BENCH_r{N}.json, not just this micro-bench.
+    Generation time is excluded; job wall-clock (decode + 4-level
+    pyramid + zarr write + metadata) is what's timed.  MB/s over the
+    raw uncompressed pixel volume is the depth-robust comparable
+    (wall-clock scales with $IMG_BENCH_SLICES; throughput barely does).
+    """
     tmp = Path(tempfile.mkdtemp(prefix="imgbench_"))
     try:
         src, out = tmp / "src", tmp / "out"
@@ -116,21 +122,32 @@ def main() -> None:
         wall = time.perf_counter() - t0
         assert resp["status_code"] == 200, resp
         raw_mb = raw_bytes / 1e6
-        print(
-            json.dumps(
-                {
-                    "metric": "imaging_mb_per_sec",
-                    "value": round(raw_mb / wall, 2),
-                    "unit": "MB/s",
-                    "raw_mb": round(raw_mb, 1),
-                    "wall_sec": round(wall, 2),
-                    "stacks": len(CHANNELS) * len(COLS) * len(ROWS),
-                    "slices_per_stack": n_slices,
-                }
-            )
-        )
+        return {
+            "mb_per_sec": round(raw_mb / wall, 2),
+            "raw_mb": round(raw_mb, 1),
+            "wall_sec": round(wall, 2),
+            "stacks": len(CHANNELS) * len(COLS) * len(ROWS),
+            "slices_per_stack": n_slices,
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    n_slices = int(os.environ.get("IMG_BENCH_SLICES", "32"))
+    spark = build_local_session(app_name="bench-imaging", driver_memory="32g")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    m = run_e2e(spark, n_slices)
+    print(
+        json.dumps(
+            {
+                "metric": "imaging_mb_per_sec",
+                "value": m["mb_per_sec"],
+                "unit": "MB/s",
+                **{k: v for k, v in m.items() if k != "mb_per_sec"},
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
