@@ -1261,6 +1261,244 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Q34 — national market share (TPC-H Q8 shape): what fraction of the
+# ASIA market's revenue (customers in ASIA) is supplied by NATION_3,
+# per order year?  Two aliased nation joins (customer side pins the
+# region, supplier side provides the share numerator); the share is a
+# conditional-sum / sum ratio computed inside one aggregation — no
+# second pass over the fact table.
+#
+# Scale: lineitem⋈orders shuffles on orderkey; every dimension
+# (customer, supplier, nation ×2, region) broadcasts, so the fact
+# table is shuffled exactly once.
+# ---------------------------------------------------------------------------
+def q34_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n_cust = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    n_supp = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("sn_name"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_cust), c["c_nationkey"] == F.col("cn_nationkey"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_supp), s["s_nationkey"] == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("sn_name") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q34_SQL = """
+SELECT extract(year FROM o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY extract(year FROM o_orderdate)
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q35 — small-quantity average yearly revenue (TPC-H Q17 shape): the
+# classic *correlated scalar subquery* — lineitems of Brand#13 parts
+# whose quantity is below 20% of that part's average quantity.
+#
+# Decorrelation: the per-part average is a groupBy over only the
+# lineitems of the ~0.5% of parts that survive the brand filter
+# (semi-filtered through a broadcast of the filtered part keys), then
+# broadcast-joined back — the fact table is scanned once per side but
+# never shuffled on a fact-sized key.
+# ---------------------------------------------------------------------------
+def q35_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    brand_li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(per_part),
+            brand_li["l_partkey"] == F.col("a_partkey"),
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+Q35_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q36 — large-volume customers (TPC-H Q18 shape): orders whose total
+# quantity across all lineitems exceeds 300, with their customers.
+# The IN-(grouped-HAVING-subquery) decorrelates to an aggregation of
+# lineitem followed by a join back to orders — the aggregate is
+# orderkey-keyed, so with both sides bucketed by orderkey at scale the
+# join is shuffle-free (and the group-by reuses the same partitioning).
+# ---------------------------------------------------------------------------
+def q36_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q36_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING round(sum(l_quantity), 2) > 300
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q37 — important parts (TPC-H Q11 shape, adapted: this schema has no
+# partsupp, so lineitem revenue stands in for partsupp value): parts
+# whose revenue exceeds 1.5× the mean per-part revenue — a *scalar
+# aggregate subquery in HAVING*.
+#
+# Decorrelation: one orderkey-free groupBy of the fact builds the
+# per-part revenue; the global mean is a second aggregation OF THAT
+# (part-cardinality, tiny) result, cross-joined back as a broadcast
+# single row — the 100 TB fact is aggregated exactly once.
+# ---------------------------------------------------------------------------
+def q37_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    mean_rev = per_part.agg(F.avg("rev").alias("mean_rev"))
+    return (
+        per_part.crossJoin(F.broadcast(mean_rev))
+        .filter(F.col("rev") > 1.5 * F.col("mean_rev"))
+        .select("l_partkey", F.round("rev", 2).alias("part_revenue"))
+        .orderBy(F.desc("part_revenue"), F.asc("l_partkey"))
+    )
+
+
+Q37_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(rev, 2) AS part_revenue
+FROM per_part
+WHERE rev > 1.5 * (SELECT avg(rev) FROM per_part)
+ORDER BY part_revenue DESC, l_partkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q38 — promotion revenue share (TPC-H Q14 shape): per ship month, the
+# percentage of revenue from PROMO-type parts.  part broadcasts; the
+# conditional share is one aggregation of the joined fact.
+# ---------------------------------------------------------------------------
+def q38_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(vol), 2).alias("total_revenue"),
+        )
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+Q38_SQL = """
+SELECT extract(year FROM l_shipdate) AS ship_year,
+       extract(month FROM l_shipdate) AS ship_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+ORDER BY ship_year, ship_month
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1297,6 +1535,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_custdist": q31_custdist,
     "q32_disjunctive_revenue": q32_disjunctive_revenue,
     "q33_waiting_suppliers": q33_waiting_suppliers,
+    "q34_market_share": q34_market_share,
+    "q35_avg_yearly": q35_avg_yearly,
+    "q36_large_volume_customer": q36_large_volume_customer,
+    "q37_important_parts": q37_important_parts,
+    "q38_promo_share": q38_promo_share,
 }
 
 ORACLE: dict[str, str] = {
@@ -1333,4 +1576,9 @@ ORACLE: dict[str, str] = {
     "q31_custdist": Q31_SQL,
     "q32_disjunctive_revenue": Q32_SQL,
     "q33_waiting_suppliers": Q33_SQL,
+    "q34_market_share": Q34_SQL,
+    "q35_avg_yearly": Q35_SQL,
+    "q36_large_volume_customer": Q36_SQL,
+    "q37_important_parts": Q37_SQL,
+    "q38_promo_share": Q38_SQL,
 }

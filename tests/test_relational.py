@@ -100,3 +100,32 @@ def test_q02_topk_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q35_plan_decorrelates_to_broadcasts(spark, sf_dir):
+    """Q17-shape correlated scalar subquery must decorrelate to
+    broadcast joins (brand semi-filter + per-part average), never a
+    fact-keyed shuffle join."""
+    df = relational.q35_avg_yearly(spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q37_plan_reuses_per_part_exchange(spark, sf_dir):
+    """The HAVING-vs-global-mean subquery must NOT aggregate the fact
+    twice: the per-part groupBy exchange is shared (ReusedExchange) and
+    lineitem is scanned exactly once."""
+    df = relational.q37_important_parts(spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in plan
+    assert plan.count("Scan parquet") == 1
