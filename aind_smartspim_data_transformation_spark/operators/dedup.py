@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from aind_smartspim_data_transformation_spark.tables import load_table
@@ -744,6 +744,134 @@ def d09_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# D10 — duplicated-substring coverage (exact-substring dedup shape):
+# how much of each document sits inside a verbatim span that also
+# appears elsewhere in the corpus?  This is the span-level metric the
+# suffix-array substring dedupers compute (flag/remove any ≥k-token
+# run shared between documents) — distinct from d02's *pairwise*
+# 3-shingle Jaccard: here the unit is the token position, and the
+# answer is per-document duplicated-span coverage after merging
+# overlapping hits.
+#
+# Plan: explode every 8-token window (stride 1 — stride >1 cannot
+# guarantee window alignment between two occurrences of the same
+# span), md5 it, count occurrences per hash with ONE analytic window
+# (shuffle by hash), keep windows whose hash occurs ≥2× globally,
+# then merge overlapping [start, start+7] intervals per doc with the
+# classic running-max island sweep (shuffle by doc_id).  Two shuffles
+# total; the window rows are ~n_tokens, the same magnitude d02
+# already carries.  At 100 TB the hash shuffle is the big one and is
+# pure map-side-combinable count — no pair blowup anywhere.
+# ---------------------------------------------------------------------------
+D10_WINDOW = 8  # tokens per fingerprinted span
+
+
+def d10_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = D10_WINDOW
+    docs = load_table(spark, sf_dir, "documents")
+    wins = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {w}), "
+                    f"i -> struct(i AS s, md5(concat_ws(' ', slice(toks, i + 1, {w}))) AS h))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", "n_tokens", F.col("win.s").alias("s"), F.col("win.h").alias("h"))
+    )
+    flagged = wins.withColumn(
+        "n_occ", F.count("*").over(W.partitionBy("h"))
+    ).filter(F.col("n_occ") >= 2)
+    per_doc = W.partitionBy("doc_id").orderBy("s")
+    islands = (
+        flagged.withColumn("e", F.col("s") + F.lit(w - 1))
+        .withColumn(
+            "prev_max_e",
+            F.max("e").over(per_doc.rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "is_start",
+            F.when(
+                F.col("s") > F.coalesce(F.col("prev_max_e"), F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_start").over(per_doc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "n_tokens", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("span_tokens"),
+             F.count("*").alias("n_windows"))
+    )
+    return (
+        islands.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+            F.sum("n_windows").cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.floor(F.col("dup_tokens") * 1000000 / F.col("n_tokens")).cast("long"),
+        )
+        .orderBy(F.desc("dup_ppm"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+D10_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens,
+         unnest(generate_series(1, len(string_split(text, ' ')) - {D10_WINDOW} + 1)) AS i
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {D10_WINDOW}
+), wins AS (
+  SELECT doc_id, n_tokens, i - 1 AS s,
+         md5(array_to_string(toks[i:i + {D10_WINDOW} - 1], ' ')) AS h
+  FROM toks
+), flagged AS (
+  SELECT * FROM (
+    SELECT doc_id, n_tokens, s, count(*) OVER (PARTITION BY h) AS n_occ
+    FROM wins
+  ) WHERE n_occ >= 2
+), marked AS (
+  SELECT doc_id, n_tokens, s, s + {D10_WINDOW} - 1 AS e,
+         CASE WHEN s > coalesce(max(s + {D10_WINDOW} - 1) OVER (
+                  PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_start
+  FROM flagged
+), islands AS (
+  SELECT doc_id, n_tokens,
+         sum(is_start) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+         s, e
+  FROM marked
+), spans AS (
+  SELECT doc_id, n_tokens, island,
+         max(e) - min(s) + 1 AS span_tokens, count(*) AS n_windows
+  FROM islands GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id, n_tokens,
+       count(*) AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(sum(n_windows) AS BIGINT) AS n_dup_windows,
+       CAST(sum(span_tokens) * 1000000 // n_tokens AS BIGINT) AS dup_ppm
+FROM spans
+GROUP BY doc_id, n_tokens
+ORDER BY dup_ppm DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
@@ -754,6 +882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d07_simhash_hamming_pairs": d07_simhash_hamming_pairs,
     "d08_dup_components": d08_dup_components,
     "d09_dup_components_star": d09_dup_components_star,
+    "d10_substring_coverage": d10_substring_coverage,
 }
 
 ORACLE: dict[str, str] = {
@@ -768,4 +897,5 @@ ORACLE: dict[str, str] = {
     # identical output contract — the same recursive-CTE oracle verifies
     # the O(log n) star algorithm and the label-propagation baseline
     "d09_dup_components_star": D08_SQL,
+    "d10_substring_coverage": D10_SQL,
 }

@@ -81,3 +81,30 @@ def test_minhash_degenerate_bucket_cap(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
     )
     assert con.execute(dedup.ORACLE["d03_dedup_minhash_lsh"]).fetchall() == []
+
+
+def test_substring_coverage_planted_span(spark, tmp_path):
+    """d10: a 12-token verbatim run shared by two docs yields ONE merged
+    span of exactly 12 tokens in each (five overlapping 8-token windows
+    collapse into one island); a doc sharing nothing is absent."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  # 12 tokens
+    docs = [
+        (0, "pre1 pre2 " + shared + " tailA1 tailA2 tailA3"),
+        (1, shared + " tailB1 tailB2 tailB3 tailB4 tailB5"),
+        (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.d10_substring_coverage(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 1}
+    for d in (0, 1):
+        assert rows[d]["n_spans"] == 1
+        assert rows[d]["dup_tokens"] == 12
+        assert rows[d]["n_dup_windows"] == 5  # positions 0..4 within the run
+    assert rows[0]["n_tokens"] == 17 and rows[1]["n_tokens"] == 17
+    assert rows[0]["dup_ppm"] == 12 * 1_000_000 // 17
