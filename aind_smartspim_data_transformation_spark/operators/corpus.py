@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -579,6 +579,88 @@ FROM f GROUP BY source, target_bps ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# C10 — PII redaction: scrub emails / IPv4 addresses / phone numbers
+# from document text before training, and account for what was
+# scrubbed.  The regex subset is chosen to mean the same thing under
+# Java regex (Spark, JVM-side regexp_replace — whole-stage codegen,
+# no Python in the loop) and RE2 (DuckDB oracle): character classes,
+# bounded repetition, \\d and \\b only.
+#
+# Scale posture: pure narrow map over the corpus — zero shuffles
+# except the final per-source rollup; redaction cost is linear scan
+# per document, the cheapest possible shape at 100 TB.  The synthetic
+# corpus contains no PII (counts come back zero), which the oracle
+# still verifies end-to-end; the planted-corpus test in
+# tests/test_corpus.py proves the actual redaction semantics on text
+# that does contain emails/IPs/phones.
+# ---------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses and phone numbers with typed
+    placeholder tokens.  Order matters: IPv4 before phone so a dotted
+    quad is never half-eaten by the phone pattern."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
+def c10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        (F.length("text") - F.length(redact_pii(F.col("text"))))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("n_ips").alias("n_ips"),
+            F.sum("n_phones").alias("n_phones"),
+            F.sum("chars_removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _c10_sql() -> str:
+    # RE2 needs the same pattern text; DuckDB regexp_replace is
+    # first-match-only unless passed the 'g' option.
+    email, ip, phone = PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{email}')) AS n_emails,
+         len(regexp_extract_all(text, '{ip}')) AS n_ips,
+         len(regexp_extract_all(text, '{phone}')) AS n_phones,
+         length(text) - length(
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{email}', '<EMAIL>', 'g'),
+             '{ip}', '<IP>', 'g'),
+             '{phone}', '<PHONE>', 'g')) AS chars_removed
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_ips) AS BIGINT) AS n_ips,
+       CAST(sum(n_phones) AS BIGINT) AS n_phones,
+       CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_train_split": c01_train_split,
     "c02_pack_sequences": c02_pack_sequences,
@@ -589,6 +671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c07_length_buckets": c07_length_buckets,
     "c08_contamination": c08_contamination,
     "c09_source_mixture": c09_source_mixture,
+    "c10_pii_redaction": c10_pii_redaction,
 }
 
 ORACLE: dict[str, str] = {
@@ -601,4 +684,5 @@ ORACLE: dict[str, str] = {
     "c07_length_buckets": C07_SQL,
     "c08_contamination": C08_SQL,
     "c09_source_mixture": C09_SQL,
+    "c10_pii_redaction": _c10_sql(),
 }

@@ -184,3 +184,50 @@ def test_chunks_cover_and_overlap(spark, sf_dir):
     )
     assert bad.count() == 0
     assert df.filter(F.col("n_tok") > corpus.CHUNK_TOKS).count() == 0
+
+
+def test_pii_redaction_planted(spark, tmp_path):
+    """c10: emails/IPs/phones are replaced with typed placeholders, the
+    counts are right, and the DuckDB oracle agrees on a corpus that
+    actually CONTAINS PII (the synthetic corpus has none)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "contact bob.smith+x@example.co.uk for details", "src0"),
+        (1, "server at 192.168.1.254 then call 555-867-5309 now", "src0"),
+        (2, "plain text with no pii at all", "src1"),
+        (3, "two mails a@b.io c@d.org and ip 10.0.0.1", "src1"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    red = {
+        r["doc_id"]: r["red"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, t, _ in docs], "doc_id long, text string"
+        )
+        .select("doc_id", corpus.redact_pii(F.col("text")).alias("red"))
+        .collect()
+    }
+    assert red[0] == "contact <EMAIL> for details"
+    assert red[1] == "server at <IP> then call <PHONE> now"
+    assert red[2] == "plain text with no pii at all"
+    assert red[3] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+    got = sorted(
+        map(tuple, corpus.c10_pii_redaction(spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(con.execute(corpus.ORACLE["c10_pii_redaction"]).fetchall())
+    assert got == want
+    by_src = {r[0]: r for r in got}
+    # (source, n_docs, n_emails, n_ips, n_phones, chars_removed)
+    assert by_src["src0"][1:5] == (2, 1, 1, 1)
+    assert by_src["src1"][1:5] == (2, 2, 1, 0)
