@@ -3,8 +3,9 @@
 Re-expresses the reference's zarr writer (SURVEY.md §2.1 S7,
 `compress/png_to_zarr.py:533-708`) as a Spark sink:
 
-- executors write chunk blobs via ``foreachPartition`` — embarrassingly
-  parallel, no coordination, idempotent (re-run overwrites);
+- executors write chunk blobs via an Arrow-batched per-partition write
+  job (``_arrow_foreach``) — embarrassingly parallel, no coordination,
+  idempotent (re-run overwrites);
 - the driver writes all JSON metadata (.zgroup/.zattrs/.zarray) ONCE,
   which removes the reference's create-race handling
   (`safe_create_zarr_group`, `compress/png_to_zarr.py:503-530`);
@@ -137,6 +138,36 @@ def _write_json(path: str, obj: Any) -> None:
     else:
         with fs.open_output_stream(p) as f:
             f.write(payload)
+
+
+def _arrow_foreach(df: DataFrame, partition_fn) -> None:
+    """Run ``partition_fn(rows)`` once per partition, with ``rows`` an
+    iterator of dict-like records — through ``mapInPandas``, i.e. the
+    Arrow transfer path.
+
+    ``DataFrame.foreachPartition`` would route every row through the
+    legacy pickled-RDD serializer; with half-megabyte binary chunk
+    payloads per row that serializer dominated the sink's wall-clock
+    (measured ~2× slower end-to-end than Arrow batches on the 409 MB
+    micro-bench).  The one-summary-row-per-partition output is what
+    forces execution; it is collected and discarded.
+    """
+    import pandas as pd
+
+    def _runner(batches):
+        n = 0
+
+        def rows():
+            nonlocal n
+            for pdf in batches:
+                for rec in pdf.to_dict("records"):
+                    n += 1
+                    yield rec
+
+        partition_fn(rows())
+        yield pd.DataFrame({"n": [n]})
+
+    df.mapInPandas(_runner, schema="n long").collect()
 
 
 def _level_geometry(level_df: DataFrame) -> tuple[tuple[int, ...], str]:
@@ -277,7 +308,7 @@ def write_ome_zarr(
                 with fs.open_output_stream(key) as f:
                     f.write(compress(np.ascontiguousarray(arr).tobytes()))
 
-        level_df.foreachPartition(_write_partition)
+        _arrow_foreach(level_df, _write_partition)
         shape = [
             1,
             1,
@@ -307,7 +338,7 @@ def write_ome_zarr_all(
     ``<output_root>/<channel>/<stack>.ome.zarr``.
 
     This is the 1000-executor shape: ONE geometry aggregation and ONE
-    ``foreachPartition`` write job per level for the whole dataset —
+    Arrow-batched write job (``_arrow_foreach``) per level for the whole dataset —
     per-stack routing happens inside the task from each row's
     channel/stack columns — instead of the per-stack sink's
     jobs × stacks fan-out.  Metadata stays driver-side single-writer.
@@ -457,7 +488,7 @@ def write_ome_zarr_all(
                 with fs.open_output_stream(key) as f:
                     f.write(compress(np.ascontiguousarray(arr).tobytes()))
 
-        level_df.foreachPartition(_write_partition)
+        _arrow_foreach(level_df, _write_partition)
 
     return sorted(groups)
 

@@ -267,47 +267,87 @@ def slices_to_chunks(
     (dz<=chunk_z, dy<=chunk_y, dx<=chunk_x).  With chunk_y/chunk_x None
     each chunk spans the full slice plane (the reference's
     one-chunk-per-slice dask layout generalized to a z-blocked layout);
-    passing them tiles the plane into the reference's 128³-style bricks
-    — at microscopy plane sizes (2000×1600 uint16) a full-plane z-slab
-    is hundreds of MB in ONE row, which serializes the downstream
-    pyramid/sink onto single tasks and strains Arrow batches, whereas
-    128×128 tiles give ~4 MB rows and per-tile parallelism.  Peak
-    assembly memory per group is still chunk_z × plane bytes (the slab
-    must exist to be tiled); size chunk_z accordingly.
+    passing them tiles the plane into the reference's 128³-style bricks.
+
+    Order of operations matters for scale: each slice is cut into its
+    (cy, cx) tiles BEFORE the shuffle (a narrow mapInPandas in the
+    decode's own partitions), and the shuffle key is the full chunk
+    coordinate (channel, stack, cz, cy, cx).  Grouping whole slices by
+    (channel, stack, cz) and tiling after — the obvious alternative —
+    concentrates chunk_z × plane bytes (hundreds of MB at microscopy
+    plane sizes) on ONE task per z-slab and caps assembly parallelism
+    at #slabs; keying by tile keeps every group at chunk_z × tile
+    bytes (~512 KB for 128³ bricks), scales the parallelism with
+    #tiles, and moves exactly the same bytes through the exchange.
     """
     keyed = slices.withColumn("cz", (F.col("z") / chunk_z).cast("int"))
 
+    tile_cols = [
+        "channel", "stack", "cz", "z", "cy", "cx", "dy", "dx", "dtype", "data",
+    ]
+
+    def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(
+                    1, r.height, r.width
+                )
+                for cy, cx, tile in tile_plane_block(arr, chunk_y, chunk_x):
+                    rows.append(
+                        (
+                            r.channel,
+                            r.stack,
+                            r.cz,
+                            r.z,
+                            cy,
+                            cx,
+                            tile.shape[1],
+                            tile.shape[2],
+                            r.dtype,
+                            tile.tobytes(),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=tile_cols)
+
+    tiles = keyed.mapInPandas(
+        _split,
+        schema=(
+            "channel string, stack string, cz int, z int, cy int, cx int, "
+            "dy int, dx int, dtype string, data binary"
+        ),
+    )
+
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        channel, stack, cz = key
+        channel, stack, cz, cy, cx = key
         pdf = pdf.sort_values("z")
         dtype = pdf["dtype"].iloc[0]
-        h = int(pdf["height"].iloc[0])
-        wd = int(pdf["width"].iloc[0])
+        dy = int(pdf["dy"].iloc[0])
+        dx = int(pdf["dx"].iloc[0])
         block = np.stack(
             [
-                np.frombuffer(b, dtype=np.dtype(dtype)).reshape(h, wd)
+                np.frombuffer(b, dtype=np.dtype(dtype)).reshape(dy, dx)
                 for b in pdf["data"]
             ]
         )
-        rows = [
-            (
-                channel,
-                stack,
-                0,
-                0,
-                int(cz),
-                cy,
-                cx,
-                tile.shape[0],
-                tile.shape[1],
-                tile.shape[2],
-                dtype,
-                tile.tobytes(),
-            )
-            for cy, cx, tile in tile_plane_block(block, chunk_y, chunk_x)
-        ]
         return pd.DataFrame(
-            rows,
+            [
+                (
+                    channel,
+                    stack,
+                    0,
+                    0,
+                    int(cz),
+                    int(cy),
+                    int(cx),
+                    block.shape[0],
+                    dy,
+                    dx,
+                    dtype,
+                    block.tobytes(),
+                )
+            ],
             columns=[
                 "channel",
                 "stack",
@@ -324,7 +364,7 @@ def slices_to_chunks(
             ],
         )
 
-    return keyed.groupBy("channel", "stack", "cz").applyInPandas(
+    return tiles.groupBy("channel", "stack", "cz", "cy", "cx").applyInPandas(
         _assemble, schema=CHUNK_SCHEMA
     )
 
