@@ -581,6 +581,60 @@ FROM r WHERE rnk <= {VOCAB_TOP} ORDER BY rnk
 """
 
 
+# ---------------------------------------------------------------------------
+# T11 — character-level Shannon entropy: the standard cheap detector
+# for gibberish / binary-contaminated / machine-generated text in a
+# corpus quality gate (natural language sits in a narrow entropy band;
+# base64 blobs and repeated boilerplate fall far outside it).
+#
+# H = ln(n) − (1/n)·Σ c·ln(c) over per-character counts c — computed
+# from an explode → (doc, char) hash-agg (map-side combine; the
+# shuffle carries ≤ |alphabet| rows per doc, not the text).  Rounded
+# to 4 dp in BOTH engines: the JVM's and libm's ln may differ in the
+# last ulp, and the rounding collapses that far below the comparison
+# precision.
+# ---------------------------------------------------------------------------
+def t11_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    chars = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.explode(F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    return (
+        counts.groupBy("doc_id", "n_chars")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.round(
+                F.log(F.col("n_chars").cast("double"))
+                - F.sum(F.col("c") * F.log("c")) / F.col("n_chars"),
+                4,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T11_SQL = """
+WITH chars AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         substr(text, CAST(i AS INTEGER), 1) AS ch
+  FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+), counts AS (
+  SELECT doc_id, n_chars, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars GROUP BY doc_id, n_chars, ch
+)
+SELECT doc_id, n_chars,
+       count(*) AS n_distinct_chars,
+       round(ln(CAST(n_chars AS DOUBLE)) - sum(c * ln(c)) / n_chars, 4)
+         AS entropy_nats
+FROM counts GROUP BY doc_id, n_chars ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t01_token_stats": t01_token_stats,
     "t02_quality_score": t02_quality_score,
@@ -592,6 +646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t08_repetition_stats": t08_repetition_stats,
     "t09_readability": t09_readability,
     "t10_vocab_zipf": t10_vocab_zipf,
+    "t11_char_entropy": t11_char_entropy,
 }
 
 ORACLE: dict[str, str] = {
@@ -605,4 +660,5 @@ ORACLE: dict[str, str] = {
     "t08_repetition_stats": T08_SQL,
     "t09_readability": T09_SQL,
     "t10_vocab_zipf": T10_SQL,
+    "t11_char_entropy": T11_SQL,
 }
