@@ -130,7 +130,7 @@ def enriched_purchases(events: DataFrame, sf_dir: str) -> DataFrame:
     )
 
 
-def click_purchase_interval_join(events: DataFrame) -> DataFrame:
+def click_purchase_interval_join(events: DataFrame, how: str = "inner") -> DataFrame:
     """Streaming twin of e08: watermarked stream-stream interval join.
 
     Both sides carry a watermark and the join condition bounds the
@@ -140,6 +140,12 @@ def click_purchase_interval_join(events: DataFrame) -> DataFrame:
     watermark + range: a click can only ever match purchases up to
     30 minutes after it, so rows older than watermark + 30 min are
     dropped from the buffer.
+
+    ``how="left_outer"`` adds the deferred-NULL semantics an
+    attribution pipeline needs: an unmatched click is HELD in state
+    until the watermark proves no purchase can still arrive inside its
+    30-minute window, then emitted exactly once with NULL purchase
+    columns (see :func:`click_purchase_outer_join`).
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -160,7 +166,18 @@ def click_purchase_interval_join(events: DataFrame) -> DataFrame:
         (F.col("user_id") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        how,
     ).select("user_id", "click_ts", "p_ts", "value")
+
+
+def click_purchase_outer_join(events: DataFrame) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: converted clicks pair
+    with their purchase; un-converted clicks surface once, with NULL
+    purchase columns, only after the watermark passes click_ts + 30 min
+    (before that a matching purchase could still arrive, so emitting
+    early would be wrong — this deferral is the semantic difference
+    from a batch left join)."""
+    return click_purchase_interval_join(events, how="left_outer")
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

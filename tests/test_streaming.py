@@ -236,3 +236,79 @@ def test_watermark_drops_late_data(spark, tmp_path):
         q.stop()
     assert rows[dt(2024, 1, 1, 10, 0)] == 2  # straggler was dropped
     assert all(n <= 2 for n in rows.values())
+
+
+def test_outer_join_emits_unmatched_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics, not just smoke: a
+    converted click pairs immediately; an UN-converted click is (a)
+    withheld while a matching purchase could still arrive, then (b)
+    emitted exactly once with NULL purchase columns after the watermark
+    passes click_ts + 30 min.  Batch 1 proves the deferral, the
+    sentinel batches prove the flush."""
+    from datetime import datetime as dt
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = tmp_path / "outer_src"
+    src.mkdir()
+
+    def drop_files(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    drop_files(
+        [
+            (1, dt(2024, 1, 1, 10, 0), 1, "click", 0.0, "{}"),
+            (2, dt(2024, 1, 1, 10, 10), 1, "purchase", 42.5, "{}"),
+            (3, dt(2024, 1, 1, 10, 0), 2, "click", 0.0, "{}"),  # never converts
+        ]
+    )
+    joined = es.click_purchase_outer_join(
+        spark.readStream.schema(schema).parquet(str(src))
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_demo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql("SELECT * FROM outer_demo").collect()
+        # deferral: only the match is out; user 2 is still in state
+        # (a purchase inside its 30-min window could still arrive)
+        assert [(r["user_id"], r["value"]) for r in rows1] == [(1, 42.5)]
+        # Sentinels must advance BOTH sides' watermarks (the join's
+        # global watermark is the min across them, so right-side-only
+        # sentinels would stall the clicks side forever).  Each is a
+        # matched click+purchase pair — emits as a match immediately,
+        # leaves nothing pending.
+        drop_files(
+            [
+                (90, dt(2024, 1, 2, 10, 0), 90, "click", 0.0, "{}"),
+                (91, dt(2024, 1, 2, 10, 5), 90, "purchase", 1.0, "{}"),
+            ]
+        )
+        q.processAllAvailable()
+        drop_files(
+            [
+                (92, dt(2024, 1, 3, 10, 0), 91, "click", 0.0, "{}"),
+                (93, dt(2024, 1, 3, 10, 5), 91, "purchase", 1.0, "{}"),
+            ]
+        )
+        q.processAllAvailable()
+        rows2 = sorted(
+            (r["user_id"], r["p_ts"], r["value"])
+            for r in spark.sql("SELECT * FROM outer_demo").collect()
+        )
+    finally:
+        q.stop()
+    assert rows2 == [
+        (1, dt(2024, 1, 1, 10, 10), 42.5),
+        (2, None, None),  # flushed exactly once, NULL purchase side
+        (90, dt(2024, 1, 2, 10, 5), 1.0),
+        (91, dt(2024, 1, 3, 10, 5), 1.0),
+    ]
