@@ -756,13 +756,16 @@ def d09_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Plan: explode every 8-token window (stride 1 — stride >1 cannot
 # guarantee window alignment between two occurrences of the same
-# span), md5 it, count occurrences per hash with ONE analytic window
-# (shuffle by hash), keep windows whose hash occurs ≥2× globally,
-# then merge overlapping [start, start+7] intervals per doc with the
-# classic running-max island sweep (shuffle by doc_id).  Two shuffles
-# total; the window rows are ~n_tokens, the same magnitude d02
-# already carries.  At 100 TB the hash shuffle is the big one and is
-# pure map-side-combinable count — no pair blowup anywhere.
+# span), md5 it, count occurrences per hash with a groupBy (map-side
+# combine, so a boilerplate 8-gram repeated 10⁶× collapses locally
+# before the exchange — an analytic `count OVER (PARTITION BY h)`
+# would instead pile every occurrence into one window partition with
+# no combine), keep hashes occurring ≥2×, join them back to the
+# window table (shuffle join on h; the skewed probe side is exactly
+# what AQE's skew-join split handles), then merge overlapping
+# [start, start+7] intervals per doc with the classic running-max
+# island sweep (shuffle by doc_id).  The window rows are ~n_tokens,
+# the same magnitude d02 already carries.  No pair blowup anywhere.
 # ---------------------------------------------------------------------------
 D10_WINDOW = 8  # tokens per fingerprinted span
 
@@ -785,9 +788,13 @@ def d10_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", F.col("win.s").alias("s"), F.col("win.h").alias("h"))
     )
-    flagged = wins.withColumn(
-        "n_occ", F.count("*").over(W.partitionBy("h"))
-    ).filter(F.col("n_occ") >= 2)
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(dup_hashes, "h", "left_semi")
     per_doc = W.partitionBy("doc_id").orderBy("s")
     islands = (
         flagged.withColumn("e", F.col("s") + F.lit(w - 1))

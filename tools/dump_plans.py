@@ -215,13 +215,14 @@ ANNOTATIONS = {
     ),
     "d10_substring_coverage": (
         "Duplicated-substring span coverage (exact-substring dedup "
-        "shape). Look for: exactly TWO hash exchanges — one on the "
-        "window hash for the global occurrence count (an analytic "
-        "count, no join back to the window table), one on doc_id for "
-        "the interval-merge island sweep; the 8-token windows explode "
-        "in codegen (`Generate` over transform(sequence)), ~n_tokens "
-        "rows, and only ≥2-occurrence windows survive into the second "
-        "exchange."
+        "shape). Look for: `partial_count` BEFORE the hash exchange "
+        "(map-side combine — a boilerplate 8-gram repeated a million "
+        "times collapses locally, where an analytic window would pile "
+        "every occurrence into one partition); the ≥2-occurrence hash "
+        "set rejoined `LeftSemi` on h (skewed probe side is AQE "
+        "skew-join territory); then ONE doc_id exchange for the "
+        "interval-merge island sweep. The 8-token windows explode in "
+        "codegen (`Generate` over transform(sequence)), ~n_tokens rows."
     ),
     "c10_pii_redaction": (
         "PII redaction accounting. Look for: a single narrow Project "
