@@ -339,12 +339,19 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group_size via groupBy + join (map-side combine + AQE-splittable
+    # probe), not an analytic window: a corpus of near-identical docs
+    # collapses to ONE simhash, and `count OVER (PARTITION BY simhash)`
+    # would funnel every such row through a single window partition.
+    # The counts table is bounded by the signature space (≤ 2¹⁶ rows
+    # for 16-bit simhash) → always broadcastable: the doc-level table
+    # is never shuffled at all.
     sigs = _simhash_sigs(spark, sf_dir)
-    from pyspark.sql import Window as W
-
-    grp = W.partitionBy("simhash")
+    sizes = sigs.groupBy(F.col("simhash").alias("g_simhash")).agg(
+        F.count("*").alias("group_size")
+    )
     return (
-        sigs.withColumn("group_size", F.count("*").over(grp))
+        sigs.join(F.broadcast(sizes), sigs["simhash"] == F.col("g_simhash"))
         .select("doc_id", "simhash", "group_size")
         .orderBy("doc_id")
     )

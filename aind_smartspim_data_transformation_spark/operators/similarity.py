@@ -105,12 +105,20 @@ def _bucket_expr(embedding_col: str = "embedding"):
 
 
 def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucket occupancy via groupBy + join, not `count OVER (PARTITION
+    # BY bucket)`: hyperplane LSH over a degenerate embedding corpus
+    # (many near-identical vectors) collapses into few buckets, and the
+    # analytic window would funnel each such bucket through one window
+    # partition with no map-side combine.
+    # The occupancy table is bounded by the bucket space (≤ 2^N_PLANES
+    # rows) → always broadcastable: the vector table is never shuffled.
     e = load_table(spark, sf_dir, "embeddings")
     sigs = e.select("vec_id", _bucket_expr().alias("bucket"))
-    from pyspark.sql import Window as W
-
+    sizes = sigs.groupBy(F.col("bucket").alias("g_bucket")).agg(
+        F.count("*").alias("n_in_bucket")
+    )
     return (
-        sigs.withColumn("n_in_bucket", F.count("*").over(W.partitionBy("bucket")))
+        sigs.join(F.broadcast(sizes), sigs["bucket"] == F.col("g_bucket"))
         .select("vec_id", "bucket", "n_in_bucket")
         .orderBy("vec_id")
     )

@@ -244,15 +244,21 @@ FROM scored ORDER BY doc_id
 # (word-order-insensitive near-dup key).
 # ---------------------------------------------------------------------------
 def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group_size via groupBy + join, not `count OVER (PARTITION BY
+    # fingerprint)`: the analytic window has no map-side combine, so a
+    # boilerplate fingerprint shared by 10⁶ docs piles 10⁶ rows into
+    # one window partition; the groupBy partial-aggregates locally and
+    # the join's skewed probe side is AQE-skew-splittable (same
+    # reasoning as d10's occurrence count).
     d = _docs(spark, sf_dir)
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
     )
-    return (
-        d.select("doc_id", fp.alias("fingerprint"))
-        .withColumn("group_size", F.count("*").over(W.partitionBy("fingerprint")))
-        .orderBy("doc_id")
-    )
+    fps = d.select("doc_id", fp.alias("fingerprint"))
+    sizes = fps.groupBy("fingerprint").agg(F.count("*").alias("group_size"))
+    return fps.join(sizes, "fingerprint").select(
+        "doc_id", "fingerprint", "group_size"
+    ).orderBy("doc_id")
 
 
 T05_SQL = """

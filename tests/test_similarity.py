@@ -22,8 +22,9 @@ def test_topk_is_sorted(spark, sf_dir):
 
 
 def test_s02_bucket_assignment_is_narrow(spark, sf_dir):
-    """Bucket assignment is a per-row fold — no explode (Generate) and
-    no aggregation shuffle before the bucket-count window."""
+    """Bucket assignment is a per-row fold — no explode (Generate) —
+    and occupancy attaches via a BROADCAST of the bounded (≤2^N_PLANES
+    rows) counts table: the vector table itself is never hash-shuffled."""
     from aind_smartspim_data_transformation_spark.operators.similarity import (
         s02_lsh_buckets,
     )
@@ -32,9 +33,10 @@ def test_s02_bucket_assignment_is_narrow(spark, sf_dir):
         s02_lsh_buckets(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Generate" not in plan  # no posexplode of the embedding array
-    # exactly the window's hashpartitioning + the final sort's range
-    # partitioning — no extra aggregate exchange from a groupBy
-    assert plan.count("Exchange") <= 2
+    assert "BroadcastHashJoin" in plan
+    # the count's partial-agg exchange + the final sort's range
+    # partitioning — the full vector table never enters a hash exchange
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_s05_assignment_has_no_pervector_shuffle(spark, sf_dir):
