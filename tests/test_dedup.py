@@ -108,3 +108,63 @@ def test_substring_coverage_planted_span(spark, tmp_path):
         assert rows[d]["n_dup_windows"] == 5  # positions 0..4 within the run
     assert rows[0]["n_tokens"] == 17 and rows[1]["n_tokens"] == 17
     assert rows[0]["dup_ppm"] == 12 * 1_000_000 // 17
+
+
+def test_substring_coverage_random_corpus_vs_python(spark, tmp_path):
+    """d10 against an independently-written brute-force reference on a
+    seeded random corpus over a 4-token alphabet (dense window-hash
+    collisions, irregular island structure)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("aa bb cc dd".split()) for _ in range(rng.randint(4, 40))))
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    W = dedup.D10_WINDOW
+    wins = {}  # doc -> [(start, gram)]
+    occ = Counter()
+    for i, t in docs:
+        toks = t.split(" ")
+        ws = [(s, tuple(toks[s : s + W])) for s in range(len(toks) - W + 1)]
+        wins[i] = ws
+        occ.update(g for _, g in ws)
+    expect = {}
+    for i, t in docs:
+        hits = sorted(s for s, g in wins.get(i, []) if occ[g] >= 2)
+        if not hits:
+            continue
+        spans, cur = [], None
+        for s in hits:
+            if cur and s <= cur[1]:  # overlaps current island [lo, hi] in token space
+                cur = (cur[0], max(cur[1], s + W - 1), cur[2] + 1)
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (s, s + W - 1, 1)
+        spans.append(cur)
+        n_tokens = len(t.split(" "))
+        dup_tokens = sum(hi - lo + 1 for lo, hi, _ in spans)
+        expect[i] = (
+            n_tokens,
+            len(spans),
+            dup_tokens,
+            sum(c for _, _, c in spans),
+            dup_tokens * 1_000_000 // n_tokens,
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["dup_tokens"],
+            r["n_dup_windows"], r["dup_ppm"],
+        )
+        for r in dedup.d10_substring_coverage(spark, str(tmp_path)).collect()
+    }
+    # top-50 cap can't truncate a 30-doc corpus → exact dict equality
+    assert got == expect
