@@ -740,6 +740,167 @@ ORDER BY cid
 """
 
 
+# ---------------------------------------------------------------------------
+# S10 — product quantization with asymmetric distance computation
+# (PQ-ADC), the memory-side workhorse of billion-vector ANN (IVF-PQ):
+# the 64-dim vector compresses to M=8 sub-codes (one per 8-dim
+# subspace, K=4 codebook entries each → 16 bits per vector), and a
+# query's distance to EVERY stored vector becomes Σ_m LUT[m][code_m] —
+# M table lookups, no float math against the original vector.
+#
+# Spark shape: the codebooks (seed subvectors) and the query's
+# per-subspace distance LUT are computed once on the driver and folded
+# into LITERALS, so encoding + distance estimation is a NARROW MAP
+# over the corpus — zero shuffles before the final top-k
+# (TakeOrderedAndProject).  That is the scan you run over a billion
+# codes.  Everything is scale-1000 integer math (exact in int64), so
+# the DuckDB oracle derives the same codebooks/LUT relationally and
+# hash-matches exactly.
+# ---------------------------------------------------------------------------
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (8×8 = 64)
+PQ_K = 4        # codebook entries per subspace
+PQ_QUERY_ID = 0
+PQ_SEED_IDS = (1, 2, 3, 4)  # codebook = these vectors' subvectors
+PQ_TOPK = 10
+
+
+def s10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT))"
+        ).alias("x"),
+    )
+    pivot = {
+        int(r["vec_id"]): [int(v) for v in r["x"]]
+        for r in e.filter(
+            F.col("vec_id").isin(PQ_QUERY_ID, *PQ_SEED_IDS)
+        ).collect()
+    }
+    q = pivot[PQ_QUERY_ID]
+    # codebooks[m][k] = seed k's m-th subvector; lut[m][k] = d²(query_m, that)
+    books = [
+        [pivot[s][m * PQ_SUB : (m + 1) * PQ_SUB] for s in PQ_SEED_IDS]
+        for m in range(PQ_M)
+    ]
+    lut = [
+        [
+            sum(
+                (q[m * PQ_SUB + i] - books[m][k][i]) ** 2
+                for i in range(PQ_SUB)
+            )
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+
+    def _sub_d2(m: int, k: int):
+        c = F.array(*[F.lit(v) for v in books[m][k]])
+        sub = F.slice("x", m * PQ_SUB + 1, PQ_SUB)
+        return F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sub_d2(m, k).alias("d2"),
+                        F.lit(k).cast("long").alias("k"),
+                    )
+                    for k in range(PQ_K)
+                ]
+            )
+        )["k"].alias(f"code{m}")
+        for m in range(PQ_M)
+    ]
+    enc = e.select("vec_id", "x", *codes)
+    pq_code = sum(
+        (F.col(f"code{m}") * (PQ_K**m) for m in range(PQ_M)), F.lit(0).cast("long")
+    )
+    # ADC: the literal LUT indexed by the stored code — M lookups/vector
+    approx = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v) for v in lut[m]]), (F.col(f"code{m}") + 1).cast("int")
+            )
+            for m in range(PQ_M)
+        ),
+        F.lit(0).cast("long"),
+    )
+    q_lit = F.array(*[F.lit(v) for v in q])
+    exact = F.aggregate(
+        F.zip_with("x", q_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+    return (
+        enc.select(
+            "vec_id",
+            pq_code.alias("pq_code"),
+            approx.alias("d2_approx"),
+            exact.alias("d2_exact"),
+            (approx - exact).alias("adc_err"),
+        )
+        .orderBy(F.asc("d2_approx"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
+    )
+
+
+def _pq_sql() -> str:
+    m_sub, k_, scale = PQ_SUB, PQ_K, KM_SCALE
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        v -> CAST(floor(v * {scale}) AS BIGINT)) AS x
+  FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, x
+  FROM q WHERE vec_id IN {PQ_SEED_IDS}
+), qv AS (
+  SELECT x FROM q WHERE vec_id = {PQ_QUERY_ID}
+), lut AS (
+  -- d²(query's m-th subvector, seed k's m-th subvector)
+  SELECT m, k,
+         list_sum(list_transform(generate_series(1, {m_sub}),
+           i -> (qv.x[m * {m_sub} + i] - seeds.x[m * {m_sub} + i])
+              * (qv.x[m * {m_sub} + i] - seeds.x[m * {m_sub} + i]))) AS d2
+  FROM qv, seeds, unnest(generate_series(0, {PQ_M - 1})) AS g(m)
+), codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT q.vec_id, g.m, seeds.k,
+           row_number() OVER (PARTITION BY q.vec_id, g.m ORDER BY
+             list_sum(list_transform(generate_series(1, {m_sub}),
+               i -> (q.x[g.m * {m_sub} + i] - seeds.x[g.m * {m_sub} + i])
+                  * (q.x[g.m * {m_sub} + i] - seeds.x[g.m * {m_sub} + i]))) ASC,
+             seeds.k ASC) AS rn
+    FROM q, seeds, unnest(generate_series(0, {PQ_M - 1})) AS g(m)
+  ) WHERE rn = 1
+), enc AS (
+  SELECT c.vec_id,
+         CAST(sum(c.code * CAST(power({k_}, c.m) AS BIGINT)) AS BIGINT) AS pq_code,
+         CAST(sum(l.d2) AS BIGINT) AS d2_approx
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+  GROUP BY c.vec_id
+), exact AS (
+  SELECT q.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, {PQ_M * m_sub}),
+           i -> (q.x[i] - qv.x[i]) * (q.x[i] - qv.x[i]))) AS BIGINT) AS d2_exact
+  FROM q, qv
+)
+SELECT enc.vec_id, enc.pq_code, enc.d2_approx, exact.d2_exact,
+       enc.d2_approx - exact.d2_exact AS adc_err
+FROM enc JOIN exact USING (vec_id)
+ORDER BY d2_approx ASC, vec_id ASC
+LIMIT {PQ_TOPK}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
@@ -750,6 +911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s07_ann_recall": s07_ann_recall,
     "s08_ann_recall_panel": s08_ann_recall_panel,
     "s09_kmeans_train": s09_kmeans_train,
+    "s10_pq_adc": s10_pq_adc,
 }
 
 ORACLE: dict[str, str] = {
@@ -762,4 +924,5 @@ ORACLE: dict[str, str] = {
     "s07_ann_recall": S07_SQL,
     "s08_ann_recall_panel": S08_SQL,
     "s09_kmeans_train": S09_SQL,
+    "s10_pq_adc": _pq_sql(),
 }

@@ -50,3 +50,15 @@ def test_s05_assignment_has_no_pervector_shuffle(spark, sf_dir):
     assert "Window" not in plan  # no row_number-over-vec_id argmax
     # both the centroid array and the query row attach via broadcast
     assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_s10_pq_scan_is_shuffle_free(spark, sf_dir):
+    """PQ-ADC is a narrow map over literal codebooks/LUT: encoding +
+    distance estimation must plan with ZERO exchanges before the
+    TakeOrderedAndProject top-k — the shape that scans a billion codes
+    in one pass."""
+    df = similarity.s10_pq_adc(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no posexplode of the embedding
