@@ -1499,6 +1499,53 @@ ORDER BY ship_year, ship_month
 
 
 # ---------------------------------------------------------------------------
+# Q39 — returned-item reporting (TPC-H Q10 shape): customers who
+# returned goods in a date window, ranked by lost revenue.  The
+# returnflag and date predicates both push into their scans; customer
+# and nation broadcast; the only fact shuffle is lineitem⋈orders on
+# orderkey, and the top-20 compiles to TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+def q39_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q39_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_returned_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1540,6 +1587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_large_volume_customer": q36_large_volume_customer,
     "q37_important_parts": q37_important_parts,
     "q38_promo_share": q38_promo_share,
+    "q39_returned_items": q39_returned_items,
 }
 
 ORACLE: dict[str, str] = {
@@ -1581,4 +1629,5 @@ ORACLE: dict[str, str] = {
     "q36_large_volume_customer": Q36_SQL,
     "q37_important_parts": Q37_SQL,
     "q38_promo_share": Q38_SQL,
+    "q39_returned_items": Q39_SQL,
 }
