@@ -62,7 +62,11 @@ def main() -> int:
     queries = registry.all_queries()
     oracles = registry.all_oracles()
     names = sys.argv[1:] or sorted(oracles)
-    spark = build_local_session(app_name="strict-verify")
+    # Same heap as bench.py: the default 1g JVM survives sf0.01 but can
+    # OOM mid-sweep at sf0.1 (an executor death then cascades FAILED
+    # into every later query — if dozens fail from some point onward,
+    # check for java.lang.OutOfMemoryError before debugging queries).
+    spark = build_local_session(app_name="strict-verify", driver_memory="32g")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
