@@ -224,6 +224,22 @@ ANNOTATIONS = {
         "interval-merge island sweep. The 8-token windows explode in "
         "codegen (`Generate` over transform(sequence)), ~n_tokens rows."
     ),
+    "q39_returned_items": (
+        "Returned-item reporting (TPC-H Q10 shape). Look for: "
+        "`EqualTo(l_returnflag,R)` in the lineitem scan's PushedFilters "
+        "AND the o_orderdate range in the orders scan's — both facts "
+        "pruned before the orderkey join; customer/nation broadcast; "
+        "top-20 as `TakeOrderedAndProject` (no global sort of the agg)."
+    ),
+    "s10_pq_adc": (
+        "Product quantization + asymmetric distance computation. Look "
+        "for: ZERO Exchange nodes before `TakeOrderedAndProject` — "
+        "codebooks and the query's distance LUT are literals, so "
+        "encoding (per-subspace argmin folds) and distance estimation "
+        "(8 element_at lookups) run in one narrow WholeStageCodegen-"
+        "adjacent map over the corpus. The billion-code single-pass "
+        "scan shape (plan-asserted in tests/test_similarity.py)."
+    ),
     "c10_pii_redaction": (
         "PII redaction accounting. Look for: a single narrow Project "
         "holding all three `regexp_count`s and the triple "
