@@ -311,13 +311,23 @@ def slices_to_chunks(
             if rows:
                 yield pd.DataFrame(rows, columns=tile_cols)
 
-    tiles = keyed.mapInPandas(
-        _split,
-        schema=(
-            "channel string, stack string, cz int, z int, cy int, cx int, "
-            "dy int, dx int, dtype string, data binary"
-        ),
-    )
+    tiles = keyed.mapInPandas(_split, schema=TILE_SCHEMA)
+    return assemble_tiles(tiles)
+
+
+TILE_SCHEMA = (
+    "channel string, stack string, cz int, z int, cy int, cx int, "
+    "dy int, dx int, dtype string, data binary"
+)
+TILE_COLS = [
+    "channel", "stack", "cz", "z", "cy", "cx", "dy", "dx", "dtype", "data",
+]
+
+
+def assemble_tiles(tiles: DataFrame) -> DataFrame:
+    """Tile rows (TILE_SCHEMA) → chunk rows (CHUNK_SCHEMA): the one
+    ingest shuffle, keyed by the full chunk coordinate (see
+    slices_to_chunks for why tile-first keying is the scale shape)."""
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         channel, stack, cz, cy, cx = key
@@ -369,6 +379,59 @@ def slices_to_chunks(
     )
 
 
+def decode_slices_to_tiles(
+    files: DataFrame,
+    chunk_z: int,
+    chunk_y: int | None = None,
+    chunk_x: int | None = None,
+) -> DataFrame:
+    """Fused decode + tile split: raw file rows → tile rows in ONE
+    Python kernel.
+
+    ``decode_slices`` → ``slices_to_chunks`` composes the same result
+    from two chained ``mapInPandas`` kernels, which round-trips the
+    full decoded pixel volume through an extra JVM↔Python Arrow
+    crossing between them.  The fused kernel decodes a slice and emits
+    its tiles without the pixels ever going back to the JVM in
+    slice-row form.  z assignment is identical to ``decode_slices``
+    (content-pruned listing window, broadcast z-map)."""
+    w = W.partitionBy("channel", "stack").orderBy("path")
+    zmap = (
+        files.select("path", "channel", "stack")
+        .withColumn("z", (F.row_number().over(w) - 1).cast("int"))
+        .select("path", "z")
+    )
+    indexed = files.join(F.broadcast(zmap), "path")
+
+    def _decode_split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_image_gray(bytes(r.content))
+                block = arr.reshape(1, arr.shape[0], arr.shape[1])
+                for cy, cx, tile in tile_plane_block(block, chunk_y, chunk_x):
+                    rows.append(
+                        (
+                            r.channel,
+                            r.stack,
+                            int(r.z) // chunk_z,
+                            int(r.z),
+                            cy,
+                            cx,
+                            tile.shape[1],
+                            tile.shape[2],
+                            str(arr.dtype),
+                            tile.tobytes(),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=TILE_COLS)
+
+    return indexed.select("channel", "stack", "z", "content").mapInPandas(
+        _decode_split, schema=TILE_SCHEMA
+    )
+
+
 def read_stack_tree(
     spark: SparkSession,
     root: str,
@@ -376,7 +439,10 @@ def read_stack_tree(
     chunk_y: int | None = None,
     chunk_x: int | None = None,
 ) -> DataFrame:
-    """Scan + decode + chunk in one declarative pipeline."""
-    return slices_to_chunks(
-        decode_slices(scan_stack_files(spark, root)), chunk_z, chunk_y, chunk_x
+    """Scan + decode + chunk in one declarative pipeline (fused decode
+    + tile kernel; see decode_slices_to_tiles)."""
+    return assemble_tiles(
+        decode_slices_to_tiles(
+            scan_stack_files(spark, root), chunk_z, chunk_y, chunk_x
+        )
     )

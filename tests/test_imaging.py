@@ -288,10 +288,12 @@ def test_multi_level_pyramid_has_no_shuffle(spark, dataset):
     levels = build_pyramid(chunks, (2, 2, 2), 3, persist_levels=False)
     plan = levels[-1]._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("MapInPandas")[0]
-    # PNG-decode kernel + pre-shuffle tile split + one kernel per
-    # downsample step; the only Exchange in the whole pipeline is the
-    # tile-keyed chunk assembly below the first MapInPandas
-    assert plan.count("MapInPandas") == 4
+    # ONE fused decode+tile kernel + one kernel per downsample step
+    # (decode and tile split share a kernel so the pixel volume makes
+    # no extra JVM↔Python round-trip); the only Exchange in the whole
+    # pipeline is the tile-keyed chunk assembly below the first
+    # MapInPandas
+    assert plan.count("MapInPandas") == 3
 
 
 def test_zarr_codec_none_roundtrip(spark, dataset, tmp_path):
