@@ -252,17 +252,19 @@ ANNOTATIONS = {
 }
 
 INGEST_NOTE = (
-    "The r3 VERDICT scale defect, fixed, plus the r4 tile-first "
+    "The r3 VERDICT scale defect, fixed, plus the r4 tile-first fused "
     "assembly. z comes from a content-PRUNED listing (the window's "
     "exchange moves ~100-byte path rows — `ReadSchema: "
     "struct<path:string>` on its scan — and rejoins as a broadcast), "
-    "so decode runs in the scan's own file-split partitions. Each "
-    "decoded slice is then cut into (cy, cx) tiles BEFORE the one real "
-    "shuffle, whose key is the full chunk coordinate (channel, stack, "
-    "cz, cy, cx): assembly parallelism scales with #tiles (not "
-    "#z-slabs), peak group memory is chunk_z × tile bytes (~512 KB "
-    "for 128³ bricks, vs chunk_z × plane bytes ≈ hundreds of MB), and "
-    "the exchange moves exactly the same pixel bytes it always had to."
+    "so decode runs in the scan's own file-split partitions. ONE fused "
+    "kernel decodes a slice AND cuts it into (cy, cx) tiles (two "
+    "chained kernels would round-trip the full pixel volume through an "
+    "extra JVM↔Python Arrow crossing) BEFORE the one real shuffle, "
+    "whose key is the full chunk coordinate (channel, stack, cz, cy, "
+    "cx): assembly parallelism scales with #tiles (not #z-slabs), peak "
+    "group memory is chunk_z × tile bytes (~512 KB for 128³ bricks, vs "
+    "chunk_z × plane bytes ≈ hundreds of MB), and the exchange moves "
+    "exactly the same pixel bytes it always had to."
 )
 
 SUBPLAN_AUDIT = """## Shared-subplan audit of the headline set (round 4, VERDICT ask #6)
