@@ -1546,6 +1546,52 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Q40 — top-k per group: each nation's 3 highest-value orders.  The
+# rank-then-filter shape compiles to Spark's WindowGroupLimit: every
+# partition keeps only its local top-3 per nation BEFORE the window
+# exchange (plan-asserted), so the shuffle carries O(groups × k) rows
+# from a fact of any size — the distributed analogue of
+# TakeOrderedAndProject for per-group limits.
+# ---------------------------------------------------------------------------
+def q40_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "n_name",
+            "rk",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "c_custkey",
+        )
+        .orderBy("n_name", "rk")
+    )
+
+
+Q40_SQL = """
+SELECT n_name, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_custkey
+FROM (
+  SELECT n_name, o_orderkey, o_totalprice, c_custkey,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+WHERE rk <= 3
+ORDER BY n_name, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1588,6 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_important_parts": q37_important_parts,
     "q38_promo_share": q38_promo_share,
     "q39_returned_items": q39_returned_items,
+    "q40_topk_per_group": q40_topk_per_group,
 }
 
 ORACLE: dict[str, str] = {
@@ -1630,4 +1677,5 @@ ORACLE: dict[str, str] = {
     "q37_important_parts": Q37_SQL,
     "q38_promo_share": Q38_SQL,
     "q39_returned_items": Q39_SQL,
+    "q40_topk_per_group": Q40_SQL,
 }

@@ -129,3 +129,16 @@ def test_q37_plan_reuses_per_part_exchange(spark, sf_dir):
     )
     assert "ReusedExchange" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_q40_plan_uses_window_group_limit(spark, sf_dir):
+    """rank<=k must compile to WindowGroupLimit — each partition keeps
+    its local top-3 per nation BEFORE the window exchange, so the
+    shuffle carries O(groups x k) rows from a fact of any size."""
+    df = relational.q40_topk_per_group(spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert "WindowGroupLimit" in plan
