@@ -5,13 +5,17 @@
 the chunk-table design used for the imaging plane (SURVEY.md §1.4).
 
 The *plumbing* is real and tested: schemas, Arrow batch shapes,
-``mapInPandas`` decode pipelines, partition sizing.  The *codecs* are
-stubbed: this container has no image/audio libraries, so
-``decode_image_bytes`` raises ``NotImplementedError`` unless handed the
+``mapInPandas`` decode pipelines, partition sizing.  Image decode is
+real for PNG and baseline TIFF — ``decode_image_pixels`` dispatches on
+magic bytes to the repo's own pure-numpy codecs
+(``sources/png_codec.py`` / ``sources/tiff_codec.py``) — plus the
 deterministic fake format produced by :func:`make_fake_image` (a
-16-byte header ``SPKIMG01 | width u32 | height u32`` + raw payload).
-Swap the stub for pillow/imagecodecs on a real cluster — the Spark-side
-code does not change.
+16-byte header ``SPKIMG01 | width u32 | height u32`` + raw payload)
+used for the oracle-backed queries.  The remaining stub boundary is
+formats this container has no library for (JPEG, audio, video):
+``decode_image_pixels`` raises ``NotImplementedError`` there; swap in
+pillow/imagecodecs on a real cluster, the Spark-side code does not
+change.
 
 Scale posture: binary payloads dominate row size, so
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py)
@@ -24,6 +28,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,19 +47,45 @@ def make_fake_image(seed_bytes: bytes, width: int, height: int) -> bytes:
     return _MAGIC + struct.pack("<II", width, height) + payload
 
 
-def decode_image_bytes(data: bytes) -> tuple[int, int, bytes]:
-    """Decode the fake format; real codecs would plug in here.
+def decode_image_pixels(data: bytes) -> np.ndarray:
+    """(height, width) pixel array, dispatched on magic bytes.
 
-    Raises ``NotImplementedError`` for any non-fake payload — the
-    explicit stub boundary for this container (no pillow/imagecodecs).
+    - ``SPKIMG01`` fake → uint8 (the oracle-backed deterministic path);
+    - PNG → uint8/uint16 via the pure-numpy codec
+      (``sources/png_codec.py``, RFC 2083);
+    - baseline TIFF (II/MM) → via ``sources/tiff_codec.py``.
+
+    Anything else (JPEG, audio, video containers) raises
+    ``NotImplementedError`` — the remaining genuine stub boundary in
+    this container; plug pillow/imagecodecs in here on a real cluster.
     """
-    if data[:8] != _MAGIC:
-        raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "only the SPKIMG01 fake format is decodable"
+    if data[:8] == _MAGIC:
+        width, height = struct.unpack("<II", data[8:16])
+        return np.frombuffer(
+            data[16 : 16 + width * height], dtype=np.uint8
+        ).reshape(height, width)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from aind_smartspim_data_transformation_spark.sources.png_codec import (
+            decode_png_gray,
         )
-    width, height = struct.unpack("<II", data[8:16])
-    return width, height, data[16 : 16 + width * height]
+
+        return decode_png_gray(bytes(data))
+    if data[:2] in (b"II", b"MM"):
+        from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+            decode_tiff_gray,
+        )
+
+        return decode_tiff_gray(bytes(data))
+    raise NotImplementedError(
+        "no codec for this payload in this environment (JPEG/audio/video "
+        "need pillow or imagecodecs); SPKIMG01, PNG and baseline TIFF decode"
+    )
+
+
+def decode_image_bytes(data: bytes) -> tuple[int, int, bytes]:
+    """Back-compat shim: (width, height, native-endian pixel buffer)."""
+    arr = decode_image_pixels(data)
+    return arr.shape[1], arr.shape[0], arr.tobytes()
 
 
 FEATURE_SCHEMA = (
@@ -77,9 +108,13 @@ def extract_image_features(binary_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
-                w, h, payload = decode_image_bytes(bytes(blob))
-                mean_milli = (sum(payload) * 1000) // len(payload) if payload else 0
-                out.append((doc_id, w, h, len(blob), mean_milli))
+                arr = decode_image_pixels(bytes(blob))
+                mean_milli = (
+                    (int(arr.sum()) * 1000) // arr.size if arr.size else 0
+                )
+                out.append(
+                    (doc_id, arr.shape[1], arr.shape[0], len(blob), mean_milli)
+                )
             yield pd.DataFrame(
                 out,
                 columns=["doc_id", "width", "height", "n_bytes", "mean_milli"],
@@ -197,13 +232,12 @@ def resize_images(binary_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
-                w, h, payload = decode_image_bytes(bytes(blob))
-                # nearest-neighbor sample on the w×h byte grid
-                resized = bytes(
-                    payload[(y * h // out_h) * w + (x * w // out_w)]
-                    for y in range(out_h)
-                    for x in range(out_w)
-                )
+                arr = decode_image_pixels(bytes(blob))
+                h, w = arr.shape
+                # nearest-neighbor sample on the pixel grid (any dtype)
+                ys = [y * h // out_h for y in range(out_h)]
+                xs = [x * w // out_w for x in range(out_w)]
+                resized = np.ascontiguousarray(arr[np.ix_(ys, xs)]).tobytes()
                 out.append((doc_id, w, h, out_w, out_h, resized))
             yield pd.DataFrame(
                 out,
@@ -240,10 +274,9 @@ def sample_frames(binary_df: DataFrame, stride: int) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
-                w, h, payload = decode_image_bytes(bytes(blob))
-                kept = b"".join(
-                    payload[f * w : (f + 1) * w] for f in range(0, h, stride)
-                )
+                arr = decode_image_pixels(bytes(blob))
+                h = arr.shape[0]
+                kept = np.ascontiguousarray(arr[::stride]).tobytes()
                 out.append(
                     (doc_id, h, len(range(0, h, stride)), hashlib.sha256(kept).hexdigest())
                 )

@@ -15,9 +15,65 @@ def test_fake_codec_roundtrip():
     assert len(payload) == 32
 
 
-def test_decode_real_format_is_stubbed():
+def test_decode_real_png_and_tiff():
+    """PNG and baseline TIFF decode for REAL via the repo's pure-numpy
+    codecs — the stub boundary is only formats with no codec here."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        encode_tiff_gray,
+    )
+
+    src = np.arange(48, dtype=np.uint16).reshape(6, 8) * 1000
+    assert np.array_equal(mm.decode_image_pixels(encode_png_gray(src)), src)
+    assert np.array_equal(mm.decode_image_pixels(encode_tiff_gray(src)), src)
+
+
+def test_decode_unknown_format_is_stubbed():
     with pytest.raises(NotImplementedError):
-        mm.decode_image_bytes(b"\x89PNG\r\n\x1a\nxxxx")
+        mm.decode_image_pixels(b"\xff\xd8\xff\xe0JFIFxxxx")  # JPEG magic
+
+
+def test_real_png_through_feature_resize_frame_pipelines(spark):
+    """The full multimodal pipeline (features → resize → frame-sample)
+    over REAL PNG payloads, verified against numpy on the driver."""
+    import hashlib
+
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = {
+        i: rng.integers(0, 65535, size=(16, 12)).astype(np.uint16)
+        for i in range(4)
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png_gray(a))) for i, a in imgs.items()],
+        "doc_id long, image binary",
+    )
+    feats = {r["doc_id"]: r for r in mm.extract_image_features(df).collect()}
+    for i, a in imgs.items():
+        assert (feats[i]["width"], feats[i]["height"]) == (12, 16)
+        assert feats[i]["mean_milli"] == int(a.sum()) * 1000 // a.size
+
+    res = {r["doc_id"]: r for r in mm.resize_images(df, 6, 4).collect()}
+    for i, a in imgs.items():
+        ys = [y * 16 // 4 for y in range(4)]
+        xs = [x * 12 // 6 for x in range(6)]
+        assert bytes(res[i]["resized"]) == np.ascontiguousarray(a[np.ix_(ys, xs)]).tobytes()
+
+    frames = {r["doc_id"]: r for r in mm.sample_frames(df, 2).collect()}
+    for i, a in imgs.items():
+        assert frames[i]["n_sampled"] == 8
+        assert frames[i]["sampled_digest"] == hashlib.sha256(
+            np.ascontiguousarray(a[::2]).tobytes()
+        ).hexdigest()
 
 
 def test_m01_vs_oracle(spark, sf_dir):
