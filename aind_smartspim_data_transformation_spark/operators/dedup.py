@@ -886,6 +886,78 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# D11 — split-leakage audit: near-duplicate clusters that straddle the
+# train/val/test split.  Deduping and splitting are usually separate
+# pipeline stages, and a near-dup pair with one member in train and
+# one in test silently contaminates evaluation even after exact dedup.
+# Composes the MinHash/LSH pair graph (d03), the O(log n) star
+# clustering (d09), and c01's content-stable hash split: any cluster
+# whose members land in ≥2 splits is a leak, reported with its split
+# mix so the fix (move the whole cluster to one split) is mechanical.
+#
+# Scale: clustering is the d09 path (|E|-row shuffles); the split
+# label is a narrow expression on doc_id; the audit join keys on
+# doc_id and the rollup is component-sized.  Nothing here grows faster
+# than the dup-pair graph itself.
+# ---------------------------------------------------------------------------
+def d11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    comp = connected_components_star(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    labeled = comp.join(
+        docs.select("doc_id", split.alias("split")),
+        comp["node"] == F.col("doc_id"),
+    )
+    return (
+        labeled.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        )
+        .filter(F.col("n_splits") >= 2)
+        .orderBy("component")
+    )
+
+
+D11_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2 FROM ({D03_SQL}) _d03
+), und AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+), reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+), comp AS (
+  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+), labeled AS (
+  SELECT comp.component,
+         CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 'train'
+              WHEN substring(md5(doc_id::VARCHAR), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM comp JOIN documents ON comp.node = documents.doc_id
+)
+SELECT component,
+       count(*) AS n_docs,
+       count(DISTINCT split) AS n_splits,
+       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM labeled
+GROUP BY component
+HAVING count(DISTINCT split) >= 2
+ORDER BY component
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
@@ -897,6 +969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d08_dup_components": d08_dup_components,
     "d09_dup_components_star": d09_dup_components_star,
     "d10_substring_coverage": d10_substring_coverage,
+    "d11_split_leakage": d11_split_leakage,
 }
 
 ORACLE: dict[str, str] = {
@@ -912,4 +985,5 @@ ORACLE: dict[str, str] = {
     # the O(log n) star algorithm and the label-propagation baseline
     "d09_dup_components_star": D08_SQL,
     "d10_substring_coverage": D10_SQL,
+    "d11_split_leakage": D11_SQL,
 }
