@@ -586,6 +586,83 @@ ORDER BY user_id, ts
 """
 
 
+# ---------------------------------------------------------------------------
+# E14 — sessionization via Spark 4's native recursive CTE: the same
+# 30-minute-gap sessions as e04, expressed as a declarative chain walk
+# (head events recurse along immediate-successor links).  Third
+# formulation of the contract (e04 window scan, streaming
+# session_window, recursive CTE), asserted row-identical to e04 in
+# tests.
+#
+# Termination and cost are structural: each recursion step strictly
+# advances event time along a per-user chain, and total recursive rows
+# = total events (each event appears in exactly one chain prefix) —
+# linear, not the quadratic blow-up a reachability rCTE would risk.
+# Spark 4 rCTEs support UNION ALL only (no distinct-fixpoint), which
+# this shape never needs.
+# ---------------------------------------------------------------------------
+def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ev(spark, sf_dir).createOrReplaceTempView("_e14_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE base AS (
+          SELECT user_id, ts,
+                 lag(ts)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+          FROM _e14_events
+        ), nodes AS (
+          SELECT user_id, ts,
+                 (prev_ts IS NULL
+                  OR CAST(ts AS LONG) - CAST(prev_ts AS LONG) > 1800) AS is_head,
+                 CASE WHEN next_ts IS NOT NULL
+                       AND CAST(next_ts AS LONG) - CAST(ts AS LONG) <= 1800
+                      THEN next_ts END AS succ
+          FROM base
+        ), chain(user_id, session_start, ts, n) AS (
+          SELECT user_id, ts, ts, 1 FROM nodes WHERE is_head
+          UNION ALL
+          SELECT c.user_id, c.session_start, n.succ, c.n + 1
+          FROM chain c JOIN nodes n
+            ON n.user_id = c.user_id AND n.ts = c.ts
+          WHERE n.succ IS NOT NULL
+        )
+        SELECT user_id, session_start,
+               max(ts) AS session_end,
+               CAST(max(n) AS BIGINT) AS n_events
+        FROM chain GROUP BY user_id, session_start
+        ORDER BY user_id, session_start
+        """
+    )
+
+
+E14_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, ts,
+         lag(ts)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+  FROM events
+), nodes AS (
+  SELECT user_id, ts,
+         (prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800) AS is_head,
+         CASE WHEN next_ts IS NOT NULL AND epoch(next_ts) - epoch(ts) <= 1800
+              THEN next_ts END AS succ
+  FROM base
+), chain(user_id, session_start, ts, n) AS (
+  SELECT user_id, ts, ts, 1 FROM nodes WHERE is_head
+  UNION ALL
+  SELECT c.user_id, c.session_start, n.succ, c.n + 1
+  FROM chain c JOIN nodes n
+    ON n.user_id = c.user_id AND n.ts = c.ts
+  WHERE n.succ IS NOT NULL
+)
+SELECT user_id, session_start,
+       max(ts) AS session_end,
+       CAST(max(n) AS BIGINT) AS n_events
+FROM chain GROUP BY user_id, session_start
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_json_extract": e01_json_extract,
     "e02_tumbling_window": e02_tumbling_window,
@@ -600,6 +677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e11_cohort_retention": e11_cohort_retention,
     "e12_weekly_change": e12_weekly_change,
     "e13_rolling_24h": e13_rolling_24h,
+    "e14_sessions_recursive": e14_sessions_recursive,
 }
 
 ORACLE: dict[str, str] = {
@@ -616,4 +694,5 @@ ORACLE: dict[str, str] = {
     "e11_cohort_retention": E11_SQL,
     "e12_weekly_change": E12_SQL,
     "e13_rolling_24h": E13_SQL,
+    "e14_sessions_recursive": E14_SQL,
 }

@@ -69,3 +69,18 @@ def test_cogroup_applyinpandas_matches_join(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_recursive_sessions_equal_window_sessions(spark, sf_dir):
+    """e14's recursive-CTE chains produce exactly e04's window-scan
+    sessions (user, start, end, event count) — two formulations, one
+    contract."""
+    e04 = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in events.e04_sessionize(spark, sf_dir).collect()
+    )
+    e14 = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in events.e14_sessions_recursive(spark, sf_dir).collect()
+    )
+    assert e14 == e04
