@@ -15,11 +15,12 @@ via $IMG_BENCH_SLICES, default 32) through the Spark pipeline on
 local[*] — generation time is excluded, job wall-clock (decode +
 4-level pyramid + zarr write + metadata) is what's timed.
 
-Measured (local[32], 4 stacks, 128³ bricks, single-pipeline sink):
-819 MB in ~64 s vs ~200 s for the sequential per-stack/full-plane
-layout; 1.6 GB in ~105 s (throughput RISES with depth — 13→16 MB/s —
-as tile tasks amortize the fixed per-level scheduling), so per-stack
-depth growth is nearly free until tasks saturate cores.
+Measured (local[32], 4 stacks, 128³ bricks, single-pipeline sink),
+round-4 pipeline (Arrow sink + tile-first keys + fused decode+tile
+kernel): 409.6 MB in ~8 s (50 MB/s; warm solo reps 68 MB/s) and
+1.6 GB in ~23 s (70 MB/s) — vs the round-3 pipeline's ~64 s / 819 MB
+and ~105 s / 1.6 GB.  Throughput still RISES with depth as tile tasks
+amortize the fixed per-level scheduling.
 
 CAVEAT: the container shares a host and wall-clock swings 3-5× with
 neighbor load (identical code measured 36 s and 110 s an hour apart).
