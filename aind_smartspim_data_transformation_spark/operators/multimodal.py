@@ -75,7 +75,14 @@ def decode_image_pixels(data: bytes) -> np.ndarray:
             decode_tiff_gray,
         )
 
-        return decode_tiff_gray(bytes(data))
+        arr = decode_tiff_gray(bytes(data))
+        # Normalize to native byte order: an MM (big-endian) TIFF and
+        # its II twin must produce identical downstream bytes/digests,
+        # and the decode_image_bytes shim's "native-endian pixel
+        # buffer" contract must hold for every container.
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+        return arr
     raise NotImplementedError(
         "no codec for this payload in this environment (JPEG/audio/video "
         "need pillow or imagecodecs); SPKIMG01, PNG and baseline TIFF decode"

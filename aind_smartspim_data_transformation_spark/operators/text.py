@@ -602,7 +602,11 @@ FROM r WHERE rnk <= {VOCAB_TOP} ORDER BY rnk
 # ---------------------------------------------------------------------------
 def t11_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    chars = d.select(
+    # length >= 1 guard: Spark's sequence(1, 0) yields the DESCENDING
+    # [1, 0] (not empty!), which would fabricate two empty-string char
+    # rows for an empty document while the oracle's generate_series(1,0)
+    # emits none — the same short-input trap c08 guards against.
+    chars = d.filter(F.length("text") >= 1).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.explode(F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")).alias("ch"),
@@ -629,6 +633,7 @@ WITH chars AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
          substr(text, CAST(i AS INTEGER), 1) AS ch
   FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+  WHERE length(text) >= 1
 ), counts AS (
   SELECT doc_id, n_chars, ch, CAST(count(*) AS DOUBLE) AS c
   FROM chars GROUP BY doc_id, n_chars, ch

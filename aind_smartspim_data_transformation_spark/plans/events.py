@@ -602,29 +602,32 @@ ORDER BY user_id, ts
 # this shape never needs.
 # ---------------------------------------------------------------------------
 def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The chain links on a per-user ROW NUMBER (ts, event_id order),
+    # not on ts: two events of one user sharing a timestamp would make
+    # a ts-keyed join match both rows, forking the chain and
+    # double-counting the session (same-second events are routine in
+    # real streams even though the fixtures happen to lack them).
     _ev(spark, sf_dir).createOrReplaceTempView("_e14_events")
     return spark.sql(
         """
         WITH RECURSIVE base AS (
           SELECT user_id, ts,
-                 lag(ts)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
-                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+                 row_number() OVER w AS rn,
+                 lag(ts) OVER w AS prev_ts
           FROM _e14_events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), nodes AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, rn,
                  (prev_ts IS NULL
-                  OR CAST(ts AS LONG) - CAST(prev_ts AS LONG) > 1800) AS is_head,
-                 CASE WHEN next_ts IS NOT NULL
-                       AND CAST(next_ts AS LONG) - CAST(ts AS LONG) <= 1800
-                      THEN next_ts END AS succ
+                  OR CAST(ts AS LONG) - CAST(prev_ts AS LONG) > 1800) AS is_head
           FROM base
-        ), chain(user_id, session_start, ts, n) AS (
-          SELECT user_id, ts, ts, 1 FROM nodes WHERE is_head
+        ), chain(user_id, session_start, ts, rn, n) AS (
+          SELECT user_id, ts, ts, rn, 1 FROM nodes WHERE is_head
           UNION ALL
-          SELECT c.user_id, c.session_start, n.succ, c.n + 1
+          SELECT c.user_id, c.session_start, n.ts, n.rn, c.n + 1
           FROM chain c JOIN nodes n
-            ON n.user_id = c.user_id AND n.ts = c.ts
-          WHERE n.succ IS NOT NULL
+            ON n.user_id = c.user_id AND n.rn = c.rn + 1
+          WHERE NOT n.is_head
         )
         SELECT user_id, session_start,
                max(ts) AS session_end,
@@ -638,22 +641,21 @@ def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 E14_SQL = """
 WITH RECURSIVE base AS (
   SELECT user_id, ts,
-         lag(ts)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+         row_number() OVER w AS rn,
+         lag(ts) OVER w AS prev_ts
   FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), nodes AS (
-  SELECT user_id, ts,
-         (prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800) AS is_head,
-         CASE WHEN next_ts IS NOT NULL AND epoch(next_ts) - epoch(ts) <= 1800
-              THEN next_ts END AS succ
+  SELECT user_id, ts, rn,
+         (prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800) AS is_head
   FROM base
-), chain(user_id, session_start, ts, n) AS (
-  SELECT user_id, ts, ts, 1 FROM nodes WHERE is_head
+), chain(user_id, session_start, ts, rn, n) AS (
+  SELECT user_id, ts, ts, rn, 1 FROM nodes WHERE is_head
   UNION ALL
-  SELECT c.user_id, c.session_start, n.succ, c.n + 1
+  SELECT c.user_id, c.session_start, n.ts, n.rn, c.n + 1
   FROM chain c JOIN nodes n
-    ON n.user_id = c.user_id AND n.ts = c.ts
-  WHERE n.succ IS NOT NULL
+    ON n.user_id = c.user_id AND n.rn = c.rn + 1
+  WHERE NOT n.is_head
 )
 SELECT user_id, session_start,
        max(ts) AS session_end,

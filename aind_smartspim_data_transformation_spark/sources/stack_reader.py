@@ -145,6 +145,22 @@ def validate_extensions(spark: SparkSession, root: str) -> None:
         raise ValueError(f"unsupported image extension: .{bad[0]['ext']}")
 
 
+def _z_indexed(files: DataFrame) -> DataFrame:
+    """Attach z = rank of path within (channel, stack) — the
+    reference's sorted-glob semantics — via a content-PRUNED listing
+    window broadcast-joined back on path (the multi-MB ``content``
+    column never enters the window's exchange; plan-asserted in
+    tests/test_imaging.py).  Shared by decode_slices and
+    decode_slices_to_tiles so the z contract has exactly one home."""
+    w = W.partitionBy("channel", "stack").orderBy("path")
+    zmap = (
+        files.select("path", "channel", "stack")
+        .withColumn("z", (F.row_number().over(w) - 1).cast("int"))
+        .select("path", "z")
+    )
+    return files.join(F.broadcast(zmap), "path")
+
+
 def decode_slices(files: DataFrame) -> DataFrame:
     """PNG-decode each file row into a slice row.
 
@@ -171,13 +187,7 @@ def decode_slices(files: DataFrame) -> DataFrame:
     past ~10M slices prefer the one-partition-per-stack DataSource path
     (sources/smartspim_datasource.py), which needs no z-map at all.
     """
-    w = W.partitionBy("channel", "stack").orderBy("path")
-    zmap = (
-        files.select("path", "channel", "stack")
-        .withColumn("z", (F.row_number().over(w) - 1).cast("int"))
-        .select("path", "z")
-    )
-    indexed = files.join(F.broadcast(zmap), "path")
+    indexed = _z_indexed(files)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["channel", "stack", "z", "height", "width", "dtype", "data"]
@@ -282,10 +292,6 @@ def slices_to_chunks(
     """
     keyed = slices.withColumn("cz", (F.col("z") / chunk_z).cast("int"))
 
-    tile_cols = [
-        "channel", "stack", "cz", "z", "cy", "cx", "dy", "dx", "dtype", "data",
-    ]
-
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
@@ -309,7 +315,7 @@ def slices_to_chunks(
                         )
                     )
             if rows:
-                yield pd.DataFrame(rows, columns=tile_cols)
+                yield pd.DataFrame(rows, columns=TILE_COLS)
 
     tiles = keyed.mapInPandas(_split, schema=TILE_SCHEMA)
     return assemble_tiles(tiles)
@@ -395,13 +401,7 @@ def decode_slices_to_tiles(
     its tiles without the pixels ever going back to the JVM in
     slice-row form.  z assignment is identical to ``decode_slices``
     (content-pruned listing window, broadcast z-map)."""
-    w = W.partitionBy("channel", "stack").orderBy("path")
-    zmap = (
-        files.select("path", "channel", "stack")
-        .withColumn("z", (F.row_number().over(w) - 1).cast("int"))
-        .select("path", "z")
-    )
-    indexed = files.join(F.broadcast(zmap), "path")
+    indexed = _z_indexed(files)
 
     def _decode_split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

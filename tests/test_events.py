@@ -94,3 +94,37 @@ def test_variant_props_equal_json_extract(spark, sf_dir):
     a = sorted(map(tuple, events.e01_json_extract(spark, sf_dir).collect()))
     b = sorted(map(tuple, extras.x01_variant_props(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_recursive_sessions_duplicate_timestamps(spark, tmp_path):
+    """Two events of one user at the SAME timestamp must not fork the
+    recursive chain: the chain links on a per-user row number, so the
+    tied events count once each in one session."""
+    from datetime import datetime as dt
+
+    import duckdb
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0), 7, "click", 1.0, "{}"),
+        (2, dt(2024, 1, 1, 10, 0), 7, "click", 1.0, "{}"),   # tied ts
+        (3, dt(2024, 1, 1, 10, 10), 7, "click", 1.0, "{}"),
+        (4, dt(2024, 1, 1, 12, 0), 7, "click", 1.0, "{}"),   # new session
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in events.e14_sessions_recursive(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (7, dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 10, 10), 3),
+        (7, dt(2024, 1, 1, 12, 0), dt(2024, 1, 1, 12, 0), 1),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    assert sorted(map(tuple, con.execute(events.ORACLE["e14_sessions_recursive"]).fetchall())) == sorted(got)

@@ -119,3 +119,40 @@ def test_m04_frame_sample_counts(spark, sf_dir):
     assert len(rows) > 0
     for r in rows[:20]:
         assert r["n_sampled"] == len(range(0, r["n_frames"], mm.FRAME_STRIDE))
+
+
+def test_tiff_byte_orders_decode_identically():
+    """An MM (big-endian) TIFF and its II twin must yield the SAME
+    native-order pixel buffer through the multimodal decode — digests
+    downstream cannot depend on the container's byte order."""
+    import struct
+
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        encode_tiff_gray,
+    )
+
+    src = np.arange(12, dtype=np.uint16).reshape(3, 4) * 999
+    # hand-built MM twin (the encoder writes II only)
+    payload = src.astype(">u2").tobytes()
+    entries = [
+        (256, 4, 1, 4), (257, 4, 1, 3), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 3),
+        (279, 4, 1, len(payload)),
+    ]
+    mm_bytes = bytearray(b"MM" + struct.pack(">HI", 42, 8 + len(payload)))
+    mm_bytes += payload + struct.pack(">H", len(entries))
+    for tag, typ, count, value in entries:
+        if typ == 3:
+            mm_bytes += struct.pack(">HHIHH", tag, typ, count, value, 0)
+        else:
+            mm_bytes += struct.pack(">HHII", tag, typ, count, value)
+    mm_bytes += struct.pack(">I", 0)
+
+    for blob in (encode_tiff_gray(src), bytes(mm_bytes)):
+        arr = mm.decode_image_pixels(blob)
+        assert arr.dtype.byteorder in ("=", "<", "|")
+        assert np.array_equal(arr, src)
+        _w, _h, buf = mm.decode_image_bytes(blob)
+        assert buf == src.astype("<u2").tobytes()
