@@ -171,16 +171,23 @@ ORDER BY doc1, doc2
 # candidates verified with true Jaccard.  The oracle replays the SAME
 # algorithm (same hash family) — deterministic on both engines.
 # ---------------------------------------------------------------------------
-def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Raw (multiset) shingles: min() is duplicate-insensitive, so the
-    # signature pass needs NO distinct — the full-corpus path is just
-    # explode → partial-agg, no wide shuffle of shingle strings, and it
-    # is consumed exactly once (the verify pass below re-shingles only
-    # candidate docs), so nothing here needs caching.
-    sh = _shingle_rows_raw(spark, sf_dir)
-    # 16 minhashes from only 4 md5 evaluations: each 128-bit digest is
-    # split into 4 independent 32-bit (8-hex) lanes.  4× less hashing
-    # than 16 per-function md5 calls — the dominant cost at scale.
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bkey) LSH band rows for any (doc_id, text)
+    DataFrame — the signature pipeline shared by batch d03 and the
+    streaming incremental detector (streaming/docs_stream.py); the two
+    paths MUST bucket identically or stream-vs-batch parity breaks.
+
+    16 minhashes from only 4 md5 evaluations: each 128-bit digest is
+    split into 4 independent 32-bit (8-hex) lanes — 4× less hashing
+    than 16 per-function md5 calls, the dominant cost at scale.  Raw
+    (multiset) shingles: min() is duplicate-insensitive, so no
+    distinct before the partial agg.
+    """
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+    )
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -189,7 +196,7 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_MINHASH)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -203,6 +210,61 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.bkey")
+
+
+def minhash_band_rows_narrow(docs: DataFrame) -> DataFrame:
+    """Per-ROW variant of :func:`minhash_band_rows`: the minima come
+    from ``array_min`` over the in-row shingle array instead of an
+    explode + groupBy — zero aggregation, zero shuffle.
+
+    Same hash family, same minima, identical (doc_id, band_id, bkey)
+    rows (asserted in tests/test_docs_stream.py).  This is the variant
+    a STREAMING pipeline needs: a streaming groupBy(doc_id) is a
+    stateful aggregation (unsupported in append mode without a
+    watermark, and pointless state — each doc arrives whole), while a
+    narrow map composes freely with the downstream stateful bucket
+    operator.  Batch keeps the agg form (partial-agg bundles shingle
+    hashing across the scan); per-doc work is identical either way.
+    """
+    shs = "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    out = docs.withColumn("toks", F.split("text", " ")).filter(
+        F.size("toks") >= 3
+    )
+    lanes = [
+        F.expr(
+            f"transform({shs}, sh -> md5(concat('{k}|', sh)))"
+        ).alias(f"lane{k}")
+        for k in range(N_MINHASH // 4)
+    ]
+    out = out.select("doc_id", *lanes)
+    hs = [
+        F.array_min(
+            F.expr(f"transform(lane{i // 4}, d -> substring(d, {8 * (i % 4) + 1}, 8))")
+        ).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    sigs = out.select("doc_id", *hs)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")).alias("bkey"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.bkey")
+
+
+def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The signature pipeline (minhash_band_rows) is consumed exactly
+    # once — the verify pass below re-shingles only candidate docs —
+    # so nothing here needs caching.
+    bands = minhash_band_rows(load_table(spark, sf_dir, "documents"))
     # Candidate pairs by grouping each band bucket and expanding i<j
     # combinations in-bucket — ONE pass over the signature pipeline and
     # one shuffle on the band key, where a bands⋈bands self-join would
