@@ -19,9 +19,19 @@ from aind_smartspim_data_transformation_spark.plans.relational import (
     Q38_SQL,
     Q39_SQL,
     Q40_SQL,
+    Q41_SQL,
+    Q42_SQL,
+    Q43_SQL,
+    Q44_SQL,
+    Q45_SQL,
     q38_promo_share,
     q39_returned_items,
     q40_topk_per_group,
+    q41_min_cost_supplier,
+    q42_product_profit,
+    q43_supplier_part_counts,
+    q44_surge_suppliers,
+    q45_dormant_customers,
 )
 from aind_smartspim_data_transformation_spark.tables import load_table
 
@@ -67,6 +77,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_promo_share": q38_promo_share,
     "q39_returned_items": q39_returned_items,
     "q40_topk_per_group": q40_topk_per_group,
+    "q41_min_cost_supplier": q41_min_cost_supplier,
+    "q42_product_profit": q42_product_profit,
+    "q43_supplier_part_counts": q43_supplier_part_counts,
+    "q44_surge_suppliers": q44_surge_suppliers,
+    "q45_dormant_customers": q45_dormant_customers,
     "x01_variant_props": x01_variant_props,
 }
 
@@ -74,5 +89,10 @@ ORACLE: dict[str, str] = {
     "q38_promo_share": Q38_SQL,
     "q39_returned_items": Q39_SQL,
     "q40_topk_per_group": Q40_SQL,
+    "q41_min_cost_supplier": Q41_SQL,
+    "q42_product_profit": Q42_SQL,
+    "q43_supplier_part_counts": Q43_SQL,
+    "q44_surge_suppliers": Q44_SQL,
+    "q45_dormant_customers": Q45_SQL,
     "x01_variant_props": X01_SQL,
 }

@@ -1592,6 +1592,301 @@ ORDER BY n_name, rk
 
 
 # ---------------------------------------------------------------------------
+# Q41 — minimum-cost supplier (TPC-H Q2 shape, adapted: this schema has
+# no partsupp, so per-(part, supplier) minimum unit price observed in
+# lineitem stands in for ps_supplycost): for ECONOMY parts of size 24,
+# the ASIA supplier(s) whose supply cost equals the regional minimum
+# for that part — the classic *correlated MIN subquery*.
+#
+# Decorrelation: lineitem is aggregated ONCE on (partkey, suppkey) —
+# the only fact-sized shuffle.  The regional supplier dimension
+# (supplier⋈nation⋈region, filtered) broadcasts; the per-part regional
+# minimum is an aggregation of the already-small regional ps table,
+# broadcast-joined back; the part filter broadcasts.  The correlated
+# subquery never touches the fact a second time.  The equality
+# `supply_cost = min_cost` compares exact doubles (min is
+# order-independent and both sides derive from identical row-level
+# divisions), so Spark and the oracle agree bit-for-bit.
+# ---------------------------------------------------------------------------
+def q41_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 24) & (F.col("p_type") == "ECONOMY")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    reg_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_reg = ps.join(
+        F.broadcast(reg_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = ps_reg.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        ps_reg.join(F.broadcast(min_cost), F.col("ps_partkey") == F.col("mc_partkey"))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p["p_partkey"])
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("supply_cost", 4).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+Q41_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       round(supply_cost, 4) AS supply_cost
+FROM ps
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN part     ON ps_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_size = 24 AND p_type = 'ECONOMY'
+  AND supply_cost = (SELECT min(ps2.supply_cost)
+                     FROM ps ps2
+                     JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+                     JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                     JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                     WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q42 — product-type profit (TPC-H Q9 shape, adapted: 60% of
+# p_retailprice stands in for ps_supplycost): profit per supplier
+# nation per year over 'widget' parts.  The part-name LIKE filter
+# prunes ~1/3 of parts BEFORE the fact join (broadcast), so the
+# lineitem⋈orders join — the only fact-sized shuffle, orderkey-keyed
+# and bucket-able at scale — carries only surviving rows.
+# ---------------------------------------------------------------------------
+def q42_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+Q42_SQL = """
+SELECT n_name AS nation,
+       extract(year FROM o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, extract(year FROM o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q43 — parts/supplier relationship (TPC-H Q16 shape, adapted:
+# distinct (part, supplier) pairs observed in lineitem stand in for
+# partsupp; suppliers with negative account balance stand in for the
+# complaints NOT IN): distinct supplier count per (brand, type, size)
+# over non-excluded parts and suppliers.
+#
+# Plan: the fact collapses to distinct (partkey, suppkey) pairs FIRST
+# (map-side partial distinct, one pair-keyed shuffle — at 100 TB this
+# is the dedup'd partsupp relation, ~1e-3 of lineitem).  The NOT IN
+# rewrites to a broadcast anti-join (s_suppkey is non-null, so anti ≡
+# NOT IN) and the part filter broadcasts; the final count-distinct
+# groups the tiny pair table.
+# ---------------------------------------------------------------------------
+def q43_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(5, 10, 16, 24, 29))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 500).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            pairs["l_suppkey"] == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+Q43_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (5, 10, 16, 24, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q44 — surge suppliers (TPC-H Q20 shape, adapted: the availqty
+# comparison becomes "1999 shipments of a widget part exceed half the
+# supplier's average-yearly volume for that part"): a *doubly-nested
+# IN* (supplier IN agg-subquery, part IN filter-subquery) with a
+# correlated aggregate threshold.
+#
+# Decorrelation: the inner correlated subquery (all-time quantity per
+# (supplier, part)) and the outer 1999 aggregate fold into ONE
+# conditional aggregation over the widget-filtered fact — grouped on
+# (suppkey, partkey), comparing sum(qty WHERE 1999) against
+# 0.5 * sum(qty)/7.  l_quantity is integral, so both sums are exact
+# doubles and the comparison cannot straddle an ulp between engines.
+# The surviving supplier keys collapse to a distinct set that
+# broadcast-semi-filters the supplier dimension.
+# ---------------------------------------------------------------------------
+def q44_surge_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    widget = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    y1999 = (F.col("l_shipdate") >= "1999-01-01") & (
+        F.col("l_shipdate") < "2000-01-01"
+    )
+    surge = (
+        li.join(F.broadcast(widget), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(y1999, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_1999"
+            ),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .filter(F.col("qty_1999") > 0.5 * F.col("qty_all") / 7.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .join(F.broadcast(surge), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q44_SQL = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01'
+                     AND l_shipdate <  TIMESTAMP '2000-01-01'
+                    THEN l_quantity ELSE 0.0 END)
+           > 0.5 * sum(l_quantity) / 7.0)
+ORDER BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q45 — dormant high-balance customers (TPC-H Q22 shape, adapted: a
+# custkey-mod segment stands in for the phone country code, and
+# "dormant" means no orders since 2001-01-01): per segment, customers
+# whose balance beats the positive-balance mean and who placed no
+# recent order — *scalar subquery + filtered NOT EXISTS*.
+#
+# Plan: the global mean is one tiny broadcast row.  NOT EXISTS
+# becomes a left-anti join against recent orders — the date predicate
+# lands in the orders scan (partition-prunable at scale), and the
+# anti join keys on custkey, AQE-skew-splittable.  Customer is
+# scanned once.
+# ---------------------------------------------------------------------------
+def q45_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    eligible = c.withColumn("segment", F.col("c_custkey") % 7).filter(
+        F.col("segment").isin(1, 3, 5)
+    )
+    mean_bal = eligible.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("mean_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2001-01-01").select("o_custkey")
+    return (
+        eligible.crossJoin(F.broadcast(mean_bal))
+        .filter(F.col("c_acctbal") > F.col("mean_bal"))
+        .join(recent, eligible["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+Q45_SQL = """
+SELECT c_custkey % 7 AS segment,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_custkey % 7 IN (1, 3, 5)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0 AND c_custkey % 7 IN (1, 3, 5))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
