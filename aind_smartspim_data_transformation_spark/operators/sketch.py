@@ -1,0 +1,141 @@
+"""Count-min sketch heavy hitters (x02).
+
+A 100 TB token stream cannot afford an exact per-token count just to
+find heavy hitters: the token-keyed shuffle moves billions of distinct
+keys.  A count-min sketch collapses the stream into a fixed d×w grid
+of counters — here d=4 hash lanes × w=1024 buckets — built with
+map-side combine, so the only shuffle carries at most 4096 keys no
+matter the corpus size.  Estimates are biased high (collisions only
+ADD), and `est = min_j sketch[j][h_j(tok)]` bounds the error.
+
+The hash family is the repo's established md5-lane construction
+(``operators/dedup.py:380``): bucket_j(tok) = first 8 hex chars of
+md5('j|' || tok) as an integer, mod w — chosen because Spark
+(`conv(substring(md5(..),1,8),16,10)`) and DuckDB
+(`('0x'||substring(md5(..),1,8))::BIGINT`) compute it identically, so
+the oracle replays the sketch bit-for-bit.
+
+The registered query is the sketch's QA harness: for the top-20 exact
+tokens it reports exact count, CM estimate, and the (always
+non-negative) overcount.  The exact side exists only for the compare;
+a production heavy-hitter pass keeps just the sketch + a candidate
+set.
+
+No counterpart in the reference repo ([driver-ext]: LLM-pipeline
+operators beyond the reference's imaging scope).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aind_smartspim_data_transformation_spark.tables import load_table
+
+CM_LANES = 4
+CM_WIDTH = 1024
+CM_TOPK = 20
+
+
+def _bucket(lane: int, col: str = "token"):
+    """md5-lane bucket: identical in Spark and DuckDB (see module doc)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{lane}|"), F.col(col))), 1, 8), 16, 10
+        ).cast("long")
+        % CM_WIDTH
+    )
+
+
+def x02_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+    # Sketch: one pass over the token stream; posexplode emits the d
+    # (lane, bucket) pairs per token, the groupBy partially aggregates
+    # map-side — the shuffle carries ≤ d·w = 4096 keys at ANY corpus
+    # size.  This is the whole at-scale data path.
+    sketch = (
+        tok.select(
+            F.posexplode(
+                F.array(*[_bucket(j) for j in range(CM_LANES)])
+            ).alias("lane", "bucket")
+        )
+        .groupBy("lane", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+    # QA side: exact counts (token-keyed shuffle — the cost the sketch
+    # avoids in production) and the top-k candidates.
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(CM_TOPK)
+
+    # Estimate: explode the tiny candidate set by lane, probe the
+    # broadcast sketch, min across lanes.
+    est = (
+        top.select(
+            "token",
+            F.posexplode(
+                F.array(*[_bucket(j) for j in range(CM_LANES)])
+            ).alias("lane", "bucket"),
+        )
+        .join(F.broadcast(sketch), ["lane", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return (
+        top.join(F.broadcast(est), "token")
+        .select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+    )
+
+
+_DUCK_BUCKET = (
+    "('0x' || substring(md5(CAST(lane AS VARCHAR) || '|' || token), 1, 8))::BIGINT"
+    f" % {CM_WIDTH}"
+)
+
+X02_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tok2 AS (
+  SELECT token FROM tok WHERE token <> ''
+), lanes AS (
+  SELECT unnest(range({CM_LANES})) AS lane
+), sketch AS (
+  SELECT lane, {_DUCK_BUCKET} AS bucket, count(*) AS c
+  FROM tok2 CROSS JOIN lanes
+  GROUP BY 1, 2
+), exact AS (
+  SELECT token, count(*) AS exact_cnt FROM tok2 GROUP BY 1
+), top AS (
+  SELECT * FROM exact ORDER BY exact_cnt DESC, token ASC LIMIT {CM_TOPK}
+), est AS (
+  SELECT token, min(c) AS est_cnt
+  FROM (SELECT t.token, l.lane, {_DUCK_BUCKET} AS bucket
+        FROM top t CROSS JOIN lanes l) probe
+  JOIN sketch USING (lane, bucket)
+  GROUP BY token
+)
+SELECT token, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+FROM top JOIN est USING (token)
+ORDER BY exact_cnt DESC, token ASC
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x02_countmin_heavyhitters": x02_countmin_heavyhitters,
+}
+
+ORACLE: dict[str, str] = {
+    "x02_countmin_heavyhitters": X02_SQL,
+}

@@ -33,6 +33,8 @@ from aind_smartspim_data_transformation_spark.plans.relational import (
     q44_surge_suppliers,
     q45_dormant_customers,
 )
+from aind_smartspim_data_transformation_spark.operators import layout as _layout
+from aind_smartspim_data_transformation_spark.operators import sketch as _sketch
 from aind_smartspim_data_transformation_spark.tables import load_table
 
 
@@ -83,6 +85,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_surge_suppliers": q44_surge_suppliers,
     "q45_dormant_customers": q45_dormant_customers,
     "x01_variant_props": x01_variant_props,
+    **_sketch.QUERIES,
+    **_layout.QUERIES,
 }
 
 ORACLE: dict[str, str] = {
@@ -95,4 +99,6 @@ ORACLE: dict[str, str] = {
     "q44_surge_suppliers": Q44_SQL,
     "q45_dormant_customers": Q45_SQL,
     "x01_variant_props": X01_SQL,
+    **_sketch.ORACLE,
+    **_layout.ORACLE,
 }
