@@ -131,6 +131,20 @@ def test_q37_plan_reuses_per_part_exchange(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_q41_plan_reuses_ps_exchange(spark, sf_dir):
+    """The correlated-MIN decorrelation consumes the (partkey, suppkey)
+    aggregation twice (row side + per-part minimum); the fact-sized
+    exchange must be shared at runtime, not recomputed."""
+    df = relational.q41_min_cost_supplier(spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_q40_plan_uses_window_group_limit(spark, sf_dir):
     """rank<=k must compile to WindowGroupLimit — each partition keeps
     its local top-3 per nation BEFORE the window exchange, so the

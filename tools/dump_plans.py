@@ -249,6 +249,74 @@ ANNOTATIONS = {
         "cheapest possible 100 TB shape: linear scan, shuffle carries "
         "20 rows."
     ),
+    "q41_min_cost_supplier": (
+        "Correlated MIN subquery (TPC-H Q2 shape). Look for: ONE "
+        "fact-sized exchange — lineitem's (partkey, suppkey) "
+        "aggregation with partial_min map-side — and everything after "
+        "it broadcast: the filtered regional supplier dim, the per-part "
+        "regional minimum (an aggregate OF the already-small ps table), "
+        "and the size/type-filtered part. The static plan below shows "
+        "the ps aggregation twice (row side + per-part-min side); at "
+        "runtime AQE's ReuseExchange collapses them to one (asserted "
+        "in tests/test_relational.py) — the fact is aggregated exactly "
+        "once. Final top-100 is TakeOrderedAndProject."
+    ),
+    "q42_product_profit": (
+        "Product-type profit (TPC-H Q9 shape). Look for: the p_name "
+        "LIKE filter pruning parts INSIDE a broadcast build side, so "
+        "the lineitem⋈part broadcast join discards non-widget rows "
+        "before the only fact-sized exchange (lineitem⋈orders on "
+        "orderkey — bucket-able to zero at scale); supplier and nation "
+        "broadcast; one partial_sum aggregate on (nation, year)."
+    ),
+    "q43_supplier_part_counts": (
+        "Parts/supplier relationship (TPC-H Q16 shape with NOT IN). "
+        "Look for: the fact collapsing to DISTINCT (partkey, suppkey) "
+        "pairs first — partial HashAggregate before the pair-keyed "
+        "exchange, so the shuffle carries the dedup'd partsupp relation "
+        "(~1e-3 of lineitem), not the fact; NOT IN compiled to "
+        "BroadcastHashJoin LeftAnti (keys non-null); part filter "
+        "broadcast; the final count-distinct groups the tiny pair set."
+    ),
+    "q44_surge_suppliers": (
+        "Doubly-nested IN with correlated aggregate threshold (TPC-H "
+        "Q20 shape). Look for: the widget part filter as a broadcast "
+        "LeftSemi BEFORE the only fact exchange; the correlated "
+        "all-time total and the 1999 window folded into ONE conditional "
+        "aggregation on (suppkey, partkey) — sum(qty WHERE 1999) vs "
+        "sum(qty), a single pass where the naive plan joins the fact to "
+        "itself; surviving keys collapse to a broadcast semi-filter on "
+        "the supplier dim."
+    ),
+    "q45_dormant_customers": (
+        "Scalar subquery + filtered NOT EXISTS (TPC-H Q22 shape). Look "
+        "for: the o_orderdate predicate in the orders scan's "
+        "PushedFilters (partition-prunable at scale — the anti side "
+        "reads months, not years); the positive-balance mean as a "
+        "1-row BroadcastNestedLoopJoin; LeftAnti on custkey (AQE "
+        "skew-splittable); customer scanned once."
+    ),
+    "x02_countmin_heavyhitters": (
+        "Count-min sketch heavy hitters. Look for: the sketch branch's "
+        "exchange keyed on (lane, bucket) — ≤4096 distinct keys at ANY "
+        "corpus size, with partial_count map-side combine after the "
+        "posexplode; the md5-lane buckets computed in codegen (no "
+        "Python); the probe side exploding only the top-k candidate "
+        "set and joining the broadcast sketch. The exact-count branch "
+        "exists only for the QA compare — production keeps the "
+        "4096-key path and drops the token-keyed shuffle entirely."
+    ),
+    "x03_zorder_cells": (
+        "Z-order (Morton) cell audit. Look for: the interleave as pure "
+        "integer bitwise ops inside one WholeStageCodegen span (four "
+        "spread rounds per dimension, no UDF); ONE exchange keyed on "
+        "the coarse cell (bounded key space, partial aggregates "
+        "map-side); top-20 as TakeOrderedAndProject. The write-side "
+        "twin (zorder_layout) turns the same key into "
+        "repartitionByRange + sortWithinPartitions for min-max file "
+        "skipping on BOTH dimensions (tests/test_layout.py measures "
+        "it on real parquet footers)."
+    ),
 }
 
 INGEST_NOTE = (
