@@ -661,6 +661,86 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# C11 — weighted sampling via Priority Sampling (Duffield–Lund–Thorup,
+# JACM 2007): each doc gets priority q = w/u with u uniform in (0, 1],
+# and the k largest priorities form the sample.  For selection
+# fractions « 1, P(doc sampled) ∝ its weight, and the Horvitz–Thompson
+# weight max(w, τ) — τ being the (k+1)-th priority — makes the sample
+# total an unbiased estimate of the corpus total.  THE way to pull a
+# representative weighted subsample out of 100 TB in one pass: no
+# global sort (top-(k+1) is TakeOrderedAndProject — per-partition
+# heaps, driver merges k+1 rows), no stored sample table, rerun-stable.
+#
+# All-integer math: u is the first 8 md5 hex chars of doc_id (+1 so
+# it is never 0), and the priority is the exact floor of
+# (w << 24) / u — bit-identical in Spark and DuckDB, no floats, no
+# selection-boundary ulp risk.  Weight = n_chars.
+# ---------------------------------------------------------------------------
+SAMPLE_K = 20
+_PRI_SHIFT = 1 << 24
+
+
+def _priority_cols(df: DataFrame) -> DataFrame:
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    return df.withColumn(
+        "priority", F.floor(F.col("n_chars") * _PRI_SHIFT / u).cast("long")
+    )
+
+
+def c11_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    topk1 = (
+        _priority_cols(docs)
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(SAMPLE_K + 1)
+    )
+    # τ = the (k+1)-th priority; attach as a 1-row broadcast, then keep
+    # the top k with their HT weights (scaled by 2^24 to stay integer).
+    tau = topk1.agg(F.min("priority").alias("tau"))
+    return (
+        topk1.crossJoin(F.broadcast(tau))
+        # Rows tying the (k+1)-th priority are excluded on BOTH sides
+        # (the sample may be < k under a boundary tie — deterministic
+        # and engine-agnostic, unlike picking tie "winners").
+        .filter(F.col("priority") > F.col("tau"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "priority",
+            "tau",
+            F.greatest(
+                F.col("n_chars") * _PRI_SHIFT, F.col("tau")
+            ).alias("ht_weight_scaled"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+    )
+
+
+C11_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, n_chars,
+         (n_chars * {_PRI_SHIFT})
+           // (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+           AS priority
+  FROM documents
+), topk1 AS (
+  SELECT * FROM pri ORDER BY priority DESC, doc_id ASC LIMIT {SAMPLE_K + 1}
+), tau AS (
+  SELECT min(priority) AS tau FROM topk1
+)
+SELECT doc_id, n_chars, priority, tau,
+       greatest(n_chars * {_PRI_SHIFT}, tau) AS ht_weight_scaled
+FROM topk1 CROSS JOIN tau
+WHERE priority > tau
+ORDER BY priority DESC, doc_id ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_train_split": c01_train_split,
     "c02_pack_sequences": c02_pack_sequences,
@@ -672,6 +752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c08_contamination": c08_contamination,
     "c09_source_mixture": c09_source_mixture,
     "c10_pii_redaction": c10_pii_redaction,
+    "c11_priority_sample": c11_priority_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -685,4 +766,5 @@ ORACLE: dict[str, str] = {
     "c08_contamination": C08_SQL,
     "c09_source_mixture": C09_SQL,
     "c10_pii_redaction": _c10_sql(),
+    "c11_priority_sample": C11_SQL,
 }
