@@ -1020,6 +1020,104 @@ ORDER BY component
 """
 
 
+# ---------------------------------------------------------------------------
+# D12 — duplicate-graph centrality: 3 rounds of PageRank over the d03
+# near-dup pair graph.  Dedup keeps ONE doc per cluster; *which* one
+# matters — the highest-centrality member is the best keeper (most
+# similar to the rest of its cluster, least likely an outlier
+# paraphrase).  This is the engine's fixed-iteration graph surface
+# (beyond d08/d09's run-to-convergence components): rank flows along
+# edges, damping 0.85, uniform start.
+#
+# All-INTEGER arithmetic so the oracle replays it exactly: ranks live
+# in micro-units (start 1,000,000), each hop is the exact integer
+# division rank div degree, and the damped update is
+# 150000 + (850 · Σ contribs) div 1000 — no floats anywhere, so Spark
+# and DuckDB agree bit-for-bit after any number of rounds.
+#
+# Scale posture: per round = one join of edges⋈ranks on the source key
+# + one groupBy on the destination (partial_sum map-side) — |E|-row
+# shuffles, same skeleton as d08; edges⋈degree is precomputed once and
+# persisted; localCheckpoint per round cuts lineage.  Rounds are FIXED
+# (3), so the job graph is static — no convergence probes.
+# ---------------------------------------------------------------------------
+PR_ROUNDS = 3
+PR_BASE = 1_000_000  # initial rank, micro-units
+PR_HOLD = 150_000  # (1 - d) · PR_BASE with d = 0.85
+
+
+def d12_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    )
+    deg = edges.groupBy(F.col("doc1").alias("dnode")).agg(
+        F.count("*").alias("degree")
+    )
+    edges_deg = edges.join(deg, edges["doc1"] == deg["dnode"]).select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst"), "degree"
+    ).persist()
+    ranks = deg.select(
+        F.col("dnode").alias("node"), F.lit(PR_BASE).cast("long").alias("rank")
+    ).localCheckpoint()
+    for _ in range(PR_ROUNDS):
+        ranks = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            .select("dst", F.expr("rank div degree").alias("contrib"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(PR_HOLD)
+                    + F.expr("(850 * sum(contrib)) div 1000")
+                ).cast("long").alias("rank")
+            )
+            .localCheckpoint()
+        )
+    edges_deg.unpersist()
+    return (
+        ranks.join(deg, ranks["node"] == deg["dnode"])
+        .select(F.col("node").alias("doc_id"), "degree", F.col("rank").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _d12_sql() -> str:
+    hops = []
+    prev = "r0"
+    for i in range(1, PR_ROUNDS + 1):
+        hops.append(
+            f"r{i} AS (\n"
+            f"  SELECT u.b AS node,\n"
+            f"         {PR_HOLD} + (850 * sum(p.rank // d.degree)) // 1000 AS rank\n"
+            f"  FROM und u JOIN {prev} p ON u.a = p.node\n"
+            f"  JOIN deg d ON u.a = d.node\n"
+            f"  GROUP BY u.b\n)"
+        )
+        prev = f"r{i}"
+    hop_sql = ", ".join(hops)
+    return f"""
+WITH pairs AS (
+  SELECT doc1, doc2 FROM ({D03_SQL}) _d03
+), und AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+), deg AS (
+  SELECT a AS node, count(*) AS degree FROM und GROUP BY a
+), r0 AS (
+  SELECT node, {PR_BASE} AS rank FROM deg
+), {hop_sql}
+SELECT {prev}.node AS doc_id, deg.degree, {prev}.rank AS rank_micro
+FROM {prev} JOIN deg ON {prev}.node = deg.node
+ORDER BY rank_micro DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+D12_SQL = _d12_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
@@ -1032,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d09_dup_components_star": d09_dup_components_star,
     "d10_substring_coverage": d10_substring_coverage,
     "d11_split_leakage": d11_split_leakage,
+    "d12_dup_pagerank": d12_dup_pagerank,
 }
 
 ORACLE: dict[str, str] = {
@@ -1048,4 +1147,5 @@ ORACLE: dict[str, str] = {
     "d09_dup_components_star": D08_SQL,
     "d10_substring_coverage": D10_SQL,
     "d11_split_leakage": D11_SQL,
+    "d12_dup_pagerank": D12_SQL,
 }
