@@ -49,17 +49,25 @@ def _bucket(lane: int, col: str = "token"):
     )
 
 
-def x02_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+def token_rows(docs: DataFrame) -> DataFrame:
+    """(token) rows from a (…, text) DataFrame — batch or streaming."""
+    return docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
 
-    # Sketch: one pass over the token stream; posexplode emits the d
-    # (lane, bucket) pairs per token, the groupBy partially aggregates
-    # map-side — the shuffle carries ≤ d·w = 4096 keys at ANY corpus
-    # size.  This is the whole at-scale data path.
-    sketch = (
+
+def cm_sketch(tok: DataFrame) -> DataFrame:
+    """(lane, bucket, c) count-min grid over a token DataFrame.
+
+    One pass; posexplode emits the d (lane, bucket) pairs per token,
+    the groupBy partially aggregates map-side — the shuffle carries
+    ≤ d·w = 4096 keys at ANY corpus size.  Counts are a pure streaming
+    aggregation too (the sketch is mergeable by construction), so the
+    SAME function builds the incremental sketch over a readStream of
+    documents — asserted sketch-identical to batch in
+    tests/test_docs_stream.py.
+    """
+    return (
         tok.select(
             F.posexplode(
                 F.array(*[_bucket(j) for j in range(CM_LANES)])
@@ -68,6 +76,14 @@ def x02_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lane", "bucket")
         .agg(F.count("*").alias("c"))
     )
+
+
+def x02_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = token_rows(docs)
+
+    # The at-scale data path: the whole corpus collapses to ≤4096 rows.
+    sketch = cm_sketch(tok)
 
     # QA side: exact counts (token-keyed shuffle — the cost the sketch
     # avoids in production) and the top-k candidates.

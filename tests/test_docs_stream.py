@@ -90,3 +90,32 @@ def test_narrow_band_rows_equal_agg_band_rows(spark, sf_dir):
     a = sorted(map(tuple, dedup.minhash_band_rows(docs).collect()))
     b = sorted(map(tuple, dedup.minhash_band_rows_narrow(docs).collect()))
     assert a == b
+
+
+def test_streaming_countmin_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The count-min sketch is mergeable, so the SAME cm_sketch()
+    composition runs as a streaming aggregation; the converged stream
+    sketch must equal the batch sketch cell-for-cell."""
+    from aind_smartspim_data_transformation_spark.operators.sketch import (
+        cm_sketch,
+        token_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "cm_src"
+    src.mkdir()
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force ≥2 microbatches
+        .parquet(str(src))
+    )
+    got_df = run_to_completion(
+        cm_sketch(token_rows(stream)), "t_cm_stream", mode="complete"
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(map(tuple, cm_sketch(token_rows(docs)).collect()))
+    assert got == want
+    assert len(got) > 0
