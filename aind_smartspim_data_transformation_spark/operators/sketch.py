@@ -148,10 +148,120 @@ ORDER BY exact_cnt DESC, token ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# X4 — HyperLogLog distinct-count sketch (Flajolet et al. 2007),
+# integer-exact.  Exact count-distinct over a 100 TB token stream
+# shuffles every distinct key; HLL collapses the stream to m=256
+# 5-bit registers with map-side max-combine — the shuffle carries
+# ≤256 rows, and registers from different shards merge by max.
+#
+# Determinism: the 32-bit md5 prefix splits into bucket = h mod 256
+# and v = h div 256 (24 bits); rho = leading-zero rank = 25 −
+# bitlength(v) (25 when v = 0).  The harmonic sum Σ 2^−rho is kept as
+# the EXACT integer S = Σ 2^(32−rho) (dyadic rationals scaled by
+# 2^32; empty buckets contribute 2^32), and the raw estimate is the
+# exact integer division (α_milli · m² · 2^32) div (1000 · S) with
+# α_milli = 718 ≈ 1000·0.7213/(1+1.079/m).  No floats anywhere —
+# Spark and DuckDB produce the identical estimate.  No small-range
+# (linear-counting) correction: the QA pairs the estimate with the
+# exact count, and the corpus is far above the 2.5·m regime where the
+# correction applies.
+# ---------------------------------------------------------------------------
+HLL_M = 256  # buckets (p = 8)
+HLL_ALPHA_MILLI = 718
+
+
+def x04_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-word shingles, same construction as the dedup family's
+    # (operators/dedup.py) — the corpus's high-cardinality key (the
+    # token vocabulary is tiny by design; shingles are the realistic
+    # count-distinct workload).  Duplicates are fine: registers are
+    # max-idempotent.
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        _shingle_rows_raw,
+    )
+
+    tok = _shingle_rows_raw(spark, sf_dir).select(F.col("sh").alias("token"))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    hashed = tok.select(
+        (h % HLL_M).alias("bucket"), F.expr(f"{_H32} div {HLL_M}").alias("v")
+    )
+    regs = (
+        hashed.withColumn(
+            "rho",
+            F.when(F.col("v") == 0, F.lit(25)).otherwise(
+                F.lit(25) - F.length(F.bin("v"))
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    sums = regs.agg(
+        (
+            F.expr("sum(shiftleft(CAST(1 AS BIGINT), 32 - r))")
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 32)
+        ).alias("s"),
+        F.count("*").alias("n_regs"),
+    )
+    exact = tok.agg(F.countDistinct("token").alias("n_exact"))
+    num = HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << 32)
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).alias("m"),
+            "n_regs",
+            "n_exact",
+            F.expr(f"{num} div (1000 * s)").alias("est"),
+            F.expr(
+                f"abs({num} div (1000 * s) - n_exact) * 1000000 div n_exact"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+# the 32-bit md5 prefix as an integer, shared by the Spark expr above
+_H32 = "CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
+
+_DUCK_H32 = "('0x' || substring(md5(token), 1, 8))::BIGINT"
+
+X04_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), tok2 AS (
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+  FROM toks
+), hashed AS (
+  SELECT {_DUCK_H32} % {HLL_M} AS bucket,
+         {_DUCK_H32} // {HLL_M} AS v
+  FROM tok2
+), regs AS (
+  SELECT bucket,
+         max(CASE WHEN v = 0 THEN 25 ELSE 25 - length(bin(v)) END) AS r
+  FROM hashed GROUP BY bucket
+), sums AS (
+  SELECT sum((1::BIGINT << (32 - r)))::BIGINT
+         + ({HLL_M} - count(*)) * (1::BIGINT << 32) AS s,
+         count(*) AS n_regs
+  FROM regs
+), exact AS (
+  SELECT count(DISTINCT token) AS n_exact FROM tok2
+)
+SELECT {HLL_M} AS m, n_regs, n_exact,
+       ({HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << 32)}) // (1000 * s) AS est,
+       abs(({HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << 32)}) // (1000 * s) - n_exact)
+         * 1000000 // n_exact AS err_ppm
+FROM sums CROSS JOIN exact
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x02_countmin_heavyhitters": x02_countmin_heavyhitters,
+    "x04_hll_distinct": x04_hll_distinct,
 }
 
 ORACLE: dict[str, str] = {
     "x02_countmin_heavyhitters": X02_SQL,
+    "x04_hll_distinct": X04_SQL,
 }
