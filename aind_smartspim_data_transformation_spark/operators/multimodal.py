@@ -299,11 +299,150 @@ def m04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(imgs.select("doc_id", "image"), FRAME_STRIDE).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# M5 — perceptual image hashing (dHash) for image-level dedup.  The
+# standard near-dup signature for images: resize to a 9×8 grid
+# (nearest-neighbor), compare each pixel to its right neighbor, pack
+# the 64 greater-than bits.  Visually-identical images (recompress,
+# mild crop/brightness) land within a few hamming bits; the pair join
+# reuses the d07 simhash machinery (pigeonhole bands + bit_count(xor)
+# verify) — see tests/test_multimodal.py for a planted near-dup pair
+# driven through :func:`dhash_hamming_pairs`.
+#
+# The hash is split into two 32-bit halves (rows 0-3 / rows 4-7): a
+# single 64-bit pack would shift into the sign bit, where Spark wraps
+# and DuckDB errors — two halves keep every value positive and the
+# oracle exact.  The registered query audits the full decode → resize
+# → hash pipeline per shape class; the oracle recomputes the hash from
+# the fake format's definition (header parse included — a one-byte
+# offset error would flip nearly every bit).
+# ---------------------------------------------------------------------------
+DHASH_GRID_W, DHASH_GRID_H = 9, 8  # 8 comparisons/row × 8 rows = 64 bits
+
+DHASH_SCHEMA = "doc_id long, width int, height int, dhash_hi long, dhash_lo long"
+
+
+def dhash_images(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, width, height, dhash_hi, dhash_lo) via mapInPandas."""
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gw, gh = DHASH_GRID_W, DHASH_GRID_H
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                arr = decode_image_pixels(bytes(blob))
+                h, w = arr.shape
+                ys = [y * h // gh for y in range(gh)]
+                xs = [x * w // gw for x in range(gw)]
+                g = arr[np.ix_(ys, xs)].astype(np.int64)
+                bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)  # gh × (gw-1)
+                flat = bits.flatten()
+                hi = int(sum(int(b) << i for i, b in enumerate(flat[:32])))
+                lo = int(sum(int(b) << i for i, b in enumerate(flat[32:])))
+                out.append((doc_id, w, h, hi, lo))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "dhash_hi", "dhash_lo"]
+            )
+
+    return binary_df.mapInPandas(_dhash, schema=DHASH_SCHEMA)
+
+
+def dhash_hamming_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
+    """Near-dup image pairs by banded hamming join — d07's pigeonhole
+    over 4 16-bit bands: any pair within hamming ≤ 3 MUST agree on at
+    least one band (3 flipped bits cannot touch all 4), so band
+    equality generates the candidates and exact bit_count(xor)
+    verifies.  For max_hamming ≥ 4 recall is no longer guaranteed
+    (candidate generation becomes approximate) — same trade-off as
+    the simhash path."""
+    bands = hashes.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.posexplode(
+            F.array(
+                F.col("dhash_hi") % 65536,
+                F.expr("dhash_hi div 65536"),
+                F.col("dhash_lo") % 65536,
+                F.expr("dhash_lo div 65536"),
+            )
+        ).alias("band_id", "bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            (
+                F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
+                + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming).orderBy("doc1", "doc2")
+
+
+def m05_dhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = documents_as_fake_images(spark, sf_dir)
+    hashes = dhash_images(imgs.select("doc_id", "image"))
+    return (
+        hashes.groupBy("width", "height")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("dhash_hi", "dhash_lo").alias("n_distinct_hashes"),
+            F.sum("dhash_hi").alias("sum_hi"),
+            F.sum("dhash_lo").alias("sum_lo"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+# DuckDB twin: recompute the dHash from the fake format's definition.
+_M05_PIXEL = (
+    "ord(substr(payload, (((i // 8) * height) // 8) * width "
+    "+ (({x}) * width) // 9 + 1, 1))"
+)
+
+M05_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INT) AS width,
+         CAST(doc_id % 8 + 2 AS INT) AS height,
+         substring(
+           rpad(text, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT), 'x'),
+           1, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT)) AS payload
+  FROM documents
+), hashed AS (
+  SELECT doc_id, width, height,
+         list_sum(list_transform(range(0, 32), i -> CASE WHEN
+           {_M05_PIXEL.format(x="i % 8")} > {_M05_PIXEL.format(x="i % 8 + 1")}
+           THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS dhash_hi,
+         list_sum(list_transform(range(32, 64), i -> CASE WHEN
+           {_M05_PIXEL.format(x="i % 8")} > {_M05_PIXEL.format(x="i % 8 + 1")}
+           THEN (1::BIGINT << (i - 32)) ELSE 0 END))::BIGINT AS dhash_lo
+  FROM f
+)
+SELECT width, height, count(*) AS n_images,
+       count(DISTINCT (dhash_hi, dhash_lo)) AS n_distinct_hashes,
+       CAST(sum(dhash_hi) AS BIGINT) AS sum_hi,
+       CAST(sum(dhash_lo) AS BIGINT) AS sum_lo
+FROM hashed GROUP BY width, height ORDER BY width, height
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m01_binary_stats": m01_binary_stats,
     "m02_image_features": m02_image_features,
     "m03_image_resize": m03_image_resize,
     "m04_frame_sample": m04_frame_sample,
+    "m05_dhash_audit": m05_dhash_audit,
 }
 
 ORACLE: dict[str, str] = {
@@ -314,4 +453,7 @@ ORACLE: dict[str, str] = {
     # m03/m04: intentionally no oracle (mapInPandas resize/frame-sample
     # byte output is not SQL-expressible) — driver records rows-only;
     # deterministic goldens live in tests/test_multimodal.py.
+    # m05: oracle-backed — the dHash is recomputed from the fake
+    # format's closed form.
+    "m05_dhash_audit": M05_SQL,
 }

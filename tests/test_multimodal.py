@@ -156,3 +156,66 @@ def test_tiff_byte_orders_decode_identically():
         assert np.array_equal(arr, src)
         _w, _h, buf = mm.decode_image_bytes(blob)
         assert buf == src.astype("<u2").tobytes()
+
+
+def test_dhash_planted_near_duplicate_pair(spark):
+    """A real PNG, a copy with 2 pixels nudged (near-dup), and an
+    unrelated image: the banded hamming join must pair the near-dups
+    (small hamming) and exclude the unrelated image."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(32, 36), dtype=np.uint8)
+    near = base.copy()
+    near[3, 5] = 255 - near[3, 5]  # visually-minor perturbation
+    near[20, 30] = 0
+    other = rng.integers(0, 255, size=(32, 36), dtype=np.uint8)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png_gray(base))),
+            (2, bytearray(encode_png_gray(near))),
+            (3, bytearray(encode_png_gray(other))),
+        ],
+        "doc_id long, image binary",
+    )
+    hashes = mm.dhash_images(df)
+    rows = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"]) for r in hashes.collect()}
+    assert len(rows) == 3 and all(v[0] >= 0 and v[1] >= 0 for v in rows.values())
+
+    pairs = mm.dhash_hamming_pairs(hashes, max_hamming=3).collect()
+    got = {(r["doc1"], r["doc2"]): r["hamming"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert all(p == (1, 2) for p in got)
+
+
+def test_dhash_matches_independent_reference(spark):
+    """dhash_images agrees with a from-scratch Python dHash on fake
+    images (bit packing and grid sampling written independently here)."""
+    import numpy as np
+
+    blobs = [
+        (i, bytearray(mm.make_fake_image(f"seed{i}".encode() * 3, 12 + i, 6 + i)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, image binary")
+    got = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"]) for r in mm.dhash_images(df).collect()}
+    for i, blob in blobs:
+        arr = mm.decode_image_pixels(bytes(blob))
+        h, w = arr.shape
+        hi = lo = 0
+        for y in range(8):
+            for x in range(8):
+                p = int(arr[y * h // 8, x * w // 9])
+                q = int(arr[y * h // 8, (x + 1) * w // 9])
+                bit = 1 if p > q else 0
+                idx = y * 8 + x
+                if idx < 32:
+                    hi |= bit << idx
+                else:
+                    lo |= bit << (idx - 32)
+        assert got[i] == (hi, lo), i
