@@ -330,10 +330,18 @@ TILE_COLS = [
 ]
 
 
-def assemble_tiles(tiles: DataFrame) -> DataFrame:
+def assemble_tiles(tiles: DataFrame, chunk_z: int | None = None) -> DataFrame:
     """Tile rows (TILE_SCHEMA) → chunk rows (CHUNK_SCHEMA): the one
     ingest shuffle, keyed by the full chunk coordinate (see
-    slices_to_chunks for why tile-first keying is the scale shape)."""
+    slices_to_chunks for why tile-first keying is the scale shape).
+
+    With ``chunk_z`` given, planes land at their TRUE within-chunk
+    index (z − cz·chunk_z) and interior holes — a quarantined corrupt
+    slice — are zero-filled, preserving z alignment for the sink;
+    trailing holes shorten the slab (indistinguishable from a short
+    final slab).  Without it (default), tiles are assumed contiguous
+    in z (fail-mode ingest, where a codec error aborts before any hole
+    can exist)."""
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         channel, stack, cz, cy, cx = key
@@ -341,12 +349,17 @@ def assemble_tiles(tiles: DataFrame) -> DataFrame:
         dtype = pdf["dtype"].iloc[0]
         dy = int(pdf["dy"].iloc[0])
         dx = int(pdf["dx"].iloc[0])
-        block = np.stack(
-            [
-                np.frombuffer(b, dtype=np.dtype(dtype)).reshape(dy, dx)
-                for b in pdf["data"]
-            ]
-        )
+        planes = [
+            np.frombuffer(b, dtype=np.dtype(dtype)).reshape(dy, dx)
+            for b in pdf["data"]
+        ]
+        if chunk_z is not None:
+            idx = (pdf["z"].to_numpy() - int(cz) * chunk_z).astype(int)
+            block = np.zeros((int(idx.max()) + 1, dy, dx), dtype=np.dtype(dtype))
+            for i, plane in zip(idx, planes):
+                block[i] = plane
+        else:
+            block = np.stack(planes)
         return pd.DataFrame(
             [
                 (
@@ -385,11 +398,19 @@ def assemble_tiles(tiles: DataFrame) -> DataFrame:
     )
 
 
+# Sentinel coordinates marking a dead-letter (quarantined) tile row:
+# a corrupt slice in quarantine mode emits exactly one such row, with
+# the error text + source path in ``data`` and dtype QUARANTINE_DTYPE.
+QUARANTINE_DTYPE = "__quarantined__"
+_QUARANTINE_COORD = -1
+
+
 def decode_slices_to_tiles(
     files: DataFrame,
     chunk_z: int,
     chunk_y: int | None = None,
     chunk_x: int | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Fused decode + tile split: raw file rows → tile rows in ONE
     Python kernel.
@@ -400,14 +421,48 @@ def decode_slices_to_tiles(
     crossing between them.  The fused kernel decodes a slice and emits
     its tiles without the pixels ever going back to the JVM in
     slice-row form.  z assignment is identical to ``decode_slices``
-    (content-pruned listing window, broadcast z-map)."""
+    (content-pruned listing window, broadcast z-map).
+
+    ``on_error``: ``"fail"`` (default) propagates a codec error and
+    fails the job — right for curated acquisitions.  ``"quarantine"``
+    turns each corrupt slice into ONE dead-letter tile row
+    (dtype = QUARANTINE_DTYPE, cy = cx = −1, error text + path in
+    ``data``) instead of killing a 100 TB ingest at file 10⁹ − 1;
+    split with :func:`split_quarantine`.  The decoded good tiles and
+    the dead-letter rows come out of the SAME single decode pass —
+    persist the tile frame if both sides get consumed, or the kernel
+    re-runs per action.
+    """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
     indexed = _z_indexed(files)
+    quarantine = on_error == "quarantine"
 
     def _decode_split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
             for r in pdf.itertuples(index=False):
-                arr = decode_image_gray(bytes(r.content))
+                try:
+                    arr = decode_image_gray(bytes(r.content))
+                except Exception as exc:  # noqa: BLE001 — dead-letter boundary
+                    if not quarantine:
+                        raise
+                    msg = f"{r.path}: {type(exc).__name__}: {exc}"
+                    rows.append(
+                        (
+                            r.channel,
+                            r.stack,
+                            int(r.z) // chunk_z,
+                            int(r.z),
+                            _QUARANTINE_COORD,
+                            _QUARANTINE_COORD,
+                            0,
+                            0,
+                            QUARANTINE_DTYPE,
+                            msg.encode("utf-8", "replace"),
+                        )
+                    )
+                    continue
                 block = arr.reshape(1, arr.shape[0], arr.shape[1])
                 for cy, cx, tile in tile_plane_block(block, chunk_y, chunk_x):
                     rows.append(
@@ -427,9 +482,25 @@ def decode_slices_to_tiles(
             if rows:
                 yield pd.DataFrame(rows, columns=TILE_COLS)
 
-    return indexed.select("channel", "stack", "z", "content").mapInPandas(
+    return indexed.select("path", "channel", "stack", "z", "content").mapInPandas(
         _decode_split, schema=TILE_SCHEMA
     )
+
+
+def split_quarantine(tiles: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_tiles, dead_letters) from a quarantine-mode tile frame.
+
+    The dead-letter side decodes ``data`` back into the human-readable
+    `error` string (path + exception) — the table an operator triages
+    while the good 99.999% of the ingest proceeds."""
+    good = tiles.filter(F.col("dtype") != QUARANTINE_DTYPE)
+    bad = tiles.filter(F.col("dtype") == QUARANTINE_DTYPE).select(
+        "channel",
+        "stack",
+        "z",
+        F.decode(F.col("data"), "UTF-8").alias("error"),
+    )
+    return good, bad
 
 
 def read_stack_tree(
@@ -438,11 +509,20 @@ def read_stack_tree(
     chunk_z: int = 64,
     chunk_y: int | None = None,
     chunk_x: int | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Scan + decode + chunk in one declarative pipeline (fused decode
-    + tile kernel; see decode_slices_to_tiles)."""
-    return assemble_tiles(
-        decode_slices_to_tiles(
-            scan_stack_files(spark, root), chunk_z, chunk_y, chunk_x
-        )
+    + tile kernel; see decode_slices_to_tiles).
+
+    With ``on_error="quarantine"`` a corrupt slice becomes a ZERO
+    plane at its true z position (alignment preserved for the sink;
+    a trailing corrupt slice shortens the slab) instead of failing the
+    job; use decode_slices_to_tiles + split_quarantine directly to
+    also collect the dead-letter table."""
+    tiles = decode_slices_to_tiles(
+        scan_stack_files(spark, root), chunk_z, chunk_y, chunk_x, on_error
     )
+    if on_error == "quarantine":
+        tiles, _ = split_quarantine(tiles)
+        return assemble_tiles(tiles, chunk_z=chunk_z)
+    return assemble_tiles(tiles)

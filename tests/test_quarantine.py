@@ -1,0 +1,85 @@
+"""Dead-letter (quarantine) ingest: corrupt slices must not kill the
+job, must surface in a triage table, and must not shift z alignment."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aind_smartspim_data_transformation_spark.sources import stack_reader as sr
+from tests.imaging_fixtures import CHANNELS, SLICES, make_dataset
+
+
+def _corrupt_first_slice(root) -> str:
+    """Truncate one real slice file into a decode failure; returns its
+    stack id.  A valid PNG signature with a mangled body exercises the
+    codec error path, not the extension filter."""
+    ch_dir = root / "SmartSPIM" / CHANNELS[0]
+    col = sorted(p for p in ch_dir.iterdir() if p.is_dir())[0]
+    stack = sorted(p for p in col.iterdir() if p.is_dir())[0]
+    target = stack / f"{SLICES[0]}.png"
+    target.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)
+    return stack.name
+
+
+def test_fail_mode_propagates_codec_error(spark, tmp_path):
+    make_dataset(tmp_path, height=16, width=20)
+    _corrupt_first_slice(tmp_path)
+    with pytest.raises(Exception, match="(?i)png|chunk|decode"):
+        sr.read_stack_tree(spark, str(tmp_path / "SmartSPIM"), chunk_z=2).collect()
+
+
+def test_quarantine_mode_isolates_and_zero_fills(spark, tmp_path):
+    vols = make_dataset(tmp_path, height=16, width=20)
+    bad_stack = _corrupt_first_slice(tmp_path)
+    root = str(tmp_path / "SmartSPIM")
+
+    tiles = sr.decode_slices_to_tiles(
+        sr.scan_stack_files(spark, root), chunk_z=2, on_error="quarantine"
+    ).persist()
+    good, dead = sr.split_quarantine(tiles)
+
+    # exactly one dead letter, naming the corrupt file with the cause
+    dl = dead.collect()
+    assert len(dl) == 1
+    assert dl[0]["stack"] == bad_stack and dl[0]["z"] == 0
+    assert f"{SLICES[0]}.png" in dl[0]["error"]
+
+    # assembled chunks: corrupt plane zero-filled AT ITS POSITION,
+    # every other voxel identical to the fixture volume
+    chunks = sr.assemble_tiles(good, chunk_z=2).collect()
+    seen_bad = 0
+    for row in chunks:
+        key = f"{row['channel']}/{row['stack']}"
+        vol = vols[key]
+        block = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
+            row["dz"], row["dy"], row["dx"]
+        )
+        zlo = row["cz"] * 2
+        ylo, xlo = row["cy"] * row["dy"], row["cx"] * row["dx"]
+        expect = vol[
+            zlo : zlo + row["dz"], ylo : ylo + row["dy"], xlo : xlo + row["dx"]
+        ].copy()
+        if row["channel"] == CHANNELS[0] and row["stack"] == bad_stack and zlo == 0:
+            expect[0] = 0  # the quarantined plane
+            seen_bad += 1
+        assert np.array_equal(block, expect), (key, row["cz"], row["cy"], row["cx"])
+    assert seen_bad > 0  # the corrupt stack's chunks were checked
+    tiles.unpersist()
+
+
+def test_quarantine_clean_tree_matches_fail_mode(spark, tmp_path):
+    """On a healthy acquisition the two modes are bit-identical."""
+    make_dataset(tmp_path, height=16, width=20)
+    root = str(tmp_path / "SmartSPIM")
+    a = sorted(
+        (r["channel"], r["stack"], r["cz"], r["cy"], r["cx"], bytes(r["data"]))
+        for r in sr.read_stack_tree(spark, root, chunk_z=2).collect()
+    )
+    b = sorted(
+        (r["channel"], r["stack"], r["cz"], r["cy"], r["cx"], bytes(r["data"]))
+        for r in sr.read_stack_tree(
+            spark, root, chunk_z=2, on_error="quarantine"
+        ).collect()
+    )
+    assert a == b
