@@ -354,7 +354,18 @@ def dhash_hamming_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
     equality generates the candidates and exact bit_count(xor)
     verifies.  For max_hamming ≥ 4 recall is no longer guaranteed
     (candidate generation becomes approximate) — same trade-off as
-    the simhash path."""
+    the simhash path.
+
+    Degenerate-bucket guard (the d03 lesson, `dedup.MAX_BAND_BUCKET`):
+    solid-color / boilerplate images all hash to the SAME dHash (every
+    comparison bit 0), so one band bucket can hold a huge fraction of
+    the corpus and the in-bucket join goes quadratic.  Buckets larger
+    than the cap are boilerplate, not near-duplication — dropped
+    BEFORE the self-join."""
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        MAX_BAND_BUCKET,
+    )
+
     bands = hashes.select(
         "doc_id",
         "dhash_hi",
@@ -368,6 +379,13 @@ def dhash_hamming_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
             )
         ).alias("band_id", "bkey"),
     )
+    hot = (
+        bands.groupBy("band_id", "bkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > MAX_BAND_BUCKET)
+        .select("band_id", "bkey")
+    )
+    bands = bands.join(F.broadcast(hot), ["band_id", "bkey"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

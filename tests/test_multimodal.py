@@ -219,3 +219,21 @@ def test_dhash_matches_independent_reference(spark):
                 else:
                     lo |= bit << (idx - 32)
         assert got[i] == (hi, lo), i
+
+
+def test_dhash_pairs_cap_degenerate_bucket(spark):
+    """Solid-color images all share dHash 0 — the cap must stop the
+    in-bucket join from emitting O(n²) pairs (boilerplate, not
+    near-duplication)."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        MAX_BAND_BUCKET,
+    )
+
+    n = MAX_BAND_BUCKET + 10
+    flat = np.zeros((16, 18), dtype=np.uint8)
+    blobs = [(i, bytearray(mm.make_fake_image(bytes(flat.tobytes()), 18, 16))) for i in range(n)]
+    df = spark.createDataFrame(blobs, "doc_id long, image binary")
+    pairs = mm.dhash_hamming_pairs(mm.dhash_images(df), max_hamming=3)
+    assert pairs.count() == 0  # the whole degenerate bucket is dropped
