@@ -256,12 +256,162 @@ FROM sums CROSS JOIN exact
 """
 
 
+# ---------------------------------------------------------------------------
+# X5 — Bloom-filter cross-corpus membership (Bloom 1970), completing
+# the sketch family (x02 count-min: frequencies; x04 HLL: distincts;
+# x05 Bloom: membership).  The 100 TB use: "does corpus B contain
+# anything from corpus A" without joining A⋈B — A collapses to an
+# m-bit array, B probes it with NO shuffle of A beyond the ≤m-row bit
+# set (broadcast).  Spark's own runtime bloom join filter is the same
+# idea engine-side; this is the user-level cross-dataset form.
+#
+# Determinism: k = 4 md5-lane positions mod m = 65536 (the repo's
+# hash family — Spark and DuckDB agree bit-for-bit), so the ORACLE
+# verifies the sketch itself: build from the c01 train split's
+# distinct shingles, probe the test split's, report true members,
+# bloom hits, false positives, and the measured FP ppm.  Bloom
+# guarantees no false negatives — the QA's n_bloom_hits ≥
+# n_true_members is structural, and the FP count is exact on both
+# engines.
+# ---------------------------------------------------------------------------
+BLOOM_M = 65536
+BLOOM_K = 4
+
+_SHINGLE_EXPR = (
+    "transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+)
+
+
+def _split_shingles(spark: SparkSession, sf_dir: str, keep) -> DataFrame:
+    """Distinct 3-word shingles of one c01 split (same hash contract
+    as operators/corpus.py::c01_train_split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        docs.filter(keep(h))
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
+        .distinct()
+    )
+
+
+def x05_bloom_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train = _split_shingles(spark, sf_dir, lambda h: h < "c")
+    test = _split_shingles(spark, sf_dir, lambda h: h >= "e")
+
+    def positions(df: DataFrame) -> DataFrame:
+        # distinct (sh, pos): lanes may collide on a position, so
+        # membership compares matched-vs-needed DISTINCT positions.
+        return df.select(
+            "sh",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{j}|"), F.col("sh"))), 1, 8
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % BLOOM_M
+                            for j in range(BLOOM_K)
+                        ]
+                    )
+                )
+            ).alias("pos"),
+        )
+
+    bits = positions(train).select("pos").distinct()
+    probe = positions(test)
+    need = probe.groupBy("sh").agg(F.count("*").alias("n_need"))
+    matched = (
+        probe.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("sh")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    hits = (
+        need.join(matched, "sh", "left")
+        .filter(F.col("n_hit") == F.col("n_need"))
+        .select("sh")
+    )
+    truth = test.join(train, "sh", "left_semi")
+    counts = (
+        train.agg(F.count("*").alias("n_train_keys"))
+        .crossJoin(F.broadcast(test.agg(F.count("*").alias("n_test_keys"))))
+        .crossJoin(F.broadcast(truth.agg(F.count("*").alias("n_true_members"))))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_bloom_hits"))))
+        .crossJoin(F.broadcast(bits.agg(F.count("*").alias("n_bits_set"))))
+    )
+    return counts.select(
+        "n_train_keys",
+        "n_test_keys",
+        "n_true_members",
+        "n_bloom_hits",
+        "n_bits_set",
+        (F.col("n_bloom_hits") - F.col("n_true_members")).alias("n_false_pos"),
+        F.expr(
+            "(n_bloom_hits - n_true_members) * 1000000 "
+            "div greatest(n_test_keys - n_true_members, 1)"
+        ).alias("fp_ppm"),
+    )
+
+
+_DUCK_BLOOM_POS = " , ".join(
+    f"('0x' || substring(md5('{j}|' || sh), 1, 8))::BIGINT % {BLOOM_M}"
+    for j in range(BLOOM_K)
+)
+
+X05_SQL = f"""
+WITH d AS (
+  SELECT substring(md5(doc_id::VARCHAR), 1, 1) AS h, text
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+), sh_all AS (
+  SELECT h, unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+              || ' ' || string_split(text, ' ')[i+2])) AS sh
+  FROM d
+), train AS (
+  SELECT DISTINCT sh FROM sh_all WHERE h < 'c'
+), test AS (
+  SELECT DISTINCT sh FROM sh_all WHERE h >= 'e'
+), train_pos AS (
+  SELECT DISTINCT unnest([{_DUCK_BLOOM_POS}]) AS pos FROM train
+), probe AS (
+  SELECT sh, unnest(list_distinct([{_DUCK_BLOOM_POS}])) AS pos FROM test
+), need AS (
+  SELECT sh, count(*) AS n_need FROM probe GROUP BY sh
+), matched AS (
+  SELECT sh, count(*) AS n_hit FROM probe
+  WHERE pos IN (SELECT pos FROM train_pos) GROUP BY sh
+), hits AS (
+  SELECT need.sh FROM need JOIN matched USING (sh) WHERE n_hit = n_need
+)
+SELECT (SELECT count(*) FROM train) AS n_train_keys,
+       (SELECT count(*) FROM test) AS n_test_keys,
+       (SELECT count(*) FROM test WHERE sh IN (SELECT sh FROM train)) AS n_true_members,
+       (SELECT count(*) FROM hits) AS n_bloom_hits,
+       (SELECT count(*) FROM train_pos) AS n_bits_set,
+       (SELECT count(*) FROM hits)
+         - (SELECT count(*) FROM test WHERE sh IN (SELECT sh FROM train)) AS n_false_pos,
+       ((SELECT count(*) FROM hits)
+         - (SELECT count(*) FROM test WHERE sh IN (SELECT sh FROM train))) * 1000000
+         // greatest((SELECT count(*) FROM test)
+         - (SELECT count(*) FROM test WHERE sh IN (SELECT sh FROM train)), 1) AS fp_ppm
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x02_countmin_heavyhitters": x02_countmin_heavyhitters,
     "x04_hll_distinct": x04_hll_distinct,
+    "x05_bloom_crosscorpus": x05_bloom_crosscorpus,
 }
 
 ORACLE: dict[str, str] = {
     "x02_countmin_heavyhitters": X02_SQL,
     "x04_hll_distinct": X04_SQL,
+    "x05_bloom_crosscorpus": X05_SQL,
 }
