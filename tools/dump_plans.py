@@ -306,6 +306,35 @@ ANNOTATIONS = {
         "exists only for the QA compare — production keeps the "
         "4096-key path and drops the token-keyed shuffle entirely."
     ),
+    "x04_hll_distinct": (
+        "HyperLogLog distinct sketch. Look for: the register branch's "
+        "exchange keyed on bucket — ≤256 keys with partial_max "
+        "map-side (shard registers merge by max; that IS the "
+        "mergeability HLL exists for); every rho/harmonic-sum/estimate "
+        "expression integer (bin/length/shiftleft in codegen, `div` "
+        "divisions) so the ESTIMATE is oracle-verified, not a float "
+        "neighbor. The exact-count branch (Expand for countDistinct) "
+        "exists only for the QA compare."
+    ),
+    "x05_bloom_crosscorpus": (
+        "Bloom-filter cross-corpus membership. Look for: corpus A "
+        "(train shingles) collapsing to a ≤65536-row distinct bit set "
+        "that rejoins as BroadcastHashJoin LeftSemi — corpus B probes "
+        "WITHOUT shuffling A; matched-vs-needed DISTINCT position "
+        "counts (lanes can collide) decide membership; the k=4 "
+        "md5-lane positions in codegen. No false negatives by "
+        "construction (n_bloom_hits ≥ n_true_members in the output); "
+        "the FP count is exact on both engines."
+    ),
+    "c11_priority_sample": (
+        "Weighted sampling via Priority Sampling (Duffield–Lund–"
+        "Thorup). Look for: TakeOrderedAndProject for the top-(k+1) — "
+        "per-partition heaps, driver merges k+1 rows, NO global sort; "
+        "the priority (w << 24) // u as exact integer codegen (no "
+        "selection-boundary ulp risk); τ attached as a 1-row broadcast "
+        "and the Horvitz–Thompson weights computed in the same narrow "
+        "Project."
+    ),
     "x03_zorder_cells": (
         "Z-order (Morton) cell audit. Look for: the interleave as pure "
         "integer bitwise ops inside one WholeStageCodegen span (four "
