@@ -687,17 +687,25 @@ def _priority_cols(df: DataFrame) -> DataFrame:
         .cast("long")
         + 1
     )
-    return df.withColumn(
-        "priority", F.floor(F.col("n_chars") * _PRI_SHIFT / u).cast("long")
-    )
+    # `div`, not floor(a / b): Column `/` is DOUBLE division, which
+    # rounds across integer boundaries once n_chars·2^24 passes 2^53 —
+    # exactly the cross-engine selection-boundary drift the integer
+    # contract rules out.
+    return df.withColumn("_u", u).withColumn(
+        "priority", F.expr(f"(n_chars * {_PRI_SHIFT}) div _u")
+    ).drop("_u")
 
 
 def c11_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # localCheckpoint materializes the 21 winner rows once: τ and the
+    # output both read them, and TakeOrderedAndProject is not an
+    # exchange AQE could reuse — without this the full scan runs twice.
     topk1 = (
         _priority_cols(docs)
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(SAMPLE_K + 1)
+        .localCheckpoint()
     )
     # τ = the (k+1)-th priority; attach as a 1-row broadcast, then keep
     # the top k with their HT weights (scaled by 2^24 to stay integer).

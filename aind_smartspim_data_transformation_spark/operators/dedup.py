@@ -1048,9 +1048,13 @@ PR_HOLD = 150_000  # (1 - d) · PR_BASE with d = 0.85
 
 def d12_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    # localCheckpoint the edge list: the expensive d03 pipeline runs
+    # exactly ONCE — deg, the loop's edges⋈degree, and the final
+    # degree join all derive from the materialized edges, not from a
+    # fresh MinHash/verify recomputation.
     edges = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
-    )
+    ).localCheckpoint()
     deg = edges.groupBy(F.col("doc1").alias("dnode")).agg(
         F.count("*").alias("degree")
     )

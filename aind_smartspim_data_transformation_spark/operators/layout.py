@@ -111,7 +111,9 @@ def zorder_layout(df: DataFrame, x: str, y: str, num_files: int) -> DataFrame:
 # and report per-cell row counts and per-dimension extents.  A correct
 # curve gives every populated cell a partkey AND suppkey range that is
 # a small fraction of the domain — the property file skipping rides on.
-# Pure integer expressions; one 4096-key-bounded shuffle.
+# Pure integer expressions; one shuffle whose key space is bounded by
+# the cell granularity (32 − 14 = 18 bits → ≤262,144 cells, with
+# map-side partial aggregation regardless of row count).
 # ---------------------------------------------------------------------------
 def x03_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

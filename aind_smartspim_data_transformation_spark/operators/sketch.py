@@ -277,29 +277,31 @@ FROM sums CROSS JOIN exact
 BLOOM_M = 65536
 BLOOM_K = 4
 
-_SHINGLE_EXPR = (
-    "transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-)
-
-
 def _split_shingles(spark: SparkSession, sf_dir: str, keep) -> DataFrame:
-    """Distinct 3-word shingles of one c01 split (same hash contract
-    as operators/corpus.py::c01_train_split)."""
+    """Distinct 3-word shingles of one c01 split — the shingle
+    expression is dedup's (``dedup._SHINGLES``, one home) and the
+    split hash is c01's contract."""
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        _SHINGLES,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return (
         docs.filter(keep(h))
         .withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
-        .select(F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
+        .select(F.explode(F.expr(_SHINGLES)).alias("sh"))
         .distinct()
     )
 
 
 def x05_bloom_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    train = _split_shingles(spark, sf_dir, lambda h: h < "c")
-    test = _split_shingles(spark, sf_dir, lambda h: h >= "e")
+    # Each side feeds three consumers (positions/bits, the truth join,
+    # and its count) — persist, or the scan+explode+distinct pipeline
+    # executes once PER consumer.
+    train = _split_shingles(spark, sf_dir, lambda h: h < "c").persist()
+    test = _split_shingles(spark, sf_dir, lambda h: h >= "e").persist()
 
     def positions(df: DataFrame) -> DataFrame:
         # distinct (sh, pos): lanes may collide on a position, so

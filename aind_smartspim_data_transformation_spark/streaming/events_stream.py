@@ -309,34 +309,56 @@ def upsert_stream_to_parquet(
     reproduces the same table because the merge is a pure function of
     (current table, batch content) — asserted in
     tests/test_streaming.py by running the same bounded stream twice.
+    That requires DETERMINISTIC winners: ordering is (order_col desc,
+    incoming-beats-current, xxhash64-of-row desc) so a late-arriving
+    OLDER event never overwrites newer state, and rows tying on
+    (key, order_col) resolve by content, not by task scheduling.
 
     Scale posture: the batch side is small (one microbatch); the state
-    table is the big side.  The anti-join keys on ``key_cols`` — with
-    the table bucketed by key, only matching buckets shuffle; a format
+    table is the big side.  The rank keys on ``key_cols`` — with the
+    table bucketed by key, only matching buckets shuffle; a format
     with merge-on-read (Iceberg) drops the rewrite entirely.  The
-    atomic swap is directory-rename here (single-writer guarantee comes
-    from the streaming query itself: one driver owns the checkpoint).
+    directory swap is two renames, NOT atomic — ``_recover`` heals the
+    crash window (state moved aside but not yet replaced) on the next
+    batch; the single-writer guarantee comes from the streaming query
+    itself (one driver owns the checkpoint).
     """
+    import glob
+    import os
     import shutil
     import tempfile
 
+    def _recover() -> None:
+        # Crash between rename(out, old) and rename(tmp, out) leaves
+        # the state only in .old-<id>; restore the newest one.
+        if not os.path.isdir(out_dir):
+            olds = sorted(glob.glob(out_dir + ".old-*"))
+            if olds:
+                os.rename(olds[-1], out_dir)
+        for stale in glob.glob(out_dir + ".old-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        import os
-
-        # latest row per key WITHIN the batch first
-        w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        _recover()
+        cols = batch_df.columns
+        incoming = batch_df.withColumn("_src", F.lit(1))
         if os.path.isdir(out_dir):
-            current = spark.read.parquet(out_dir)
-            keep = current.join(F.broadcast(latest.select(*key_cols)), key_cols, "left_anti")
-            merged = keep.unionByName(latest)
+            current = spark.read.parquet(out_dir).withColumn("_src", F.lit(0))
+            combined = current.unionByName(incoming)
         else:
-            merged = latest
+            combined = incoming
+        # winner per key: largest order_col; incoming beats current on
+        # an order_col tie (last WRITER wins); same-source ties resolve
+        # by row-content hash — deterministic under replay.
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(order_col), F.desc("_src"), F.desc(F.xxhash64(*cols))
+        )
+        merged = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
         tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir) or ".")
         merged.write.mode("overwrite").parquet(tmp)
         old = out_dir + f".old-{batch_id}"

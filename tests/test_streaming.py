@@ -323,12 +323,14 @@ def test_upsert_sink_latest_state_and_idempotence(spark, tmp_path):
 
     rows = [
         # (user_id, ts, value) — user 1 updated across batches, user 2
-        # updated within one batch, user 3 written once
+        # updated within one batch AND hit by a LATE (older) event in
+        # batch 2 that must NOT overwrite, user 3 written once
         (1, dt.datetime(2024, 1, 1, 10, 0), 10.0),
         (2, dt.datetime(2024, 1, 1, 10, 1), 20.0),
         (2, dt.datetime(2024, 1, 1, 10, 2), 21.0),
         (1, dt.datetime(2024, 1, 2, 9, 0), 11.0),
         (3, dt.datetime(2024, 1, 2, 9, 5), 30.0),
+        (2, dt.datetime(2024, 1, 1, 9, 0), 19.0),  # late straggler
     ]
     schema = "user_id long, ts timestamp, value double"
     src = tmp_path / "upsert_src"
@@ -358,10 +360,31 @@ def test_upsert_sink_latest_state_and_idempotence(spark, tmp_path):
     expect = sorted(
         [
             (1, dt.datetime(2024, 1, 2, 9, 0), 11.0),
-            (2, dt.datetime(2024, 1, 1, 10, 2), 21.0),
+            (2, dt.datetime(2024, 1, 1, 10, 2), 21.0),  # straggler lost
             (3, dt.datetime(2024, 1, 2, 9, 5), 30.0),
         ]
     )
     assert got == expect
     # replay from scratch → identical state (merge is deterministic)
     assert run("b") == got
+
+    # crash-window recovery: state moved aside but not yet replaced
+    # (the gap between the two renames) must heal on the next merge
+    import os
+
+    os.rename(
+        str(tmp_path / "state_a"), str(tmp_path / "state_a") + ".old-99"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    es.upsert_stream_to_parquet(
+        stream,
+        str(tmp_path / "state_a"),
+        str(tmp_path / "ckpt_recover"),
+        key_cols=["user_id"],
+        order_col="ts",
+    )
+    assert sorted(map(tuple, spark.read.parquet(str(tmp_path / "state_a")).collect())) == got
