@@ -24,6 +24,7 @@ from aind_smartspim_data_transformation_spark.plans.relational import (
     Q43_SQL,
     Q44_SQL,
     Q45_SQL,
+    Q46_SQL,
     q38_promo_share,
     q39_returned_items,
     q40_topk_per_group,
@@ -32,6 +33,7 @@ from aind_smartspim_data_transformation_spark.plans.relational import (
     q43_supplier_part_counts,
     q44_surge_suppliers,
     q45_dormant_customers,
+    q46_shipmode_priority,
 )
 from aind_smartspim_data_transformation_spark.operators import layout as _layout
 from aind_smartspim_data_transformation_spark.operators import sketch as _sketch
@@ -84,6 +86,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_supplier_part_counts": q43_supplier_part_counts,
     "q44_surge_suppliers": q44_surge_suppliers,
     "q45_dormant_customers": q45_dormant_customers,
+    "q46_shipmode_priority": q46_shipmode_priority,
     "x01_variant_props": x01_variant_props,
     **_sketch.QUERIES,
     **_layout.QUERIES,
@@ -98,6 +101,7 @@ ORACLE: dict[str, str] = {
     "q43_supplier_part_counts": Q43_SQL,
     "q44_surge_suppliers": Q44_SQL,
     "q45_dormant_customers": Q45_SQL,
+    "q46_shipmode_priority": Q46_SQL,
     "x01_variant_props": X01_SQL,
     **_sketch.ORACLE,
     **_layout.ORACLE,
