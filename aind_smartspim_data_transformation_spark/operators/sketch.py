@@ -31,6 +31,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from aind_smartspim_data_transformation_spark.tables import load_table
 
@@ -406,14 +407,109 @@ SELECT (SELECT count(*) FROM train) AS n_train_keys,
 """
 
 
+# ---------------------------------------------------------------------------
+# X6 — histogram quantile sketch, completing the canonical quartet
+# (x02 count-min: frequency; x04 HLL: distinct; x05 Bloom: membership;
+# x06: quantiles).  Exact `percentile` (q23) buffers every value per
+# group; an equi-width histogram collapses the column to ≤B counter
+# rows per group — one map-side-combined shuffle of ≤ groups·B keys at
+# ANY row count, registers merge by +, and a quantile is read off the
+# cumulative counts.  The estimate's error is bounded by the bucket
+# width (here 120000/1024 ≈ 117 price units).
+#
+# Determinism: the bucket index floor(v·B/RANGE) is the same IEEE
+# double arithmetic in both engines (identical inputs → identical
+# doubles → identical floor); everything after bucketing — cumulative
+# counts, rank thresholds ceil(p·n) as (p·n + 999) div 1000, and the
+# milli-scaled bucket-upper-bound estimate — is exact integer math.
+# The registered query pairs the sketch estimates with the group's
+# exact rank positions implicitly via q23 (same table, same groups).
+# ---------------------------------------------------------------------------
+HIST_B = 1024
+HIST_RANGE = 120_000  # l_extendedprice domain upper bound
+
+
+def x06_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") * HIST_B / HIST_RANGE),
+        F.lit(HIST_B - 1),
+    ).cast("long")
+    hist = (
+        li.select(F.col("l_returnflag").alias("flag"), bucket.alias("b"))
+        .groupBy("flag", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("flag").orderBy("b")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("flag"))
+    )
+
+    def est(p_milli: int):
+        # smallest bucket whose cumulative count reaches ceil(p·n)
+        hit = F.when(
+            F.col("cum") >= F.expr(f"(n * {p_milli} + 999) div 1000"), F.col("b")
+        )
+        return F.min(hit)
+
+    return (
+        cum.groupBy("flag")
+        .agg(
+            est(500).alias("b50"),
+            est(950).alias("b95"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "flag",
+            F.expr(f"(b50 + 1) * {HIST_RANGE} * 1000 div {HIST_B}").alias(
+                "p50_est_milli"
+            ),
+            F.expr(f"(b95 + 1) * {HIST_RANGE} * 1000 div {HIST_B}").alias(
+                "p95_est_milli"
+            ),
+            "n",
+        )
+        .orderBy("flag")
+    )
+
+
+X06_SQL = f"""
+WITH hist AS (
+  SELECT l_returnflag AS flag,
+         least(CAST(floor(l_extendedprice * {HIST_B} / {HIST_RANGE}) AS BIGINT),
+               {HIST_B - 1}) AS b,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT flag, b, c,
+         sum(c) OVER (PARTITION BY flag ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM hist
+), picks AS (
+  SELECT flag,
+         min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN b END) AS b50,
+         min(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN b END) AS b95,
+         max(n) AS n
+  FROM cum GROUP BY flag
+)
+SELECT flag,
+       (b50 + 1) * {HIST_RANGE} * 1000 // {HIST_B} AS p50_est_milli,
+       (b95 + 1) * {HIST_RANGE} * 1000 // {HIST_B} AS p95_est_milli,
+       CAST(n AS BIGINT) AS n
+FROM picks ORDER BY flag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x02_countmin_heavyhitters": x02_countmin_heavyhitters,
     "x04_hll_distinct": x04_hll_distinct,
     "x05_bloom_crosscorpus": x05_bloom_crosscorpus,
+    "x06_histogram_quantiles": x06_histogram_quantiles,
 }
 
 ORACLE: dict[str, str] = {
     "x02_countmin_heavyhitters": X02_SQL,
     "x04_hll_distinct": X04_SQL,
     "x05_bloom_crosscorpus": X05_SQL,
+    "x06_histogram_quantiles": X06_SQL,
 }
