@@ -85,3 +85,17 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path, num_files):
     back = spark.read.parquet(zpath)
     assert back.count() == li.count()
     assert back.exceptAll(li).count() == 0
+
+
+def test_morton_key_is_injective_on_random_points(spark):
+    """The interleave must be a bijection on 16-bit pairs — any
+    collision corrupts range-partition locality silently."""
+    import random
+
+    rnd = random.Random(11)
+    pts = list({(rnd.randrange(65536), rnd.randrange(65536)) for _ in range(500)})
+    df = spark.createDataFrame(pts, "x int, y int").select(
+        morton_key(F.col("x"), F.col("y")).alias("z")
+    )
+    keys = [r["z"] for r in df.collect()]
+    assert len(set(keys)) == len(pts)
