@@ -749,6 +749,44 @@ ORDER BY priority DESC, doc_id ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# C12 — exact-k per-stratum sampling: exactly K docs per language,
+# chosen by content-stable hash rank (md5 of doc_id) — the complement
+# of c06's rate-based sampling when downstream needs FIXED per-stratum
+# counts (eval panels, per-language probes).  Rank ≤ K compiles to
+# WindowGroupLimit (like q40): each task keeps a K-row heap per
+# stratum, no stratum ever materializes fully, and the hash order
+# makes reruns/backfills pick the same docs with zero stored state.
+# ---------------------------------------------------------------------------
+STRATUM_K = 5
+
+
+def c12_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_K)
+        .orderBy("lang", "rk")
+    )
+
+
+C12_SQL = f"""
+SELECT lang, doc_id, n_chars, rk
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {STRATUM_K}
+ORDER BY lang, rk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c01_train_split": c01_train_split,
     "c02_pack_sequences": c02_pack_sequences,
@@ -761,6 +799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c09_source_mixture": c09_source_mixture,
     "c10_pii_redaction": c10_pii_redaction,
     "c11_priority_sample": c11_priority_sample,
+    "c12_stratified_exact_k": c12_stratified_exact_k,
 }
 
 ORACLE: dict[str, str] = {
@@ -775,4 +814,5 @@ ORACLE: dict[str, str] = {
     "c09_source_mixture": C09_SQL,
     "c10_pii_redaction": _c10_sql(),
     "c11_priority_sample": C11_SQL,
+    "c12_stratified_exact_k": C12_SQL,
 }
