@@ -25,6 +25,7 @@ from aind_smartspim_data_transformation_spark.plans.relational import (
     Q44_SQL,
     Q45_SQL,
     Q46_SQL,
+    Q47_SQL,
     q38_promo_share,
     q39_returned_items,
     q40_topk_per_group,
@@ -34,6 +35,7 @@ from aind_smartspim_data_transformation_spark.plans.relational import (
     q44_surge_suppliers,
     q45_dormant_customers,
     q46_shipmode_priority,
+    q47_nation_reconciliation,
 )
 from aind_smartspim_data_transformation_spark.operators import layout as _layout
 from aind_smartspim_data_transformation_spark.operators import sketch as _sketch
@@ -87,6 +89,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_surge_suppliers": q44_surge_suppliers,
     "q45_dormant_customers": q45_dormant_customers,
     "q46_shipmode_priority": q46_shipmode_priority,
+    "q47_nation_reconciliation": q47_nation_reconciliation,
     "x01_variant_props": x01_variant_props,
     **_sketch.QUERIES,
     **_layout.QUERIES,
@@ -102,6 +105,7 @@ ORACLE: dict[str, str] = {
     "q44_surge_suppliers": Q44_SQL,
     "q45_dormant_customers": Q45_SQL,
     "q46_shipmode_priority": Q46_SQL,
+    "q47_nation_reconciliation": Q47_SQL,
     "x01_variant_props": X01_SQL,
     **_sketch.ORACLE,
     **_layout.ORACLE,

@@ -1933,6 +1933,106 @@ ORDER BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Q47 — sell-side vs buy-side reconciliation (FULL OUTER join — the one
+# join type the registry lacked): per (nation, year), revenue attributed
+# through the supplier dimension (1995–1997 ship years) against revenue
+# attributed through the customer dimension (1997–1999 order years).
+# The year ranges overlap only at 1997, so the full outer exercises all
+# three branches — left-only, right-only, both — with COALESCE key
+# merging and null-as-zero accounting, the standard cross-system diff.
+#
+# Plan: each side aggregates its fact slice FIRST (partial agg, date
+# envelope in PushedFilters), so the full outer joins two ~(25·3)-row
+# aggregates — never raw facts.  At 100 TB the same shape holds: full
+# outer on pre-aggregated keys, not on fact rows.
+# ---------------------------------------------------------------------------
+def q47_nation_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sold = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("s_nation"),
+            F.year("l_shipdate").cast("long").alias("s_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).alias("sold"))
+    )
+    bought = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "2000-01-01")
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("c_nation"),
+            F.year("o_orderdate").cast("long").alias("c_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).alias("bought"))
+    )
+    return (
+        sold.join(
+            bought,
+            (sold["s_nation"] == bought["c_nation"])
+            & (sold["s_year"] == bought["c_year"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("s_nation", "c_nation").alias("nation"),
+            F.coalesce("s_year", "c_year").alias("year"),
+            F.coalesce("sold", F.lit(0.0)).alias("sold"),
+            F.coalesce("bought", F.lit(0.0)).alias("bought"),
+            F.round(
+                F.coalesce("sold", F.lit(0.0)) - F.coalesce("bought", F.lit(0.0)), 2
+            ).alias("net"),
+        )
+        .orderBy("nation", "year")
+    )
+
+
+Q47_SQL = """
+WITH sold AS (
+  SELECT n_name AS nation, extract(year FROM l_shipdate) AS year,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sold
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), bought AS (
+  SELECT n_name AS nation, extract(year FROM o_orderdate) AS year,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS bought
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '2000-01-01'
+  GROUP BY 1, 2
+)
+SELECT coalesce(sold.nation, bought.nation) AS nation,
+       coalesce(sold.year, bought.year) AS year,
+       coalesce(sold, 0.0) AS sold,
+       coalesce(bought, 0.0) AS bought,
+       round(coalesce(sold, 0.0) - coalesce(bought, 0.0), 2) AS net
+FROM sold FULL OUTER JOIN bought
+  ON sold.nation = bought.nation AND sold.year = bought.year
+ORDER BY nation, year
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
