@@ -211,6 +211,80 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def finalized_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Sessionization as a CUSTOM stateful operator with EVENT-TIME
+    TIMEOUTS — the pattern the built-in ``session_window`` cannot
+    express when the per-session output needs custom finalization
+    logic: a session row is emitted exactly once, either when a later
+    event proves the gap (> gap_sec) or when the WATERMARK passes the
+    session's deadline (``state.hasTimedOut``) — so idle users' state
+    is reclaimed and the stream emits complete sessions, not updates.
+
+    State per user: (start, last, n, total) + a timeout registered at
+    last + gap.  Scale posture: state is O(active users), the timeout
+    sweep is the state store's own expiry scan, and emission is
+    append-mode (downstream sinks see each session once).  Requires a
+    watermark on ``ts`` (event-time timeouts fire as the watermark
+    advances).
+
+    tests/test_streaming.py drives a multi-microbatch bounded stream
+    (with a far-future sentinel advancing the watermark) and asserts
+    the finalized sessions equal batch e04's, session for session.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, session_start timestamp, "
+        "session_end timestamp, session_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+    gap_us = gap_sec * 1_000_000
+
+    def _finalize(user_id, start_us, last_us, n, total):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "session_value": [round(total, 2)],
+            }
+        )
+
+    def _update(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield _finalize(user_id, start, last, n, total)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        cur = list(state.get) if state.exists else None
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts_us = int(ts.value // 1000)  # pandas ns → µs
+            if cur is None:
+                cur = [ts_us, ts_us, 0, 0.0]
+            elif ts_us - cur[1] > gap_us:
+                yield _finalize(user_id, cur[0], cur[1], cur[2], cur[3])
+                cur = [ts_us, ts_us, 0, 0.0]
+            cur[1] = max(cur[1], ts_us)
+            cur[2] += 1
+            cur[3] += float(value)
+        state.update(tuple(cur))
+        # deadline in wall-clock ms of event time: fires when the
+        # WATERMARK passes session_end + gap
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_sec * 1000)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """Running per-user totals via ``transformWithStateInPandas`` — the
     Spark 4 arbitrary-state API that supersedes applyInPandasWithState:

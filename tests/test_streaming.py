@@ -388,3 +388,59 @@ def test_upsert_sink_latest_state_and_idempotence(spark, tmp_path):
         order_col="ts",
     )
     assert sorted(map(tuple, spark.read.parquet(str(tmp_path / "state_a")).collect())) == got
+
+
+def test_finalized_sessions_match_batch_e04(spark, sf_dir, tmp_path):
+    """The event-time-timeout sessionizer: sessions split across
+    microbatches continue in state, and every session is emitted
+    exactly once — either proven closed by a later event or finalized
+    when the watermark passes its deadline.  The finalized set must
+    equal batch e04's sessions."""
+    from pyspark.sql import functions as F
+
+    from aind_smartspim_data_transformation_spark.plans.events import (
+        e04_sessionize,
+    )
+
+    from aind_smartspim_data_transformation_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    mid = ev.agg(F.expr("percentile_approx(CAST(ts AS LONG), 0.5)")).collect()[0][0]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ev.filter(F.col("ts").cast("long") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    ev.filter(F.col("ts").cast("long") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    # sentinel: advances the watermark far past every deadline so all
+    # open sessions time out before the bounded stream drains
+    spark.createDataFrame(
+        [(999_999_999, __import__("datetime").datetime(2035, 1, 1), 0.0)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 second")
+    )
+    got_df = es.run_to_completion(
+        es.finalized_sessions(stream), "t_sessions_final", mode="append"
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"],
+         r["session_value"])
+        for r in got_df.collect()
+        if r["user_id"] != 999_999_999
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"],
+         r["session_value"])
+        for r in e04_sessionize(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
