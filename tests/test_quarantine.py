@@ -83,3 +83,38 @@ def test_quarantine_clean_tree_matches_fail_mode(spark, tmp_path):
         ).collect()
     )
     assert a == b
+
+
+def test_quarantine_ingest_reaches_zarr_sink(spark, tmp_path):
+    """End-to-end: a corrupt slice quarantined at ingest flows through
+    chunk assembly into the OME-Zarr store as a ZERO plane at its true
+    z index — the sink's alignment contract survives the dead letter."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+        write_ome_zarr,
+    )
+
+    vols = make_dataset(tmp_path, height=16, width=20)
+    bad_stack = _corrupt_first_slice(tmp_path)
+    root = str(tmp_path / "SmartSPIM")
+
+    chunks = sr.read_stack_tree(spark, root, chunk_z=2, on_error="quarantine")
+    target = chunks.filter(
+        (sr.F.col("channel") == CHANNELS[0]) & (sr.F.col("stack") == bad_stack)
+    )
+    out = str(tmp_path / "out")
+    group = write_ome_zarr(
+        [target],
+        out,
+        bad_stack,
+        CHANNELS[0],
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[2, 16, 20],
+    )
+    got = read_zarr_level(group, 0)
+    expect = vols[f"{CHANNELS[0]}/{bad_stack}"].copy()
+    expect[0] = 0  # the quarantined plane, zero-filled in place
+    assert np.array_equal(got, expect)
