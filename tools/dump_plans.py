@@ -306,6 +306,30 @@ ANNOTATIONS = {
         "exists only for the QA compare — production keeps the "
         "4096-key path and drops the token-keyed shuffle entirely."
     ),
+    "q46_shipmode_priority": (
+        "Two-level conditional counts (TPC-H Q12 shape). Look for: the "
+        "1999 ship-year envelope in the lineitem scan's PushedFilters; "
+        "the lateness predicate applied right after the orderkey join "
+        "(the only fact exchange, bucket-able to zero); both priority "
+        "CASE counts in ONE aggregate pass with partial_sum map-side."
+    ),
+    "q47_nation_reconciliation": (
+        "Sell-side vs buy-side reconciliation — FULL OUTER join. Look "
+        "for: each side aggregated FIRST (partial agg + date envelope "
+        "in its scan), so the full outer joins two ~75-row aggregates, "
+        "never fact rows; COALESCE key merging and null-as-zero "
+        "accounting in the final Project. The at-scale rule this query "
+        "encodes: full outer on pre-aggregated keys only."
+    ),
+    "x06_histogram_quantiles": (
+        "Histogram quantile sketch. Look for: the grid exchange keyed "
+        "on (flag, bucket) — ≤ groups·B keys at any row count, "
+        "partial_count map-side; the bucketing floor() in codegen; the "
+        "cumulative/window pass over the tiny grid; integer rank "
+        "thresholds ((n·p + 999) div 1000) so the estimate itself is "
+        "oracle-verified. +-mergeable registers = shard-parallel and "
+        "streamable, same as the count-min grid."
+    ),
     "x04_hll_distinct": (
         "HyperLogLog distinct sketch. Look for: the register branch's "
         "exchange keyed on bucket — ≤256 keys with partial_max "
