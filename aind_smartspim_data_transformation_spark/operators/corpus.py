@@ -799,7 +799,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c09_source_mixture": c09_source_mixture,
     "c10_pii_redaction": c10_pii_redaction,
     "c11_priority_sample": c11_priority_sample,
-    "c12_stratified_exact_k": c12_stratified_exact_k,
 }
 
 ORACLE: dict[str, str] = {
@@ -814,5 +813,4 @@ ORACLE: dict[str, str] = {
     "c09_source_mixture": C09_SQL,
     "c10_pii_redaction": _c10_sql(),
     "c11_priority_sample": C11_SQL,
-    "c12_stratified_exact_k": C12_SQL,
 }

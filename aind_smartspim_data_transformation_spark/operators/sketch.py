@@ -172,6 +172,27 @@ HLL_M = 256  # buckets (p = 8)
 HLL_ALPHA_MILLI = 718
 
 
+def hll_registers(tok: DataFrame) -> DataFrame:
+    """(bucket, r) HLL registers over a (token) DataFrame — the
+    production register pipeline, shared with the mergeability
+    property test (tests/test_extras.py) so the test always exercises
+    the real hash/bucket/rho formulas."""
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    hashed = tok.select(
+        (h % HLL_M).alias("bucket"), F.expr(f"{_H32} div {HLL_M}").alias("v")
+    )
+    return (
+        hashed.withColumn(
+            "rho",
+            F.when(F.col("v") == 0, F.lit(25)).otherwise(
+                F.lit(25) - F.length(F.bin("v"))
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
 def x04_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-word shingles, same construction as the dedup family's
     # (operators/dedup.py) — the corpus's high-cardinality key (the
@@ -183,20 +204,7 @@ def x04_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tok = _shingle_rows_raw(spark, sf_dir).select(F.col("sh").alias("token"))
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-    hashed = tok.select(
-        (h % HLL_M).alias("bucket"), F.expr(f"{_H32} div {HLL_M}").alias("v")
-    )
-    regs = (
-        hashed.withColumn(
-            "rho",
-            F.when(F.col("v") == 0, F.lit(25)).otherwise(
-                F.lit(25) - F.length(F.bin("v"))
-            ),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    regs = hll_registers(tok)
     sums = regs.agg(
         (
             F.expr("sum(shiftleft(CAST(1 AS BIGINT), 32 - r))")

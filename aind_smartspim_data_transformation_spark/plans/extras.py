@@ -37,6 +37,10 @@ from aind_smartspim_data_transformation_spark.plans.relational import (
     q46_shipmode_priority,
     q47_nation_reconciliation,
 )
+from aind_smartspim_data_transformation_spark.operators.corpus import (
+    C12_SQL,
+    c12_stratified_exact_k,
+)
 from aind_smartspim_data_transformation_spark.operators import layout as _layout
 from aind_smartspim_data_transformation_spark.operators import sketch as _sketch
 from aind_smartspim_data_transformation_spark.tables import load_table
@@ -91,6 +95,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_shipmode_priority": q46_shipmode_priority,
     "q47_nation_reconciliation": q47_nation_reconciliation,
     "x01_variant_props": x01_variant_props,
+    "c12_stratified_exact_k": c12_stratified_exact_k,
     **_sketch.QUERIES,
     **_layout.QUERIES,
 }
@@ -107,6 +112,7 @@ ORACLE: dict[str, str] = {
     "q46_shipmode_priority": Q46_SQL,
     "q47_nation_reconciliation": Q47_SQL,
     "x01_variant_props": X01_SQL,
+    "c12_stratified_exact_k": C12_SQL,
     **_sketch.ORACLE,
     **_layout.ORACLE,
 }

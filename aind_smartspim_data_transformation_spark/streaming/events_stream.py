@@ -227,10 +227,27 @@ def finalized_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     watermark on ``ts`` (event-time timeouts fire as the watermark
     advances).
 
+    Gap semantics match batch e04 exactly: gaps compare in WHOLE
+    SECONDS (e04's ``ts.cast("long")`` truncation — a 1800.8 s
+    microsecond gap is 1800 whole seconds, NOT a split), so stream and
+    batch agree at the boundary for any timestamp distribution.
+
+    Ordering contract: exact e04 parity holds when each user's events
+    arrive in non-decreasing ts order across microbatches (file/ledger
+    sources).  Bounded out-of-order arrivals (within the watermark) are
+    handled best-effort: an event landing within the open session's
+    gap envelope extends it on EITHER end (start min-updates, end
+    max-updates); an event more than a gap OLDER than the open
+    session's start is emitted as its own closed session (nothing
+    older can join it — anything further back is beyond the
+    watermark).  A global-sort replay (e04) remains the batch truth.
+
     tests/test_streaming.py drives a multi-microbatch bounded stream
     (with a far-future sentinel advancing the watermark) and asserts
     the finalized sessions equal batch e04's, session for session.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -239,7 +256,13 @@ def finalized_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         "session_end timestamp, session_value double"
     )
     state_schema = "start long, last long, n long, total double"
-    gap_us = gap_sec * 1_000_000
+
+    def _round2(total: float) -> float:
+        # Spark's round() is HALF_UP; Python's round() is banker's —
+        # match the engine so cent boundaries agree.
+        return float(
+            Decimal(repr(total)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+        )
 
     def _finalize(user_id, start_us, last_us, n, total):
         return pd.DataFrame(
@@ -248,9 +271,14 @@ def finalized_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
                 "n_events": [n],
                 "session_start": [pd.Timestamp(start_us, unit="us")],
                 "session_end": [pd.Timestamp(last_us, unit="us")],
-                "session_value": [round(total, 2)],
+                "session_value": [_round2(total)],
             }
         )
+
+    def _gap_exceeded(a_us: int, b_us: int) -> bool:
+        # whole-second truncation on both operands, exactly as
+        # e04's cast("long") subtraction
+        return abs(b_us // 1_000_000 - a_us // 1_000_000) > gap_sec
 
     def _update(key, pdfs, state):
         user_id = key[0]
@@ -265,9 +293,16 @@ def finalized_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
             ts_us = int(ts.value // 1000)  # pandas ns → µs
             if cur is None:
                 cur = [ts_us, ts_us, 0, 0.0]
-            elif ts_us - cur[1] > gap_us:
+            elif ts_us > cur[1] and _gap_exceeded(cur[1], ts_us):
+                # later than the session and beyond the gap: close it
                 yield _finalize(user_id, cur[0], cur[1], cur[2], cur[3])
                 cur = [ts_us, ts_us, 0, 0.0]
+            elif ts_us < cur[0] and _gap_exceeded(ts_us, cur[0]):
+                # an out-of-order straggler predating the open session
+                # by more than a gap — a closed session of its own
+                yield _finalize(user_id, ts_us, ts_us, 1, float(value))
+                continue
+            cur[0] = min(cur[0], ts_us)
             cur[1] = max(cur[1], ts_us)
             cur[2] += 1
             cur[3] += float(value)

@@ -24,31 +24,19 @@ def test_hll_registers_merge_by_max(spark):
     from aind_smartspim_data_transformation_spark.operators.dedup import (
         _shingle_rows_raw,
     )
-    from aind_smartspim_data_transformation_spark.operators.sketch import HLL_M
+    from aind_smartspim_data_transformation_spark.operators.sketch import (
+        hll_registers,
+    )
+    from tests.conftest import SF_SMOKE
 
-    sf = "/root/testdata/sf0.001"
-    sh = _shingle_rows_raw(spark, sf).select(F.col("sh").alias("token"), "doc_id")
+    sh = _shingle_rows_raw(spark, SF_SMOKE).select(
+        F.col("sh").alias("token"), "doc_id"
+    )
 
     def regs(df):
-        h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-        hashed = df.select(
-            (h % HLL_M).alias("bucket"),
-            F.expr(
-                f"CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
-                f" div {HLL_M}"
-            ).alias("v"),
-        )
-        out = (
-            hashed.withColumn(
-                "rho",
-                F.when(F.col("v") == 0, F.lit(25)).otherwise(
-                    F.lit(25) - F.length(F.bin("v"))
-                ),
-            )
-            .groupBy("bucket")
-            .agg(F.max("rho").alias("r"))
-        )
-        return {r["bucket"]: r["r"] for r in out.collect()}
+        # the PRODUCTION register pipeline — the property test must
+        # exercise the real hash/bucket/rho formulas
+        return {r["bucket"]: r["r"] for r in hll_registers(df).collect()}
 
     whole = regs(sh)
     a = regs(sh.filter("doc_id % 2 = 0"))

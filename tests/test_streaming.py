@@ -432,15 +432,21 @@ def test_finalized_sessions_match_batch_e04(spark, sf_dir, tmp_path):
     got_df = es.run_to_completion(
         es.finalized_sessions(stream), "t_sessions_final", mode="append"
     )
+    def key(r):
+        return (r["user_id"], r["n_events"], r["session_start"], r["session_end"])
+
     got = sorted(
-        (r["user_id"], r["n_events"], r["session_start"], r["session_end"],
-         r["session_value"])
+        (key(r), r["session_value"])
         for r in got_df.collect()
         if r["user_id"] != 999_999_999
     )
     want = sorted(
-        (r["user_id"], r["n_events"], r["session_start"], r["session_end"],
-         r["session_value"])
+        (key(r), r["session_value"])
         for r in e04_sessionize(spark, sf_dir).collect()
     )
-    assert got == want and len(got) > 0
+    # session identity exact; value within float tolerance (stream sums
+    # in ts order, batch in arbitrary order — a ulp can move before the
+    # half-up rounding)
+    assert [k for k, _ in got] == [k for k, _ in want] and len(got) > 0
+    for (_, gv), (_, wv) in zip(got, want):
+        assert abs(gv - wv) < 0.011, (gv, wv)
