@@ -81,6 +81,82 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# X7 — distribution drift monitor: week-over-week TOTAL VARIATION
+# DISTANCE of the event-type distribution, in integer ppm.  e12 tracks
+# per-type count deltas; this is the distribution-level scalar a data-
+# quality gate alerts on (TVD = ½·Σ|p_w − p_{w−1}| — 0 for identical
+# mixes, 1e6 ppm for disjoint).  A pipeline feeding a trainer runs
+# exactly this against every new ingest slice.
+#
+# Plan: ONE fact aggregation (week, type) with map-side combine; the
+# dense week×type grid (zero-filling types absent in a week — without
+# it a vanished type silently drops out of the sum) is generated from
+# two tiny distinct sets, never shuffled at fact scale; shares are
+# integer ppm (cnt·1e6 div total) so the oracle replays the metric
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+def x07_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    weeks = counts.select("week").distinct()
+    types = counts.select("event_type").distinct()
+    grid = weeks.crossJoin(F.broadcast(types))
+    dense = grid.join(counts, ["week", "event_type"], "left").fillna(
+        0, subset=["n"]
+    )
+    from pyspark.sql.window import Window as W
+
+    totals = W.partitionBy("week")
+    p = F.expr("n * 1000000 div greatest(week_total, 1)")
+    shares = dense.withColumn("week_total", F.sum("n").over(totals)).withColumn(
+        "p_ppm", p
+    )
+    lagw = W.partitionBy("event_type").orderBy("week")
+    drift = shares.withColumn("prev_p", F.lag("p_ppm").over(lagw)).filter(
+        F.col("prev_p").isNotNull()
+    )
+    return (
+        drift.groupBy("week")
+        .agg(
+            F.expr("sum(abs(p_ppm - prev_p)) div 2").alias("tvd_ppm"),
+            F.count("*").alias("n_types"),
+        )
+        .orderBy("week")
+    )
+
+
+X07_SQL = """
+WITH counts AS (
+  SELECT date_trunc('week', ts)::DATE AS week, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT w.week, t.event_type
+  FROM (SELECT DISTINCT week FROM counts) w
+  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+), dense AS (
+  SELECT g.week, g.event_type, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c USING (week, event_type)
+), shares AS (
+  SELECT week, event_type,
+         n * 1000000 // greatest(sum(n) OVER (PARTITION BY week), 1) AS p_ppm
+  FROM dense
+), drift AS (
+  SELECT week, event_type, p_ppm,
+         lag(p_ppm) OVER (PARTITION BY event_type ORDER BY week) AS prev_p
+  FROM shares
+)
+SELECT week, sum(abs(p_ppm - prev_p)) // 2 AS tvd_ppm, count(*) AS n_types
+FROM drift WHERE prev_p IS NOT NULL
+GROUP BY week ORDER BY week
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # implemented in plans/relational.py; registered here (post-rotation
     # additions must not shift the leading modules' indices)
@@ -96,6 +172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_nation_reconciliation": q47_nation_reconciliation,
     "x01_variant_props": x01_variant_props,
     "c12_stratified_exact_k": c12_stratified_exact_k,
+    "x07_weekly_drift": x07_weekly_drift,
     **_sketch.QUERIES,
     **_layout.QUERIES,
 }
@@ -113,6 +190,7 @@ ORACLE: dict[str, str] = {
     "q47_nation_reconciliation": Q47_SQL,
     "x01_variant_props": X01_SQL,
     "c12_stratified_exact_k": C12_SQL,
+    "x07_weekly_drift": X07_SQL,
     **_sketch.ORACLE,
     **_layout.ORACLE,
 }
