@@ -676,6 +676,19 @@ FROM per_doc GROUP BY source ORDER BY source
 # it is never 0), and the priority is the exact floor of
 # (w << 24) / u — bit-identical in Spark and DuckDB, no floats, no
 # selection-boundary ulp risk.  Weight = n_chars.
+#
+# UNITS (round-5 fix): with u ∈ [1, 2^32], u/2^32 is the uniform (0,1]
+# draw, so the TRUE priority w/u' = w·2^32/u — the stored column
+# (w·2^24 div u) is that priority scaled DOWN by 2^8.  Scaling every
+# priority by the same constant leaves the top-k selection unchanged,
+# but the Horvitz–Thompson weight max(w, τ) must compare in ONE unit:
+# τ in weight units is tau_column · 2^8.  (The previous
+# greatest(n_chars·2^24, tau) compared a 2^24-scaled weight against a
+# 2^-8-scaled τ — 2^32 off, so the τ branch never fired and the
+# estimator was biased low.  Caught by the round-4 advisor.)
+# ht_weight is now plain weight units: Σ ht_weight over the sample is
+# an unbiased estimate of Σ n_chars over the corpus
+# (tests/test_corpus.py::test_c11_ht_unbiased).
 # ---------------------------------------------------------------------------
 SAMPLE_K = 20
 _PRI_SHIFT = 1 << 24
@@ -721,9 +734,13 @@ def c11_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             "priority",
             "tau",
+            # τ back in weight units: priority column = true priority /
+            # 2^8 (see UNITS above), so τ_w = tau · 256.  Max values
+            # (~w_max·2^24·2^8 ≈ 2^49 at 100k-char docs) stay well
+            # inside int64 — no overflow at any corpus size.
             F.greatest(
-                F.col("n_chars") * _PRI_SHIFT, F.col("tau")
-            ).alias("ht_weight_scaled"),
+                F.col("n_chars"), F.col("tau") * F.lit(256)
+            ).alias("ht_weight"),
         )
         .orderBy(F.desc("priority"), F.asc("doc_id"))
     )
@@ -742,7 +759,7 @@ WITH pri AS (
   SELECT min(priority) AS tau FROM topk1
 )
 SELECT doc_id, n_chars, priority, tau,
-       greatest(n_chars * {_PRI_SHIFT}, tau) AS ht_weight_scaled
+       greatest(n_chars, tau * 256) AS ht_weight
 FROM topk1 CROSS JOIN tau
 WHERE priority > tau
 ORDER BY priority DESC, doc_id ASC

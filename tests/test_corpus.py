@@ -231,3 +231,50 @@ def test_pii_redaction_planted(spark, tmp_path):
     # (source, n_docs, n_emails, n_ips, n_phones, chars_removed)
     assert by_src["src0"][1:5] == (2, 1, 1, 1)
     assert by_src["src1"][1:5] == (2, 2, 1, 0)
+
+
+def test_c11_ht_unbiased(spark, sf_dir):
+    """c11's Horvitz-Thompson weights estimate the corpus total.
+
+    Two checks, per the round-4 advisor finding (the tau branch never
+    fired because tau was compared 2^32 off-unit):
+
+    1. Monte-Carlo over the EXACT integer formula (priority =
+       (w<<24) div u, u uniform on [1, 2^32]; ht = max(w, 256*tau)):
+       the mean of sum(ht_weight) over many independent u draws must
+       sit within a few percent of the true sum(n_chars) — this is the
+       unbiasedness property the docstring promises, and it fails by
+       ~3 orders of magnitude under the pre-fix formula.
+    2. The actual md5-seeded Spark sample's estimate lands within the
+       k=20 sampling-noise band of the truth (single realization, so
+       the band is loose: DLT relative std ~ 1/sqrt(k-1)).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    w = np.array(
+        [
+            r["n_chars"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("n_chars")
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    true_total = int(w.sum())
+    k = corpus.SAMPLE_K
+    rng = np.random.default_rng(7)
+    estimates = []
+    for _ in range(400):
+        u = rng.integers(1, 2**32 + 1, size=w.size, dtype=np.int64)
+        pri = (w << 24) // u
+        order = np.argsort(-pri, kind="stable")
+        tau = pri[order[k]]
+        top = order[:k][pri[order[:k]] > tau]
+        estimates.append(int(np.maximum(w[top], 256 * tau).sum()))
+    mean = float(np.mean(estimates))
+    assert abs(mean / true_total - 1.0) < 0.05, (mean, true_total)
+
+    got = corpus.c11_priority_sample(spark, sf_dir)
+    est = got.agg(F.sum("ht_weight")).collect()[0][0]
+    assert 0.3 < est / true_total < 3.0, (est, true_total)
