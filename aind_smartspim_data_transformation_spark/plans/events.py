@@ -361,7 +361,10 @@ def e09_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"), "n_name"
     )
     return (
-        ev.join(F.broadcast(cust), "user_id")
+        # customer is SF-scaling (2-col projection keeps it broadcastable
+        # far longer, but no forced hint — AQE broadcasts when it fits,
+        # shuffles when it doesn't); nation is bounded at 25 rows.
+        ev.join(cust, "user_id")
         .join(F.broadcast(nation), "c_nationkey")
         .groupBy("n_name")
         .agg(

@@ -95,6 +95,12 @@ FROM events GROUP BY event_type ORDER BY event_type
 # two tiny distinct sets, never shuffled at fact scale; shares are
 # integer ppm (cnt·1e6 div total) so the oracle replays the metric
 # bit-for-bit.
+#
+# CALENDAR semantics (round-5 fix, advisor finding): the previous week
+# is week − 7 DAYS by self-join, not lag over observed weeks — if an
+# entire week has zero events, the week after it gets NO drift row
+# (explicit gap) instead of silently comparing against the last
+# observed week.
 # ---------------------------------------------------------------------------
 def x07_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aind_smartspim_data_transformation_spark.tables import load_events
@@ -117,10 +123,12 @@ def x07_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = dense.withColumn("week_total", F.sum("n").over(totals)).withColumn(
         "p_ppm", p
     )
-    lagw = W.partitionBy("event_type").orderBy("week")
-    drift = shares.withColumn("prev_p", F.lag("p_ppm").over(lagw)).filter(
-        F.col("prev_p").isNotNull()
+    prev = shares.select(
+        F.date_add("week", 7).alias("week"),
+        "event_type",
+        F.col("p_ppm").alias("prev_p"),
     )
+    drift = shares.join(prev, ["week", "event_type"])
     return (
         drift.groupBy("week")
         .agg(
@@ -147,12 +155,13 @@ WITH counts AS (
          n * 1000000 // greatest(sum(n) OVER (PARTITION BY week), 1) AS p_ppm
   FROM dense
 ), drift AS (
-  SELECT week, event_type, p_ppm,
-         lag(p_ppm) OVER (PARTITION BY event_type ORDER BY week) AS prev_p
-  FROM shares
+  SELECT s.week, s.event_type, s.p_ppm, p.p_ppm AS prev_p
+  FROM shares s
+  JOIN shares p
+    ON s.week = p.week + 7 AND s.event_type = p.event_type
 )
 SELECT week, sum(abs(p_ppm - prev_p)) // 2 AS tvd_ppm, count(*) AS n_types
-FROM drift WHERE prev_p IS NOT NULL
+FROM drift
 GROUP BY week ORDER BY week
 """
 

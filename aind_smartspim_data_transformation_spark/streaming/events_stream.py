@@ -120,8 +120,12 @@ def enriched_purchases(events: DataFrame, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
     )
     return (
+        # No forced hint on the SF-scaling customer dim: each microbatch
+        # re-plans, so the planner broadcasts it while it fits and falls
+        # back to a per-batch shuffle join when it doesn't; nation (25
+        # rows) keeps its hint.
         events.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(cust), "user_id")
+        .join(cust, "user_id")
         .join(F.broadcast(nation), "c_nationkey")
         .groupBy("n_name")
         .agg(
@@ -446,6 +450,11 @@ def upsert_stream_to_parquet(
                 os.rename(olds[-1], out_dir)
         for stale in glob.glob(out_dir + ".old-*"):
             shutil.rmtree(stale, ignore_errors=True)
+        # A crash between merged.write(tmp) and the renames would leak
+        # the tmp dir forever — it carries a recognizable prefix so
+        # recovery can sweep it (out_dir itself never matches).
+        for stale in glob.glob(out_dir + ".tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -468,7 +477,10 @@ def upsert_stream_to_parquet(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_src")
         )
-        tmp = tempfile.mkdtemp(dir=os.path.dirname(out_dir) or ".")
+        tmp = tempfile.mkdtemp(
+            prefix=os.path.basename(out_dir) + ".tmp-",
+            dir=os.path.dirname(out_dir) or ".",
+        )
         merged.write.mode("overwrite").parquet(tmp)
         old = out_dir + f".old-{batch_id}"
         if os.path.isdir(out_dir):

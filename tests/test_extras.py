@@ -46,3 +46,37 @@ def test_hll_registers_merge_by_max(spark):
         for k, v in part.items():
             merged[k] = max(merged.get(k, 0), v)
     assert merged == whole
+
+
+def test_x07_gap_week_yields_no_drift_row(spark, tmp_path):
+    """Calendar semantics (round-5 advisor fix): the previous week is
+    week - 7 days by self-join.  With weeks W1, W2, W4 observed (W3
+    empty), only W2 gets a drift row — W4 must NOT silently compare
+    against W2."""
+    import datetime as dt
+
+    def wk(n, h=0):  # Monday of week n, hour h
+        return dt.datetime(2024, 1, 1, h) + dt.timedelta(weeks=n)
+
+    rows = []
+    eid = 0
+    for week, mix in [(0, {"a": 3, "b": 1}), (1, {"a": 1, "b": 3}),
+                      (3, {"a": 2, "b": 2})]:
+        for t, cnt in mix.items():
+            for i in range(cnt):
+                rows.append((eid, 1, t, wk(week, h=i + 1), 1.0, "{}"))
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["week"]: r["tvd_ppm"]
+        for r in extras.x07_weekly_drift(spark, str(tmp_path)).collect()
+    }
+    # only W2 (2024-01-08) has a true previous calendar week
+    assert list(got) == [dt.date(2024, 1, 8)]
+    # mix flips 750k/250k -> 250k/750k: TVD = 500000 ppm
+    assert got[dt.date(2024, 1, 8)] == 500_000

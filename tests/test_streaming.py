@@ -389,6 +389,26 @@ def test_upsert_sink_latest_state_and_idempotence(spark, tmp_path):
     )
     assert sorted(map(tuple, spark.read.parquet(str(tmp_path / "state_a")).collect())) == got
 
+    # a crash between merged.write(tmp) and the renames leaves a stale
+    # tmp dir next to the state — recovery must sweep it, not leak it
+    stale = tmp_path / "state_a.tmp-deadbeef"
+    stale.mkdir()
+    (stale / "part-orphan.parquet").write_bytes(b"junk")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    es.upsert_stream_to_parquet(
+        stream,
+        str(tmp_path / "state_a"),
+        str(tmp_path / "ckpt_sweep"),
+        key_cols=["user_id"],
+        order_col="ts",
+    )
+    assert not stale.exists()
+    assert sorted(map(tuple, spark.read.parquet(str(tmp_path / "state_a")).collect())) == got
+
 
 def test_finalized_sessions_match_batch_e04(spark, sf_dir, tmp_path):
     """The event-time-timeout sessionizer: sessions split across
