@@ -224,7 +224,13 @@ FROM f ORDER BY doc_id
 # kernel over the fake format; a real deployment swaps in
 # pillow/opencv inside the same batch loop — the Spark plumbing
 # (schema, Arrow batching, partitioning) is what this operator tests.
-# Rows-only for the driver; deterministic goldens in tests.
+# Oracle-backed since round 5: the registered query projects
+# INTEGER-EXACT features of the resized pixels (sum + 1-indexed
+# position-weighted sum — the weighted sum catches permutations a
+# plain sum would miss), which DuckDB recomputes from the fake
+# format's closed form (nearest-neighbor index y·h÷H, x·w÷W over the
+# rpad payload).  A wrong header parse, sample index, or byte order
+# shifts every sampled pixel and breaks both sums.
 # ---------------------------------------------------------------------------
 RESIZE_W, RESIZE_H = 8, 4
 
@@ -257,10 +263,56 @@ def resize_images(binary_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def m03_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = documents_as_fake_images(spark, sf_dir)
     resized = resize_images(imgs.select("doc_id", "image"), RESIZE_W, RESIZE_H)
-    return resized.select(
-        "doc_id", "src_width", "src_height", "width", "height",
-        F.sha2("resized", 256).alias("resized_digest"),
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = np.frombuffer(r.resized, dtype=np.uint8).astype(np.int64)
+                out.append(
+                    (r.doc_id, r.src_width, r.src_height, r.width, r.height,
+                     int(px.sum()),
+                     int(((np.arange(px.size, dtype=np.int64) + 1) * px).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "src_width", "src_height", "width",
+                         "height", "resized_sum", "resized_wsum"],
+            )
+
+    return resized.mapInPandas(
+        _feat,
+        schema="doc_id long, src_width int, src_height int, width int, "
+        "height int, resized_sum long, resized_wsum long",
     ).orderBy("doc_id")
+
+
+M03_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INT) AS w,
+         CAST(doc_id % 8 + 2 AS INT) AS h,
+         substring(
+           rpad(text, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT), 'x'),
+           1, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT)) AS payload
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, {RESIZE_W * RESIZE_H}), i ->
+           ord(substr(payload,
+                      CAST(((i // {RESIZE_W}) * h // {RESIZE_H}) * w
+                           + ((i % {RESIZE_W}) * w // {RESIZE_W}) + 1 AS INT),
+                      1))) AS p
+  FROM f
+)
+SELECT doc_id, w AS src_width, h AS src_height,
+       CAST({RESIZE_W} AS INT) AS width, CAST({RESIZE_H} AS INT) AS height,
+       CAST(list_sum(p) AS BIGINT) AS resized_sum,
+       CAST(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}),
+                                    i -> (i + 1) * p[i + 1])) AS BIGINT)
+         AS resized_wsum
+FROM px ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +323,10 @@ def m03_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 FRAME_STRIDE = 2
 
-FRAMES_SCHEMA = "doc_id long, n_frames int, n_sampled int, sampled_digest string"
+FRAMES_SCHEMA = (
+    "doc_id long, n_frames int, n_sampled int, sampled_digest string, "
+    "sampled_sum long, sampled_wsum long"
+)
 
 
 def sample_frames(binary_df: DataFrame, stride: int) -> DataFrame:
@@ -283,20 +338,63 @@ def sample_frames(binary_df: DataFrame, stride: int) -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
                 arr = decode_image_pixels(bytes(blob))
                 h = arr.shape[0]
-                kept = np.ascontiguousarray(arr[::stride]).tobytes()
+                kept = np.ascontiguousarray(arr[::stride])
+                flat = kept.reshape(-1).astype(np.int64)
                 out.append(
-                    (doc_id, h, len(range(0, h, stride)), hashlib.sha256(kept).hexdigest())
+                    (doc_id, h, len(range(0, h, stride)),
+                     hashlib.sha256(kept.tobytes()).hexdigest(),
+                     int(flat.sum()),
+                     int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()))
                 )
             yield pd.DataFrame(
-                out, columns=["doc_id", "n_frames", "n_sampled", "sampled_digest"]
+                out,
+                columns=["doc_id", "n_frames", "n_sampled", "sampled_digest",
+                         "sampled_sum", "sampled_wsum"],
             )
 
     return binary_df.mapInPandas(_sample, schema=FRAMES_SCHEMA)
 
 
 def m04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The registered query projects the INTEGER-EXACT features (the
+    # digest stays available on :func:`sample_frames` for pipelines
+    # that key on it) so DuckDB can replay the frame sampling from the
+    # fake format's closed form — oracle-backed since round 5.
     imgs = documents_as_fake_images(spark, sf_dir)
-    return sample_frames(imgs.select("doc_id", "image"), FRAME_STRIDE).orderBy("doc_id")
+    return (
+        sample_frames(imgs.select("doc_id", "image"), FRAME_STRIDE)
+        .select("doc_id", "n_frames", "n_sampled", "sampled_sum", "sampled_wsum")
+        .orderBy("doc_id")
+    )
+
+
+M04_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 4 AS INT) AS w,
+         CAST(doc_id % 8 + 2 AS INT) AS h,
+         substring(
+           rpad(text, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT), 'x'),
+           1, CAST((doc_id % 16 + 4) * (doc_id % 8 + 2) AS INT)) AS payload
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         (h + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} AS ns,
+         list_transform(
+           range(0, ((h + {FRAME_STRIDE} - 1) // {FRAME_STRIDE}) * w), j ->
+             ord(substr(payload,
+                        CAST(({FRAME_STRIDE} * (j // w)) * w + (j % w) + 1
+                             AS INT),
+                        1))) AS p
+  FROM f
+)
+SELECT doc_id, CAST(h AS INT) AS n_frames, CAST(ns AS INT) AS n_sampled,
+       CAST(list_sum(p) AS BIGINT) AS sampled_sum,
+       CAST(list_sum(list_transform(range(0, ns * w),
+                                    j -> (j + 1) * p[j + 1])) AS BIGINT)
+         AS sampled_wsum
+FROM px ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -468,9 +566,13 @@ ORACLE: dict[str, str] = {
     # m02: oracle-backed — the fake format is a pure function of text,
     # so DuckDB recomputes the features (integer milli-intensity).
     "m02_image_features": M02_SQL,
-    # m03/m04: intentionally no oracle (mapInPandas resize/frame-sample
-    # byte output is not SQL-expressible) — driver records rows-only;
-    # deterministic goldens live in tests/test_multimodal.py.
+    # m03/m04: oracle-backed since round 5 — the registered queries
+    # project integer-exact features (sum + position-weighted sum) of
+    # the resized pixels / sampled frames, recomputed by DuckDB from
+    # the fake format's closed form; byte-level digests remain golden-
+    # tested in tests/test_multimodal.py.
+    "m03_image_resize": M03_SQL,
+    "m04_frame_sample": M04_SQL,
     # m05: oracle-backed — the dHash is recomputed from the fake
     # format's closed form.
     "m05_dhash_audit": M05_SQL,

@@ -98,10 +98,16 @@ ORDER BY wavelength
 # I3 — the REAL pyramid kernel under benchmark load: a deterministic
 # synthetic chunk table (4×4×4 grid of 64³ uint16 chunks ≈ 32 MiB)
 # generated executor-side, pushed through one mapInPandas windowed-mean
-# level, reduced to per-chunk checksums.  Rows-only for the driver (the
-# kernel is not SQL-expressible; its semantics are covered by i01's
-# relational twin and the numpy property tests).  No files touched —
-# chunk payloads are seeded from chunk coordinates.
+# level, reduced to per-chunk checksums.  No files touched — chunk
+# payloads are a CLOSED FORM of the global voxel coordinate,
+# v(gz,gy,gx) = (gz·131 + gy·17 + gx·7) % 4096 (i01's formula at i03's
+# geometry), so since round 5 the driver's DuckDB gate replays the
+# whole pipeline — generation, per-chunk 2×2×2 windowed mean with
+# dtype-preserving truncation, per-chunk reduction — from SQL over a
+# 256³ voxel CTE.  Exactness: each window sums ≤ 8·4095 (exact in
+# f64), /8 is a power-of-two division (exact), truncation = floor for
+# non-negatives; the chunk mean divides an exact ≤2^27 integer sum by
+# 32768 (power of two) — both engines agree bit-for-bit.
 # ---------------------------------------------------------------------------
 N_GRID = 4
 CHUNK = 64
@@ -135,8 +141,10 @@ def i03_pyramid_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                rng = np.random.default_rng(r.cz * 10_000 + r.cy * 100 + r.cx)
-                arr = rng.integers(0, 65_535, size=(CHUNK,) * 3, dtype=np.uint16)
+                gz = (r.cz * CHUNK + np.arange(CHUNK, dtype=np.int64))[:, None, None]
+                gy = (r.cy * CHUNK + np.arange(CHUNK, dtype=np.int64))[None, :, None]
+                gx = (r.cx * CHUNK + np.arange(CHUNK, dtype=np.int64))[None, None, :]
+                arr = ((gz * 131 + gy * 17 + gx * 7) % 4096).astype(np.uint16)
                 rows.append(
                     ("synthetic", "bench", 0, 0, r.cz, r.cy, r.cx,
                      CHUNK, CHUNK, CHUNK, "uint16", arr.tobytes())
@@ -151,7 +159,11 @@ def i03_pyramid_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype))
-                out.append((r.cz, r.cy, r.cx, float(arr.mean()), int(arr.sum())))
+                s = int(arr.sum())
+                # ONE division of exact integers (not np.mean's
+                # pairwise accumulation) — bit-identical to the
+                # oracle's sum/count
+                out.append((r.cz, r.cy, r.cx, s / arr.size, s))
             yield pd.DataFrame(
                 out, columns=["cz", "cy", "cx", "mean_v", "sum_v"]
             )
@@ -159,6 +171,26 @@ def i03_pyramid_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl1.mapInPandas(
         _checksum, schema="cz int, cy int, cx int, mean_v double, sum_v long"
     ).orderBy("cz", "cy", "cx")
+
+
+I03_SQL = f"""
+WITH vox AS (
+  SELECT z.range AS gz, y.range AS gy, x.range AS gx,
+         (z.range * 131 + y.range * 17 + x.range * 7) % 4096 AS v
+  FROM range({N_GRID * CHUNK}) z, range({N_GRID * CHUNK}) y,
+       range({N_GRID * CHUNK}) x
+), ds AS (
+  SELECT gz // 2 AS oz, gy // 2 AS oy, gx // 2 AS ox,
+         CAST(floor(avg(v)) AS BIGINT) AS dv
+  FROM vox GROUP BY 1, 2, 3
+)
+SELECT CAST(oz // {CHUNK // 2} AS INT) AS cz,
+       CAST(oy // {CHUNK // 2} AS INT) AS cy,
+       CAST(ox // {CHUNK // 2} AS INT) AS cx,
+       CAST(sum(dv) AS DOUBLE) / count(*) AS mean_v,
+       CAST(sum(dv) AS BIGINT) AS sum_v
+FROM ds GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +265,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "i01_windowed_mean_grid": I01_SQL,
     "i02_wavelength_to_hex": I02_SQL,
-    # i03_pyramid_level: intentionally no oracle (mapInPandas kernel);
-    # rows-only for the driver, numpy golden in tests.
+    "i03_pyramid_level": I03_SQL,
     "i04_scale_ladder": I04_SQL,
 }

@@ -101,10 +101,13 @@ def test_i03_pyramid_level_numpy_golden(spark, sf_dir):
 
     rows = {(r["cz"], r["cy"], r["cx"]): r for r in i03_pyramid_level(spark, sf_dir).collect()}
     assert len(rows) == 4**3
-    rng = np.random.default_rng(1 * 10_000 + 2 * 100 + 3)
-    src = rng.integers(0, 65_535, size=(CHUNK,) * 3, dtype=np.uint16)
+    cz, cy, cx = 1, 2, 3
+    gz = (cz * CHUNK + np.arange(CHUNK, dtype=np.int64))[:, None, None]
+    gy = (cy * CHUNK + np.arange(CHUNK, dtype=np.int64))[None, :, None]
+    gx = (cx * CHUNK + np.arange(CHUNK, dtype=np.int64))[None, None, :]
+    src = ((gz * 131 + gy * 17 + gx * 7) % 4096).astype(np.uint16)
     expect = windowed_mean(src, (2, 2, 2))
-    got = rows[(1, 2, 3)]
+    got = rows[(cz, cy, cx)]
     assert got["sum_v"] == int(expect.sum())
     assert abs(got["mean_v"] - float(expect.mean())) < 1e-9
 
