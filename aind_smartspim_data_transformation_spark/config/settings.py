@@ -25,7 +25,7 @@ import json
 import os
 from enum import Enum
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any, Literal, Optional
 
 from pydantic import BaseModel, Field, model_validator
 
@@ -51,6 +51,11 @@ class ImagingJobSettings(BaseModel):
     chunk_size: list[int] = Field(default_factory=lambda: [128, 128, 128])
     scale_factor: list[int] = Field(default_factory=lambda: [2, 2, 2])
     downsample_levels: int = 4
+    # "auto": DataSource scan (one partition per stack, no z-map) when
+    # the Python DataSource API is available, UDF path otherwise;
+    # "datasource"/"udf" force one path (udf is the only path with a
+    # quarantine mode).
+    ingest: Literal["auto", "datasource", "udf"] = "auto"
 
     @model_validator(mode="after")
     def _check_partitioning(self) -> "ImagingJobSettings":

@@ -34,9 +34,29 @@ from aind_smartspim_data_transformation_spark.sources.acquisition import (
 )
 from aind_smartspim_data_transformation_spark.sources.stack_reader import (
     read_stack_tree,
+    read_stack_tree_datasource,
     scan_stack_files,
     validate_extensions,
 )
+
+
+def _ingest_chunks(spark: SparkSession, settings: ImagingJobSettings, root: str):
+    """Choose the scan path: DataSource (one partition per stack, no
+    z-map — the default at scale) when the Python DataSource API is
+    available, the binaryFile+UDF pipeline otherwise.  Both are
+    bit-identical on clean trees (tests/test_datasource.py); only the
+    UDF path has a quarantine mode."""
+    cz, cy, cx = settings.chunk_size
+    use_ds = settings.ingest == "datasource" or (
+        settings.ingest == "auto" and hasattr(spark, "dataSource")
+    )
+    if use_ds:
+        return read_stack_tree_datasource(
+            spark, f"{root}/SmartSPIM", chunk_z=cz, chunk_y=cy, chunk_x=cx
+        )
+    return read_stack_tree(
+        spark, f"{root}/SmartSPIM", chunk_z=cz, chunk_y=cy, chunk_x=cx
+    )
 
 
 def partition_stacks(stacks: list, n_partitions: int) -> list[list]:
@@ -71,13 +91,7 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
     if settings.partition_to_process == 0:
         _copy_tree(deriv, f"{out}/derivatives")
 
-    chunks = read_stack_tree(
-        spark,
-        f"{root}/SmartSPIM",
-        chunk_z=settings.chunk_size[0],
-        chunk_y=settings.chunk_size[1],
-        chunk_x=settings.chunk_size[2],
-    )
+    chunks = _ingest_chunks(spark, settings, root)
     # O3 compat: callers who still launch N independent job instances
     # (the reference's only multi-node mechanism, `smartspim_job.py:
     # 30-41,226-228`) get the same deterministic round-robin split.  A

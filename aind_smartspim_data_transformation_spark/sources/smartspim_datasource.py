@@ -7,11 +7,13 @@ is it: after ``spark.dataSource.register(SmartspimDataSource)``,
     spark.read.format("smartspim").load("/path/to/SmartSPIM")
 
 yields one row per decoded slice with the same columns the pandas-UDF
-pipeline produces.  One :class:`InputPartition` per *stack* — the same
-parallelism unit the reference distributes by round-robin
-(reference `smartspim_job.py:30-63`), but scheduled by Spark: each
-executor slot claims a stack, decodes its slices locally, and nothing
-is shuffled.
+pipeline produces.  One :class:`InputPartition` per chunk_z-aligned
+*z-slab* of each stack (``option("slab", N)``, default 64) — the
+reference distributes whole stacks round-robin across processes
+(reference `smartspim_job.py:30-63`); slab granularity keeps that
+locality (a slab's tiles are produced by one task, z is
+slab-offset + index, no z-map) while letting parallelism scale with
+stacks × slabs instead of capping at #stacks.
 
 The decode uses the same pure-python PNG codec as the UDF path
 (`sources/png_codec.py`), so both sources are bit-identical — asserted
@@ -40,10 +42,13 @@ _EXTS = (".png", ".tif", ".tiff")
 
 
 class StackPartition(InputPartition):
-    def __init__(self, channel: str, stack: str, files: Sequence[str]):
+    def __init__(
+        self, channel: str, stack: str, files: Sequence[str], z0: int = 0
+    ):
         self.channel = channel
         self.stack = stack
         self.files = list(files)
+        self.z0 = z0  # z index of files[0] within the stack
 
 
 class SmartspimDataSource(DataSource):
@@ -66,6 +71,18 @@ class SmartspimReader(DataSourceReader):
         if not root:
             raise ValueError("smartspim source requires a path: .load(root)")
         self.root = root
+        # z-slab granularity: each input partition covers at most
+        # `slab` consecutive slices of one stack.  Aligned to the
+        # downstream chunk_z, a slab's tiles all come from one task;
+        # parallelism scales with stacks × slabs instead of capping at
+        # #stacks (a 10k-slice stack would otherwise be ONE task).
+        # 0 disables splitting (one partition per whole stack).
+        self.slab = int(options.get("slab", "64"))
+        # small-tree floor: if slab-sized slabs yield fewer partitions
+        # than this, the slab shrinks (down to 1 slice) so a 4-stack
+        # acquisition still uses every core; at production stack counts
+        # total/min_partitions >> slab and the chunk-aligned slab wins.
+        self.min_partitions = int(options.get("min_partitions", "0"))
         self.pushed: dict[str, str] = {}  # channel/stack equality filters
 
     def pushFilters(self, filters):
@@ -81,10 +98,11 @@ class SmartspimReader(DataSourceReader):
             yield f
 
     def partitions(self) -> Sequence[StackPartition]:
-        """One partition per stack directory (deterministic sorted walk,
-        mirroring the reference's sorted stack list), minus directories
-        pruned by pushed channel/stack equality filters."""
-        parts: list[StackPartition] = []
+        """One partition per chunk_z-aligned z-SLAB of each stack
+        directory (deterministic sorted walk, mirroring the reference's
+        sorted stack list), minus directories pruned by pushed
+        channel/stack equality filters."""
+        stacks: list[tuple[str, str, list[str]]] = []
         for dirpath, _dirnames, filenames in sorted(os.walk(self.root)):
             slices = sorted(
                 os.path.join(dirpath, f)
@@ -102,7 +120,17 @@ class SmartspimReader(DataSourceReader):
                 continue
             if self.pushed.get("stack") not in (None, stack):
                 continue
-            parts.append(StackPartition(channel, stack, slices))
+            stacks.append((channel, stack, slices))
+        total = sum(len(s) for _, _, s in stacks)
+        step = self.slab if self.slab > 0 else (total or 1)
+        if self.min_partitions > 0 and total:
+            # shrink toward one-slice slabs only as far as needed
+            step = max(1, min(step, -(-total // self.min_partitions)))
+        parts = [
+            StackPartition(channel, stack, slices[z0 : z0 + step], z0)
+            for channel, stack, slices in stacks
+            for z0 in range(0, len(slices), step)
+        ]
         if not parts and not self.pushed:
             raise FileNotFoundError(f"no image stacks under {self.root}")
         return parts or [StackPartition("", "", [])]
@@ -120,7 +148,7 @@ class SmartspimReader(DataSourceReader):
             yield (
                 partition.channel,
                 partition.stack,
-                idx,
+                partition.z0 + idx,
                 arr.shape[0],
                 arr.shape[1],
                 str(arr.dtype),

@@ -526,3 +526,62 @@ def read_stack_tree(
         tiles, _ = split_quarantine(tiles)
         return assemble_tiles(tiles, chunk_z=chunk_z)
     return assemble_tiles(tiles)
+
+
+def read_stack_tree_datasource(
+    spark: SparkSession,
+    root: str,
+    chunk_z: int = 64,
+    chunk_y: int | None = None,
+    chunk_x: int | None = None,
+) -> DataFrame:
+    """DataSource-backed ingest: the default scan path at scale.
+
+    One input partition per stack (sources/smartspim_datasource.py), z
+    taken from each partition's own sorted file list — no z-map window,
+    no broadcast, no O(#slices) driver state — followed by the SAME
+    tile-first assembly shuffle as :func:`read_stack_tree`.  The two
+    paths are bit-identical on clean trees (tests/test_datasource.py);
+    this one has no quarantine mode (a corrupt slice fails the job), so
+    `run_imaging_job` falls back to the UDF path when the Python
+    DataSource API is unavailable or dead-letter handling is required.
+    """
+    from pyspark.errors import AnalysisException
+
+    from aind_smartspim_data_transformation_spark.session import imaging_session
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+
+    sess = imaging_session(spark)
+    # Python DataSource registration is per-session (the imaging child
+    # resolves formats from its OWN dataSourceManager), but the
+    # duplicate-name check is shared — so if a sibling session already
+    # registered "smartspim", the normal register() raises while this
+    # session still cannot resolve the format.  Check the session-local
+    # manager and, on that conflict, register into it directly.
+    dsm = sess._jsparkSession.sessionState().dataSourceManager()
+    if not dsm.dataSourceExists("smartspim"):
+        try:
+            sess.dataSource.register(SmartspimDataSource)
+        except AnalysisException:
+            from pyspark.sql.udf import _wrap_function
+
+            wrapped = _wrap_function(sess.sparkContext, SmartspimDataSource)
+            jds = getattr(
+                sess.sparkContext._jvm,
+                "org.apache.spark.sql.execution.datasources.v2.python."
+                "UserDefinedPythonDataSource",
+            )(wrapped)
+            dsm.registerDataSource("smartspim", jds)
+    slices = (
+        sess.read.format("smartspim")
+        # chunk_z-aligned z-slabs: every tile of a slab comes from one
+        # scan task, and decode parallelism scales with stacks × slabs;
+        # the floor keeps small acquisitions from idling cores
+        .option("slab", str(chunk_z))
+        .option("min_partitions", str(sess.sparkContext.defaultParallelism * 2))
+        .load(root)
+        .withColumnRenamed("slice_idx", "z")
+    )
+    return slices_to_chunks(slices, chunk_z, chunk_y, chunk_x)

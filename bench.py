@@ -97,12 +97,14 @@ def main() -> None:
     # tools/bench_imaging.py so ingest regressions land in BENCH_r{N}.
     # Reported as its own block — NOT folded into total_query_sec, which
     # stays comparable round-over-round.  mb_per_sec is the depth-robust
-    # comparable (r3 micro-bench: ~13-16 MB/s on an idle host).
+    # comparable.  Depth 64 (1.6 GB raw) since round 5: the 16-slice
+    # figure was startup-dominated and understated steady-state
+    # throughput by ~2× (NOTES_r04 "Imaging ingest parallelism").
     imaging = None
     try:
         from tools.bench_imaging import run_e2e
 
-        imaging = run_e2e(spark, int(os.environ.get("IMG_BENCH_SLICES", "16")))
+        imaging = run_e2e(spark, int(os.environ.get("IMG_BENCH_SLICES", "64")))
         print(f"# imaging_e2e: {imaging}", file=sys.stderr)
     except Exception as exc:  # imaging bench must never fail the harness
         print(f"# imaging e2e skipped: {exc}", file=sys.stderr)

@@ -179,3 +179,36 @@ def test_job_partitioned_runs_cover_all_stacks(spark, tmp_path):
     assert len(outs[0] | outs[1]) == 8  # 2 channels × 4 stacks
     assert (tmp_path / "out0" / "derivatives" / "metadata.json").is_file()
     assert not (tmp_path / "out1" / "derivatives").exists()
+
+
+def test_job_ingest_paths_write_identical_stores(spark, tmp_path):
+    """The DataSource scan (the round-5 default) and the UDF pipeline
+    must produce byte-identical zarr stores through the FULL job —
+    and 'auto' must actually pick the DataSource path on this
+    runtime."""
+    root = tmp_path / "ds"
+    make_dataset(root, height=24, width=28)
+
+    def run(ingest: str) -> dict[str, bytes]:
+        out = tmp_path / f"out_{ingest}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[64, 64, 64],
+                downsample_levels=2,
+                ingest=ingest,
+            ),
+        )
+        assert resp["status_code"] == 200
+        return {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }
+
+    ds, udf = run("datasource"), run("udf")
+    assert ds == udf
+    # the availability gate: this pyspark has the DataSource API
+    assert hasattr(spark, "dataSource")
