@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""One-command round-closing gate: the reproducible "ALL STRICT-OK"
+sweep NOTES_r{N} cites.
+
+Runs, in order, failing fast on the first non-zero exit:
+
+  1. full pytest (tests/)
+  2. tools/strict_verify.py over the FULL registry at sf0.01
+  3. the same at sf0.1 (float/rounding boundaries are data-dependent)
+  4. a driver-contract smoke: __spark_entry__.entry() returns rows and
+     queries()/oracle_sql() keys line up
+
+Usage:  python tools/round_close.py [--skip-pytest]
+Exit 0 = every gate green; the summary line is what NOTES quotes.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run(label: str, cmd: list[str], env: dict | None = None) -> None:
+    import os
+
+    t0 = time.time()
+    print(f"== {label}: {' '.join(cmd)}", flush=True)
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    rc = subprocess.call(cmd, cwd=REPO, env=full_env)
+    print(f"== {label}: rc={rc} ({time.time() - t0:.0f}s)", flush=True)
+    if rc != 0:
+        print(f"ROUND-CLOSE FAILED at {label}", flush=True)
+        sys.exit(rc)
+
+
+def main() -> None:
+    skip_pytest = "--skip-pytest" in sys.argv
+    if not skip_pytest:
+        run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+    run("strict sf0.01", [sys.executable, "tools/strict_verify.py"])
+    run(
+        "strict sf0.1",
+        [sys.executable, "tools/strict_verify.py"],
+        env={"SF_DIR": "/root/testdata/sf0.1"},
+    )
+    run(
+        "driver contract",
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys, importlib.util; sys.path.insert(0, '.');"
+                "spec = importlib.util.spec_from_file_location("
+                "'__spark_entry__', '__spark_entry__.py');"
+                "m = importlib.util.module_from_spec(spec);"
+                "spec.loader.exec_module(m);"
+                "from aind_smartspim_data_transformation_spark.session import "
+                "build_local_session;"
+                "spark = build_local_session(cpus=8);"
+                "rows = m.entry(spark).collect(); assert rows, 'entry empty';"
+                "q = m.queries(); o = m.oracle_sql();"
+                "missing = set(o) - set(q);"
+                "assert not missing, f'oracles without queries: {missing}';"
+                "print(f'entry rows={len(rows)} queries={len(q)} "
+                "oracles={len(o)}')"
+            ),
+        ],
+    )
+    print("ROUND-CLOSE: ALL GREEN", flush=True)
+
+
+if __name__ == "__main__":
+    main()
