@@ -831,3 +831,74 @@ ORACLE: dict[str, str] = {
     "c10_pii_redaction": _c10_sql(),
     "c11_priority_sample": C11_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# C13 — temperature-scaled source mixture rebalance: the standard
+# rebalancing step for multi-source / multilingual training corpora
+# (sample source s with p_s ∝ n_s^α, α ∈ (0,1) — α=1 is natural, α=0
+# uniform; XLM-R-style pipelines use α≈0.3-0.7 to keep head sources
+# from drowning the tail).  α = 0.5 here so the weight is the exact
+# INTEGER sqrt — floor(sqrt(n)) is identical in Spark and DuckDB for
+# n < 2^52 (IEEE sqrt is correctly rounded; the k²−1 boundary can only
+# misround past 2^52) — and every downstream figure is integer ppm.
+#
+# Output per source: natural share, temperature-scaled target share,
+# the per-doc sampling boost (target/natural, milli), and the exact
+# doc budget allocation for a 10k-doc epoch (largest-remainder-free
+# floor division — deterministic, Σ ≤ budget).
+#
+# Plan: ONE fact aggregation (source, count) with map-side combine;
+# totals are a 1-row aggregate OF that tiny table, broadcast back.
+# Scales to any corpus: the shuffle carries |sources| rows.
+# ---------------------------------------------------------------------------
+MIX_BUDGET = 10_000
+
+
+def c13_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    per_src = per_src.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    totals = per_src.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("weight").alias("total_weight"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            F.expr("n_docs * 1000000 div total_docs").alias("natural_ppm"),
+            F.expr("weight * 1000000 div total_weight").alias("target_ppm"),
+            F.expr(
+                "(weight * 1000000 div total_weight) * 1000"
+                " div greatest(n_docs * 1000000 div total_docs, 1)"
+            ).alias("boost_milli"),
+            F.expr(f"{MIX_BUDGET} * weight div total_weight").alias(
+                "budget_docs"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+C13_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT sum(n_docs) AS total_docs, sum(weight) AS total_weight FROM per_src
+)
+SELECT source, n_docs, weight,
+       n_docs * 1000000 // total_docs AS natural_ppm,
+       weight * 1000000 // total_weight AS target_ppm,
+       (weight * 1000000 // total_weight) * 1000
+         // greatest(n_docs * 1000000 // total_docs, 1) AS boost_milli,
+       {MIX_BUDGET} * weight // total_weight AS budget_docs
+FROM per_src CROSS JOIN totals
+ORDER BY source
+"""

@@ -39,7 +39,9 @@ from aind_smartspim_data_transformation_spark.plans.relational import (
 )
 from aind_smartspim_data_transformation_spark.operators.corpus import (
     C12_SQL,
+    C13_SQL,
     c12_stratified_exact_k,
+    c13_mixture_rebalance,
 )
 from aind_smartspim_data_transformation_spark.operators import layout as _layout
 from aind_smartspim_data_transformation_spark.operators import sketch as _sketch
@@ -181,6 +183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_nation_reconciliation": q47_nation_reconciliation,
     "x01_variant_props": x01_variant_props,
     "c12_stratified_exact_k": c12_stratified_exact_k,
+    "c13_mixture_rebalance": c13_mixture_rebalance,
     "x07_weekly_drift": x07_weekly_drift,
     **_sketch.QUERIES,
     **_layout.QUERIES,
@@ -199,6 +202,7 @@ ORACLE: dict[str, str] = {
     "q47_nation_reconciliation": Q47_SQL,
     "x01_variant_props": X01_SQL,
     "c12_stratified_exact_k": C12_SQL,
+    "c13_mixture_rebalance": C13_SQL,
     "x07_weekly_drift": X07_SQL,
     **_sketch.ORACLE,
     **_layout.ORACLE,
