@@ -19,8 +19,10 @@ The decode uses the same pure-python PNG codec as the UDF path
 (`sources/png_codec.py`), so both sources are bit-identical — asserted
 in tests/test_datasource.py.
 
-Scale: file *listing* happens once on the driver (os.walk — at 100 TB
-point this at a manifest instead); decode bandwidth scales with
+Scale: file *listing* happens once on the driver — os.walk by default,
+or ``option("manifest", file)`` with root-relative paths (an
+object-store inventory dump) so a 100 TB tree never walks millions of
+keys; decode bandwidth scales with
 executors.  Column pruning is handled by Spark post-read; predicate
 pushdown on (channel, stack) could be added via ``pushFilters`` if
 needed, since partitions carry those values.
@@ -83,6 +85,13 @@ class SmartspimReader(DataSourceReader):
         # acquisition still uses every core; at production stack counts
         # total/min_partitions >> slab and the chunk-aligned slab wins.
         self.min_partitions = int(options.get("min_partitions", "0"))
+        # Manifest listing (the 100 TB path): a text file of
+        # root-relative slice paths (<channel>/<col>/<stack>/<file>),
+        # e.g. an object-store inventory dump — no os.walk over
+        # millions of keys.  Slices are SORTED within each stack
+        # regardless of manifest line order (the sorted-glob z
+        # contract).
+        self.manifest = options.get("manifest")
         self.pushed: dict[str, str] = {}  # channel/stack equality filters
 
     def pushFilters(self, filters):
@@ -97,11 +106,9 @@ class SmartspimReader(DataSourceReader):
                 self.pushed[f.attribute[0]] = f.value
             yield f
 
-    def partitions(self) -> Sequence[StackPartition]:
-        """One partition per chunk_z-aligned z-SLAB of each stack
-        directory (deterministic sorted walk, mirroring the reference's
-        sorted stack list), minus directories pruned by pushed
-        channel/stack equality filters."""
+    def _list_walk(self) -> list[tuple[str, str, list[str]]]:
+        """(channel, stack, sorted slice paths) per stack directory via
+        os.walk — fine up to ~1M files; use a manifest beyond that."""
         stacks: list[tuple[str, str, list[str]]] = []
         for dirpath, _dirnames, filenames in sorted(os.walk(self.root)):
             slices = sorted(
@@ -121,6 +128,40 @@ class SmartspimReader(DataSourceReader):
             if self.pushed.get("stack") not in (None, stack):
                 continue
             stacks.append((channel, stack, slices))
+        return stacks
+
+    def _list_manifest(self) -> list[tuple[str, str, list[str]]]:
+        """Same output as :meth:`_list_walk`, but from a listing file of
+        root-relative paths (one per line; blank lines and non-image
+        extensions skipped).  The z contract is unchanged: slices are
+        SORTED within a stack regardless of manifest line order."""
+        by_stack: dict[tuple[str, str], list[str]] = {}
+        with open(self.manifest) as f:
+            for line in f:
+                rel = line.strip()
+                if not rel or not rel.lower().endswith(_EXTS):
+                    continue
+                pieces = rel.split("/")
+                channel = pieces[0] if len(pieces) > 1 else ""
+                stack = pieces[-2] if len(pieces) > 1 else ""
+                if self.pushed.get("channel") not in (None, channel):
+                    continue
+                if self.pushed.get("stack") not in (None, stack):
+                    continue
+                by_stack.setdefault((channel, stack), []).append(
+                    os.path.join(self.root, rel)
+                )
+        return [
+            (channel, stack, sorted(files))
+            for (channel, stack), files in sorted(by_stack.items())
+        ]
+
+    def partitions(self) -> Sequence[StackPartition]:
+        """One partition per chunk_z-aligned z-SLAB of each stack
+        directory (deterministic sorted walk or manifest listing,
+        mirroring the reference's sorted stack list), minus stacks
+        pruned by pushed channel/stack equality filters."""
+        stacks = self._list_manifest() if self.manifest else self._list_walk()
         total = sum(len(s) for _, _, s in stacks)
         step = self.slab if self.slab > 0 else (total or 1)
         if self.min_partitions > 0 and total:

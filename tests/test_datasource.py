@@ -103,3 +103,52 @@ def test_datasource_reads_tiff_stacks(spark, tmp_path):
             r["height"], r["width"]
         )
         np.testing.assert_array_equal(got, arrays["Ex_445_Em_469/432380_504340"][z])
+
+
+def test_datasource_manifest_listing(spark, ds_dataset, tmp_path):
+    """A manifest of root-relative paths replaces os.walk (the 100 TB
+    listing path): rows identical to the walk listing, z unaffected by
+    manifest line order, and a slice omitted from the manifest is
+    simply not read."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+
+    root, _ = ds_dataset
+    base = root / "SmartSPIM"
+    rels = sorted(
+        str(p.relative_to(base)) for p in base.rglob("*") if p.is_file()
+    )
+    manifest = tmp_path / "inventory.txt"
+    # REVERSED line order + a blank line: the z contract must come from
+    # sorting, not manifest order
+    manifest.write_text("\n".join(reversed(rels)) + "\n\n")
+
+    spark.dataSource.register(SmartspimDataSource)
+    walk_rows = sorted(
+        map(tuple, spark.read.format("smartspim").load(str(base)).collect())
+    )
+    man_rows = sorted(
+        map(
+            tuple,
+            spark.read.format("smartspim")
+            .option("manifest", str(manifest))
+            .load(str(base))
+            .collect(),
+        )
+    )
+    assert man_rows == walk_rows
+
+    # drop one stack's slices from the manifest -> that stack vanishes
+    kept = [r for r in rels if "432380_504340" not in r]
+    manifest.write_text("\n".join(kept))
+    pruned = (
+        spark.read.format("smartspim")
+        .option("manifest", str(manifest))
+        .load(str(base))
+        .select("stack")
+        .distinct()
+        .collect()
+    )
+    assert all(r["stack"] != "432380_504340" for r in pruned)
+    assert len(pruned) == len({r[1] for r in walk_rows}) - 1
