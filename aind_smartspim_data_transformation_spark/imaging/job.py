@@ -47,10 +47,17 @@ def _ingest_chunks(spark: SparkSession, settings: ImagingJobSettings, root: str)
     bit-identical on clean trees (tests/test_datasource.py); only the
     UDF path has a quarantine mode."""
     cz, cy, cx = settings.chunk_size
-    use_ds = settings.ingest == "datasource" or (
-        settings.ingest == "auto" and hasattr(spark, "dataSource")
-    )
-    if use_ds:
+    # Probe the capabilities the DataSource path actually uses, not
+    # just the public attribute: on Spark Connect `spark.dataSource`
+    # exists but the classic-JVM internals (registration fallback,
+    # sparkContext for the slab floor) do not — "auto" must fall back
+    # to the UDF path there instead of crashing.
+    ds_capable = hasattr(spark, "dataSource") and getattr(
+        spark, "_jsparkSession", None
+    ) is not None
+    if settings.ingest == "datasource" or (
+        settings.ingest == "auto" and ds_capable
+    ):
         return read_stack_tree_datasource(
             spark, f"{root}/SmartSPIM", chunk_z=cz, chunk_y=cy, chunk_x=cx
         )

@@ -329,7 +329,14 @@ FRAMES_SCHEMA = (
 )
 
 
-def sample_frames(binary_df: DataFrame, stride: int) -> DataFrame:
+def sample_frames(
+    binary_df: DataFrame, stride: int, with_digest: bool = True
+) -> DataFrame:
+    # Spark cannot prune computation INSIDE mapInPandas, so the sha256
+    # of every kept payload must be opt-out-able: callers that only
+    # consume the integer features (m04's oracle-gated path) skip the
+    # whole-corpus hashing instead of paying for a column their select
+    # immediately drops.
     import hashlib
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -340,9 +347,13 @@ def sample_frames(binary_df: DataFrame, stride: int) -> DataFrame:
                 h = arr.shape[0]
                 kept = np.ascontiguousarray(arr[::stride])
                 flat = kept.reshape(-1).astype(np.int64)
+                digest = (
+                    hashlib.sha256(kept.tobytes()).hexdigest()
+                    if with_digest
+                    else ""
+                )
                 out.append(
-                    (doc_id, h, len(range(0, h, stride)),
-                     hashlib.sha256(kept.tobytes()).hexdigest(),
+                    (doc_id, h, len(range(0, h, stride)), digest,
                      int(flat.sum()),
                      int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()))
                 )
@@ -362,7 +373,7 @@ def m04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fake format's closed form — oracle-backed since round 5.
     imgs = documents_as_fake_images(spark, sf_dir)
     return (
-        sample_frames(imgs.select("doc_id", "image"), FRAME_STRIDE)
+        sample_frames(imgs.select("doc_id", "image"), FRAME_STRIDE, with_digest=False)
         .select("doc_id", "n_frames", "n_sampled", "sampled_sum", "sampled_wsum")
         .orderBy("doc_id")
     )

@@ -59,6 +59,11 @@ _LEADING_R5 = [
 
 
 def _rotate(d: dict) -> dict:
+    # A typo or renamed leading key would silently trail outside the
+    # sample window; tests/test_settings.py::test_rotation_keys_resolve
+    # fails loudly on that (an assert HERE would conflict with the
+    # defensive-import design above — one broken module must degrade
+    # the registry, not destroy it, when the driver imports this file).
     lead = {k: d[k] for k in _LEADING_R5 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead

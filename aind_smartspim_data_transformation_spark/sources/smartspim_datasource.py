@@ -148,9 +148,12 @@ class SmartspimReader(DataSourceReader):
                     continue
                 if self.pushed.get("stack") not in (None, stack):
                     continue
-                by_stack.setdefault((channel, stack), []).append(
+                by_stack.setdefault((channel, stack), set()).add(
                     os.path.join(self.root, rel)
                 )
+        # set-dedup: object-store inventory dumps can repeat a key
+        # across list pages; a duplicate line would otherwise emit the
+        # slice twice AND shift every later z in the stack.
         return [
             (channel, stack, sorted(files))
             for (channel, stack), files in sorted(by_stack.items())
@@ -163,10 +166,16 @@ class SmartspimReader(DataSourceReader):
         pruned by pushed channel/stack equality filters."""
         stacks = self._list_manifest() if self.manifest else self._list_walk()
         total = sum(len(s) for _, _, s in stacks)
-        step = self.slab if self.slab > 0 else (total or 1)
-        if self.min_partitions > 0 and total:
-            # shrink toward one-slice slabs only as far as needed
-            step = max(1, min(step, -(-total // self.min_partitions)))
+        if self.slab > 0:
+            step = self.slab
+            if self.min_partitions > 0 and total:
+                # shrink toward one-slice slabs only as far as needed
+                step = max(1, min(step, -(-total // self.min_partitions)))
+        else:
+            # slab=0: whole-stack partitions, UNCONDITIONALLY — callers
+            # set it to guarantee one task per stack, so the
+            # min_partitions floor must not re-split.
+            step = max((len(s) for _, _, s in stacks), default=1)
         parts = [
             StackPartition(channel, stack, slices[z0 : z0 + step], z0)
             for channel, stack, slices in stacks

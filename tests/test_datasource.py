@@ -152,3 +152,51 @@ def test_datasource_manifest_listing(spark, ds_dataset, tmp_path):
     )
     assert all(r["stack"] != "432380_504340" for r in pruned)
     assert len(pruned) == len({r[1] for r in walk_rows}) - 1
+
+
+def test_datasource_manifest_dedups_duplicate_lines(spark, ds_dataset, tmp_path):
+    """Inventory dumps can repeat a key across list pages: a duplicated
+    manifest line must not emit the slice twice or shift later z
+    indices (self-review r5 finding)."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+
+    root, _ = ds_dataset
+    base = root / "SmartSPIM"
+    rels = sorted(
+        str(p.relative_to(base)) for p in base.rglob("*") if p.is_file()
+    )
+    manifest = tmp_path / "dup.txt"
+    manifest.write_text("\n".join(rels + rels[:3]))  # first 3 lines repeated
+
+    spark.dataSource.register(SmartspimDataSource)
+    walk_rows = sorted(
+        map(tuple, spark.read.format("smartspim").load(str(base)).collect())
+    )
+    dup_rows = sorted(
+        map(
+            tuple,
+            spark.read.format("smartspim")
+            .option("manifest", str(manifest))
+            .load(str(base))
+            .collect(),
+        )
+    )
+    assert dup_rows == walk_rows
+
+
+def test_datasource_slab_zero_means_whole_stack(ds_dataset):
+    """slab=0 guarantees one partition per stack even when
+    min_partitions would otherwise re-split (self-review r5 finding)."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimReader,
+    )
+
+    root, _ = ds_dataset
+    reader = SmartspimReader(
+        {"path": str(root / "SmartSPIM"), "slab": "0", "min_partitions": "64"}
+    )
+    parts = reader.partitions()
+    assert len(parts) == 2 * 2 * 2  # one per stack, floor ignored
+    assert all(p.z0 == 0 for p in parts)

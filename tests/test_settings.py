@@ -86,3 +86,21 @@ def test_partition_bounds_validated():
         partition_to_process=3,
     )
     assert s.partition_to_process == 3
+
+
+def test_rotation_keys_resolve():
+    """Every _LEADING_R5 rotation key must exist in the merged registry
+    (a typo or renamed key would otherwise silently trail outside the
+    driver's ~50-entry sample window, defeating the rotation's whole
+    purpose), and the rotated dicts must lead with exactly those keys."""
+    from aind_smartspim_data_transformation_spark import registry
+
+    q = registry.all_queries()
+    o = registry.all_oracles()
+    missing = [k for k in registry._LEADING_R5 if k not in q]
+    assert not missing, f"rotation keys missing from registry: {missing}"
+    n = len(registry._LEADING_R5)
+    assert list(q)[:n] == registry._LEADING_R5
+    # every leading entry is oracle-backed (the window exists to earn
+    # green CORRECTNESS rows, not rows-only checks)
+    assert [k for k in registry._LEADING_R5 if k not in o] == []
