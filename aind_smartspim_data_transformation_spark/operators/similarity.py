@@ -901,6 +901,201 @@ LIMIT {PQ_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# S11 — the COMPLETE billion-vector ANN recipe, composed end to end:
+# IVF coarse probe (s05's shape) → PQ-ADC scan of the probed cells
+# (s10's shape) → exact re-rank of the short list.  This is what a
+# production vector store (FAISS IVF-PQ, Milvus, SPANN-style) executes
+# per query:
+#
+#   1. assign every vector to its nearest of K coarse centroids
+#      (integer L2 on scale-1000 ints — exact, cross-engine);
+#   2. the query probes its N_PROBE nearest cells — the scan now
+#      touches ~nprobe/K of the corpus (at scale, cell is a partition
+#      key and this prunes FILES, not just rows — the x03 layout);
+#   3. inside probed cells, distance = Σ_m LUT[m][code_m] — M integer
+#      lookups per vector, no float math against stored vectors;
+#   4. the top IVFPQ_RERANK by approximate distance are re-scored
+#      EXACTLY and the final top-k is by exact distance — the re-rank
+#      stage caps the ADC approximation error at zero for the answers
+#      that matter.
+#
+# Plan: centroids + LUT fold into literals (driver-side, K+M·K tiny
+# rows), so stages 1–3 are a narrow map with ZERO exchanges; stage 4
+# is TakeOrderedAndProject(RERANK) then a 20-row exact re-score.
+# Everything integer → the DuckDB oracle hash-matches exactly.
+# ---------------------------------------------------------------------------
+IVFPQ_RERANK = 20
+IVFPQ_TOPK = 10
+
+
+def s11_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT))"
+        ).alias("x"),
+    )
+    pivot = {
+        int(r["vec_id"]): [int(v) for v in r["x"]]
+        for r in e.filter(
+            F.col("vec_id").isin(PQ_QUERY_ID, *range(1, N_CENTROIDS + 1))
+        ).collect()
+    }
+    q = pivot[PQ_QUERY_ID]
+    cents = [(cid, pivot[cid]) for cid in range(1, N_CENTROIDS + 1)]
+    books = [
+        [pivot[s][m * PQ_SUB : (m + 1) * PQ_SUB] for s in PQ_SEED_IDS]
+        for m in range(PQ_M)
+    ]
+    lut = [
+        [
+            sum(
+                (q[m * PQ_SUB + i] - books[m][k][i]) ** 2
+                for i in range(PQ_SUB)
+            )
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+    # stage 1: coarse assignment (argmin integer d2, cid tiebreak)
+    cell = _kmeans_assign(e, cents)
+    # stage 2: the query's nprobe cells, computed driver-side (tiny)
+    qd = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q, cvec)), cid) for cid, cvec in cents
+    )
+    probe_cells = [cid for _, cid in qd[:N_PROBE]]
+
+    # stage 3: PQ encode + ADC over the probed slice only
+    def _sub_d2(m: int, k: int):
+        c = F.array(*[F.lit(v) for v in books[m][k]])
+        sub = F.slice("x", m * PQ_SUB + 1, PQ_SUB)
+        return F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sub_d2(m, k).alias("d2"),
+                        F.lit(k).cast("long").alias("k"),
+                    )
+                    for k in range(PQ_K)
+                ]
+            )
+        )["k"].alias(f"code{m}")
+        for m in range(PQ_M)
+    ]
+    probed = (
+        e.withColumn("cell", cell)
+        .filter(
+            F.col("cell").isin(*probe_cells) & (F.col("vec_id") != PQ_QUERY_ID)
+        )
+        .select("vec_id", "cell", "x", *codes)
+    )
+    approx = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v) for v in lut[m]]), (F.col(f"code{m}") + 1).cast("int")
+            )
+            for m in range(PQ_M)
+        ),
+        F.lit(0).cast("long"),
+    )
+    shortlist = (
+        probed.select("vec_id", "cell", "x", approx.alias("d2_approx"))
+        .orderBy(F.asc("d2_approx"), F.asc("vec_id"))
+        .limit(IVFPQ_RERANK)
+    )
+    # stage 4: exact re-rank of the shortlist
+    q_lit = F.array(*[F.lit(v) for v in q])
+    exact = F.aggregate(
+        F.zip_with("x", q_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+    return (
+        shortlist.select("vec_id", "cell", "d2_approx", exact.alias("d2_exact"))
+        .orderBy(F.asc("d2_exact"), F.asc("vec_id"))
+        .limit(IVFPQ_TOPK)
+    )
+
+
+def _ivfpq_sql() -> str:
+    m_sub, k_, scale = PQ_SUB, PQ_K, KM_SCALE
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        v -> CAST(floor(v * {scale}) AS BIGINT)) AS x
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, x AS c FROM q
+  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+), qv AS (
+  SELECT x FROM q WHERE vec_id = {PQ_QUERY_ID}
+), assigned AS (
+  SELECT vec_id, x, cid AS cell FROM (
+    SELECT v.vec_id, v.x, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, len(v.x)),
+                        i -> (v.x[i] - c.c[i]) * (v.x[i] - c.c[i]))) ASC,
+                      c.cid ASC) AS rn
+    FROM q v CROSS JOIN cents c) WHERE rn = 1
+), probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY list_sum(list_transform(generate_series(1, len(qv.x)),
+                        i -> (qv.x[i] - c.c[i]) * (qv.x[i] - c.c[i]))) ASC,
+                      c.cid ASC) AS rn
+    FROM cents c, qv) WHERE rn <= {N_PROBE}
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, x
+  FROM q WHERE vec_id IN {PQ_SEED_IDS}
+), lut AS (
+  SELECT m, k,
+         list_sum(list_transform(generate_series(1, {m_sub}),
+           i -> (qv.x[m * {m_sub} + i] - seeds.x[m * {m_sub} + i])
+              * (qv.x[m * {m_sub} + i] - seeds.x[m * {m_sub} + i]))) AS d2
+  FROM qv, seeds, unnest(generate_series(0, {PQ_M - 1})) AS g(m)
+), probed AS (
+  SELECT a.vec_id, a.x, a.cell FROM assigned a
+  JOIN probe p ON a.cell = p.cid
+  WHERE a.vec_id != {PQ_QUERY_ID}
+), codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT v.vec_id, g.m, seeds.k,
+           row_number() OVER (PARTITION BY v.vec_id, g.m ORDER BY
+             list_sum(list_transform(generate_series(1, {m_sub}),
+               i -> (v.x[g.m * {m_sub} + i] - seeds.x[g.m * {m_sub} + i])
+                  * (v.x[g.m * {m_sub} + i] - seeds.x[g.m * {m_sub} + i]))) ASC,
+             seeds.k ASC) AS rn
+    FROM probed v, seeds, unnest(generate_series(0, {PQ_M - 1})) AS g(m)
+  ) WHERE rn = 1
+), shortlist AS (
+  SELECT c.vec_id,
+         CAST(sum(l.d2) AS BIGINT) AS d2_approx
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+  GROUP BY c.vec_id
+  ORDER BY d2_approx ASC, c.vec_id ASC
+  LIMIT {IVFPQ_RERANK}
+)
+SELECT s.vec_id, p.cell, s.d2_approx,
+       CAST(list_sum(list_transform(generate_series(1, len(p.x)),
+         i -> (p.x[i] - qv.x[i]) * (p.x[i] - qv.x[i]))) AS BIGINT) AS d2_exact
+FROM shortlist s
+JOIN probed p ON s.vec_id = p.vec_id, qv
+ORDER BY d2_exact ASC, s.vec_id ASC
+LIMIT {IVFPQ_TOPK}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
@@ -912,6 +1107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s08_ann_recall_panel": s08_ann_recall_panel,
     "s09_kmeans_train": s09_kmeans_train,
     "s10_pq_adc": s10_pq_adc,
+    "s11_ivf_pq_search": s11_ivf_pq_search,
 }
 
 ORACLE: dict[str, str] = {
@@ -925,4 +1121,5 @@ ORACLE: dict[str, str] = {
     "s08_ann_recall_panel": S08_SQL,
     "s09_kmeans_train": S09_SQL,
     "s10_pq_adc": _pq_sql(),
+    "s11_ivf_pq_search": _ivfpq_sql(),
 }

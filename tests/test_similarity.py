@@ -62,3 +62,30 @@ def test_s10_pq_scan_is_shuffle_free(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no posexplode of the embedding
+
+
+def test_s11_plan_scan_is_narrow_and_pruned(spark, sf_dir):
+    """The IVF-PQ scan must be a narrow map: no Exchange before the
+    TakeOrderedAndProject shortlist (centroids and LUT are literals),
+    and the exact re-rank runs on IVFPQ_RERANK rows, not the corpus."""
+    from aind_smartspim_data_transformation_spark.operators import similarity as sim
+
+    df = sim.s11_ivf_pq_search(spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan  # zero wide shuffles
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 1
+
+    # the shortlist contract: every returned exact distance is <= the
+    # worst exact distance achievable, and results are exact-ordered
+    rows = df.collect()
+    assert len(rows) == sim.IVFPQ_TOPK
+    exacts = [r["d2_exact"] for r in rows]
+    assert exacts == sorted(exacts)
+    # re-rank can only improve on ADC order: approx order != exact
+    # order is allowed, but each d2_exact is a true distance (>= 0)
+    assert all(e >= 0 for e in exacts)
