@@ -521,3 +521,34 @@ def run_to_completion(
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def watermark_drop_metrics(query) -> dict:
+    """Operational observability for 24/7 streams: aggregate the
+    watermark/state counters a pipeline ALERTS on from a streaming
+    query's progress history.
+
+    Returns {"rows_dropped_by_watermark", "state_rows", "batches"} —
+    summed ``numRowsDroppedByWatermark`` and last ``numRowsTotal``
+    across state operators.  Late rows silently vanish by DESIGN
+    (tests/test_streaming.py::test_watermark_drops_late_data proves
+    the semantics); this makes the drop COUNT visible so a data-loss
+    regression (e.g. an upstream clock skew pushing events behind the
+    watermark) pages someone instead of shrinking the corpus quietly.
+    Reads ``recentProgress`` — no extra action, no second stream.
+    """
+    dropped = 0
+    state_rows = 0
+    batches = 0
+    for p in query.recentProgress:
+        batches += 1
+        ops = (p or {}).get("stateOperators") or []
+        for op in ops:
+            dropped += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+        if ops:
+            state_rows = sum(int(op.get("numRowsTotal", 0) or 0) for op in ops)
+    return {
+        "rows_dropped_by_watermark": dropped,
+        "state_rows": state_rows,
+        "batches": batches,
+    }

@@ -470,3 +470,51 @@ def test_finalized_sessions_match_batch_e04(spark, sf_dir, tmp_path):
     assert [k for k, _ in got] == [k for k, _ in want] and len(got) > 0
     for (_, gv), (_, wv) in zip(got, want):
         assert abs(gv - wv) < 0.011, (gv, wv)
+
+
+def test_watermark_drop_metrics_surface_late_rows(spark, tmp_path):
+    """The drop COUNTER (not just the drop behavior): the straggler
+    from the late-data scenario must appear in
+    numRowsDroppedByWatermark via watermark_drop_metrics."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "metric_src"
+    src.mkdir()
+
+    def drop_files(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    drop_files(
+        [
+            (1, dt(2024, 1, 1, 10, 0), 1, 1.0),
+            (2, dt(2024, 1, 1, 13, 0), 1, 1.0),  # watermark -> 12:00
+        ]
+    )
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("metric_demo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop_files([(3, dt(2024, 1, 1, 10, 45), 1, 1.0)])  # LATE
+        q.processAllAvailable()
+        m = es.watermark_drop_metrics(q)
+    finally:
+        q.stop()
+    assert m["rows_dropped_by_watermark"] >= 1
+    assert m["batches"] >= 2
