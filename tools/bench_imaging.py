@@ -66,21 +66,39 @@ COLS = ("432380", "464780")
 ROWS = ("504340",)
 
 
-def generate(root: Path, n_slices: int) -> int:
-    """Reference-layout stack tree; returns raw uncompressed bytes."""
-    rng = np.random.default_rng(42)
-    raw = 0
+def generate(root: Path, n_slices: int, spark=None) -> int:
+    """Reference-layout stack tree; returns raw uncompressed bytes.
+
+    With a SparkSession, slice encoding fans out over the executors
+    (generation is excluded from the timed window either way, but at
+    64-slice depth the serial encode adds ~a minute of bench
+    wall-clock for nothing).  Content is seeded per slice, so serial
+    and parallel generation produce identical trees.
+    """
+    tasks = []
     for ch in CHANNELS:
         for col in COLS:
             for row in ROWS:
                 d = root / "SmartSPIM" / ch / col / f"{col}_{row}"
                 d.mkdir(parents=True)
                 for z in range(n_slices):
-                    img = rng.integers(
-                        0, 65535, size=(HEIGHT, WIDTH), dtype=np.uint16
-                    )
-                    (d / f"{z:06d}.png").write_bytes(encode_png_gray(img))
-                    raw += img.nbytes
+                    tasks.append((str(d / f"{z:06d}.png"), len(tasks)))
+
+    def _write(task: tuple) -> None:
+        path, seed = task
+        img = np.random.default_rng(42 + seed).integers(
+            0, 65535, size=(HEIGHT, WIDTH), dtype=np.uint16
+        )
+        Path(path).write_bytes(encode_png_gray(img))
+
+    if spark is not None:
+        spark.sparkContext.parallelize(tasks, min(len(tasks), 64)).foreach(
+            _write
+        )
+    else:
+        for t in tasks:
+            _write(t)
+    raw = len(tasks) * HEIGHT * WIDTH * 2
     (root / "derivatives").mkdir()
     (root / "derivatives" / "metadata.json").write_text('{"origin": "bench"}')
     (root / "acquisition.json").write_text(
@@ -114,7 +132,7 @@ def run_e2e(spark, n_slices: int) -> dict:
     tmp = Path(tempfile.mkdtemp(prefix="imgbench_"))
     try:
         src, out = tmp / "src", tmp / "out"
-        raw_bytes = generate(src, n_slices)
+        raw_bytes = generate(src, n_slices, spark=spark)
         settings = ImagingJobSettings(
             input_source=str(src), output_directory=str(out)
         )
