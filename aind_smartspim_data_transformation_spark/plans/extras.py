@@ -207,3 +207,73 @@ ORACLE: dict[str, str] = {
     **_sketch.ORACLE,
     **_layout.ORACLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# X8 — referential-integrity audit: orphan-FK counts for the three
+# fact→dim edges a pipeline joins on, in one query.  A broken upstream
+# export (partial dim load, truncated fact) surfaces here as a nonzero
+# orphan count BEFORE a training-data join silently drops the rows.
+#
+# Plan per edge: distinct FK keys (map-side partial distinct) →
+# LEFT ANTI against the parent's key column → count.  Anti joins are
+# key-shuffled and AQE-skew-splittable; the parent side is a 1-column
+# projection.  The three audits are independent subtrees unioned at
+# 1 row each — at 100 TB they run as three parallel jobs in one action.
+# ---------------------------------------------------------------------------
+def x08_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    edges = [
+        ("lineitem.l_orderkey->orders", li.select("l_orderkey"), o.select("o_orderkey"), "l_orderkey", "o_orderkey"),
+        ("orders.o_custkey->customer", o.select("o_custkey"), c.select("c_custkey"), "o_custkey", "c_custkey"),
+        ("events.user_id->customer", load_table(spark, sf_dir, "events").select("user_id"), c.select("c_custkey"), "user_id", "c_custkey"),
+    ]
+    out = None
+    for name, child, parent, ck, pk in edges:
+        keys = child.distinct()
+        orphans = keys.join(parent, keys[ck] == parent[pk], "left_anti")
+        row = keys.agg(F.count("*").alias("n_keys")).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphans"))
+        ).select(
+            F.lit(name).alias("edge"),
+            "n_keys",
+            "n_orphans",
+            F.expr("n_orphans * 1000000 div greatest(n_keys, 1)").alias(
+                "orphan_ppm"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge")
+
+
+X08_SQL = """
+WITH e1 AS (
+  SELECT 'lineitem.l_orderkey->orders' AS edge,
+         count(*) AS n_keys,
+         count(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+  LEFT JOIN orders ON k.l_orderkey = o_orderkey
+), e2 AS (
+  SELECT 'orders.o_custkey->customer',
+         count(*),
+         count(*) FILTER (WHERE c_custkey IS NULL)
+  FROM (SELECT DISTINCT o_custkey FROM orders) k
+  LEFT JOIN customer ON k.o_custkey = c_custkey
+), e3 AS (
+  SELECT 'events.user_id->customer',
+         count(*),
+         count(*) FILTER (WHERE c_custkey IS NULL)
+  FROM (SELECT DISTINCT user_id FROM events) k
+  LEFT JOIN customer ON k.user_id = c_custkey
+), u AS (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+)
+SELECT edge, n_keys, n_orphans,
+       n_orphans * 1000000 // greatest(n_keys, 1) AS orphan_ppm
+FROM u ORDER BY edge
+"""
+
+QUERIES["x08_fk_orphans"] = x08_fk_orphans
+ORACLE["x08_fk_orphans"] = X08_SQL
