@@ -277,3 +277,124 @@ FROM u ORDER BY edge
 
 QUERIES["x08_fk_orphans"] = x08_fk_orphans
 ORACLE["x08_fk_orphans"] = X08_SQL
+
+
+# ---------------------------------------------------------------------------
+# T12 — mean corpus-frequency rank: an integer-exact quality proxy for
+# "how surprising is this document's vocabulary" WITHOUT cross-engine
+# float logs (a unigram LM's mean -log p orders docs the same way the
+# mean frequency RANK does, and rank is exact).  Pipeline use: docs
+# whose tokens are mostly deep-tail vocabulary are OCR noise /
+# boilerplate-free gibberish; head-only docs are templates.
+#
+# Plan: ONE token explode → vocab aggregation (token-keyed shuffle,
+# map-side combine, AQE-skew-splittable) → rank by (count desc, token
+# asc) — computed as a self-contained COUNT aggregate, not a global
+# row_number window (which would single-reduce the vocab at scale:
+# rank(t) = #vocab entries with higher count + #ties before t) — then
+# one token-keyed join back and a per-doc mean in integer milli.
+# ---------------------------------------------------------------------------
+def t12_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window as W
+
+    # rank over the VOCAB (small: one row per distinct token) — the
+    # single-reducer window is over |vocab|, never over token
+    # occurrences; at web scale swap in the count-based rank formula.
+    rk = W.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = vocab.withColumn("rank", F.row_number().over(rk))
+    return (
+        toks.join(ranked.select("tok", "rank"), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.expr("sum(rank) * 1000 div count(*)").alias("mean_rank_milli"),
+            F.max("rank").alias("rarest_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T12_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), toks_f AS (
+  SELECT doc_id, tok FROM toks WHERE tok != ''
+), vocab AS (
+  SELECT tok, count(*) AS n FROM toks_f GROUP BY tok
+), ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank FROM vocab
+)
+SELECT doc_id, count(*) AS n_tok,
+       sum(rank) * 1000 // count(*) AS mean_rank_milli,
+       max(rank) AS rarest_rank
+FROM toks_f JOIN ranked USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E15 — event-type transition matrix (first-order user journey): per
+# (from_type, to_type) consecutive-pair counts and row-normalized
+# probability in integer ppm.  The standard input to funnel mining,
+# anomaly detection ("error→purchase should be ~0"), and Markov
+# session simulators.
+#
+# Plan: ONE per-user lag window (user_id-keyed shuffle — the same
+# partitioning e04 sessionization uses, reusable across both) → tiny
+# (from, to) aggregation with map-side combine → per-from totals via a
+# second aggregation of the |types|² table, broadcast back.
+# ---------------------------------------------------------------------------
+def e15_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.tables import load_events
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 div row_total").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+E15_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), counted AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_ppm
+FROM counted ORDER BY from_type, to_type
+"""
+
+QUERIES["t12_mean_token_rank"] = t12_mean_token_rank
+ORACLE["t12_mean_token_rank"] = T12_SQL
+QUERIES["e15_transition_matrix"] = e15_transition_matrix
+ORACLE["e15_transition_matrix"] = E15_SQL
