@@ -525,3 +525,130 @@ def read_zarr_level(group: str, level: int) -> np.ndarray:
                 x1 = min(x0 + chunks[4], shape[4])
                 out[z0:z1, y0:y1, x0:x1] = block[: z1 - z0, : y1 - y0, : x1 - x0]
     return out
+
+
+def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
+    """Append a z-slab pyramid to an EXISTING multiscale store — the
+    incremental-acquisition path: nightly slabs land in one store
+    without rereading or rewriting a byte of previously written data.
+
+    ``levels[i]`` is the level-i chunk table of the NEW slab only
+    (cz starting at 0); each level's chunks are written shifted by the
+    store's current z-chunk count and the ``.zarray`` shapes grow by
+    the slab's extents.  The reference has no incremental path at all
+    (every run rebuilds the full stack,
+    `compress/png_to_zarr.py:673-686`).
+
+    Validation per level, refusing loudly instead of corrupting:
+    - y/x extents and dtype must match the store;
+    - the store's current z extent must be a multiple of the stored
+      z-chunk (a previous TRAILING partial chunk blocks further
+      appends — by construction only the last slab may be partial);
+    - compressor metadata is reused from disk, so appended chunks are
+      byte-compatible with the initial write.
+
+    Metadata: only ``shape`` (per level) and ``omero.rdefs.defaultZ``
+    change; NGFF transforms are depth-independent.
+    """
+    fs, gpath = _fs_for(group)
+    geo = [_level_geometry(df) for df in levels]
+    # A slab whose level-i z extent is not an exact multiple of the
+    # i→i+1 reduction factor would FINALIZE a truncated edge window at
+    # the slab boundary — the one-shot pyramid instead combines those
+    # planes with the next slab's, so the stores would silently
+    # diverge.  The factor is inferred from the slab's own ladder.
+    for i in range(len(geo) - 1):
+        zi, zi1 = geo[i][0][0], geo[i + 1][0][0]
+        if zi1 == 0 or zi % zi1 != 0:
+            raise ValueError(
+                f"append: slab z extent {geo[0][0][0]} is not a multiple "
+                f"of the pyramid factor across {len(levels)} levels "
+                f"(level {i}: {zi} → {zi1}) — the boundary window would "
+                f"be truncated; append slabs in factor**(n_levels-1) "
+                f"multiples"
+            )
+    for lvl, level_df in enumerate(levels):
+        lvl_dir = f"{gpath}/{lvl}"
+        with fs.open_input_stream(f"{lvl_dir}/.zarray") as f:
+            meta = json.loads(f.read().decode())
+        (z_new, y_new, x_new), dtype = geo[lvl]
+        shape = meta["shape"]
+        chunks = meta["chunks"]
+        if _ZARR_DTYPES[dtype] != meta["dtype"]:
+            raise ValueError(
+                f"append: dtype {dtype} != store {meta['dtype']} (level {lvl})"
+            )
+        if (y_new, x_new) != (shape[3], shape[4]):
+            raise ValueError(
+                f"append: plane {y_new}x{x_new} != store "
+                f"{shape[3]}x{shape[4]} (level {lvl})"
+            )
+        if shape[2] % chunks[2] != 0:
+            raise ValueError(
+                f"append: store z extent {shape[2]} is not a multiple of "
+                f"its z-chunk {chunks[2]} (level {lvl}) — the previous "
+                f"append ended on a partial chunk; rebuild or re-chunk"
+            )
+        off = shape[2] // chunks[2]
+        compress = _compress_from_meta(meta["compressor"])
+        chunk_shape = tuple(chunks[2:])
+
+        def _write_partition(
+            rows, lvl_dir=lvl_dir, chunk_shape=chunk_shape,
+            compress=compress, off=off,
+        ):
+            fs2, base = _fs_for(lvl_dir)
+            made: set[str] = set()
+            for r in rows:
+                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
+                    r["dz"], r["dy"], r["dx"]
+                )
+                if arr.shape != chunk_shape:
+                    full = np.zeros(chunk_shape, dtype=arr.dtype)
+                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
+                    arr = full
+                key = "/".join(
+                    [base, "0", "0", str(r["cz"] + off), str(r["cy"]), str(r["cx"])]
+                )
+                parent = key.rsplit("/", 1)[0]
+                if parent not in made:
+                    fs2.create_dir(parent, recursive=True)
+                    made.add(parent)
+                with fs2.open_output_stream(key) as f:
+                    f.write(compress(np.ascontiguousarray(arr).tobytes()))
+
+        _arrow_foreach(level_df, _write_partition)
+        meta["shape"] = [1, 1, shape[2] + z_new, shape[3], shape[4]]
+        _write_json(f"{gpath}/{lvl}/.zarray", meta)
+    # keep the default display plane centered in the GROWN stack
+    with fs.open_input_stream(f"{gpath}/.zattrs") as f:
+        attrs = json.loads(f.read().decode())
+    rdefs = attrs.get("omero", {}).get("rdefs")
+    if rdefs is not None and "defaultZ" in rdefs:
+        with fs.open_input_stream(f"{gpath}/0/.zarray") as f:
+            z_total = json.loads(f.read().decode())["shape"][2]
+        rdefs["defaultZ"] = z_total // 2
+        _write_json(f"{gpath}/.zattrs", attrs)
+    return group
+
+
+def _compress_from_meta(meta: dict[str, Any] | None):
+    """Compressor fn from on-disk .zarray metadata (inverse direction
+    of ``_make_codec`` — append must stay byte-compatible with what the
+    store was created with)."""
+    if meta is None:
+        return lambda b: b
+    if meta["id"] == "zlib":
+        level = int(meta.get("level", 1))
+        return lambda b: zlib.compress(b, level)
+    if meta["id"] == "blosc":  # pragma: no cover - container has no blosc
+        import blosc
+
+        return lambda b: blosc.compress(
+            b,
+            typesize=2,
+            cname=meta.get("cname", "zstd"),
+            clevel=int(meta.get("clevel", 3)),
+            shuffle=int(meta.get("shuffle", 1)),
+        )
+    raise ValueError(f"unsupported compressor metadata {meta!r}")

@@ -212,3 +212,77 @@ def test_job_ingest_paths_write_identical_stores(spark, tmp_path):
     assert ds == udf
     # the availability gate: this pyspark has the DataSource API
     assert hasattr(spark, "dataSource")
+
+
+def test_append_z_slab_equals_one_shot(spark, tmp_path):
+    """Incremental acquisition: slab A written, slab B appended later
+    (each slab's pyramid computed independently) reassembles to exactly
+    the one-shot store of the full stack, at every level; a third
+    append with a mismatched plane is refused."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        build_pyramid,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        append_ome_zarr_z,
+        read_zarr_level,
+        write_ome_zarr,
+    )
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        read_stack_tree,
+    )
+
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 65535, size=(8, 32, 40), dtype=np.uint16)
+
+    def write_tree(root, planes, z0):
+        d = root / "SmartSPIM" / "Ex_488_Em_525" / "400000" / "400000_500000"
+        d.mkdir(parents=True)
+        for i, img in enumerate(planes):
+            (d / f"{z0 + i:06d}.png").write_bytes(encode_png_gray(img))
+
+    roots = {k: tmp_path / k for k in ("a", "b", "full")}
+    write_tree(roots["a"], full[:4], 0)
+    write_tree(roots["b"], full[4:], 4)  # names continue; z is slab-local
+    write_tree(roots["full"], full, 0)
+
+    def pyramid(root):
+        chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=64)
+        return build_pyramid(chunks, (2, 2, 2), 2, chunk_zyx=[64, 64, 64])
+
+    kw = dict(
+        channel_name="Ex_488_Em_525",
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[64, 64, 64],
+    )
+    group = write_ome_zarr(
+        pyramid(roots["a"]), str(tmp_path / "inc"), "400000_500000", **kw
+    )
+    append_ome_zarr_z(pyramid(roots["b"]), group)
+    one_shot = write_ome_zarr(
+        pyramid(roots["full"]), str(tmp_path / "oneshot"), "400000_500000", **kw
+    )
+    for lvl in (0, 1):
+        np.testing.assert_array_equal(
+            read_zarr_level(group, lvl), read_zarr_level(one_shot, lvl)
+        )
+    # level-0 equals the source exactly
+    np.testing.assert_array_equal(read_zarr_level(group, 0), full)
+
+    # refusal: a slab with the wrong plane size must not corrupt
+    bad = tmp_path / "bad"
+    write_tree(bad, rng.integers(0, 9, size=(2, 16, 40), dtype=np.uint16), 0)
+    with pytest.raises(ValueError, match="plane"):
+        append_ome_zarr_z(pyramid(bad), group)
+
+    # refusal: an ODD slab depth would finalize a truncated boundary
+    # window (level-1 would diverge from the one-shot pyramid)
+    odd = tmp_path / "odd"
+    write_tree(odd, rng.integers(0, 9, size=(3, 32, 40), dtype=np.uint16), 0)
+    with pytest.raises(ValueError, match="truncated"):
+        append_ome_zarr_z(pyramid(odd), group)
