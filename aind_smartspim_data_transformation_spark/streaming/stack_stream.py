@@ -176,3 +176,33 @@ def accumulated_slices_to_chunks(
         .drop("slice_key")
     )
     return slices_to_chunks(dense, chunk_z)
+
+
+def landed_slab_chunks(
+    spark: SparkSession,
+    slice_dir: str,
+    after_key: int,
+    chunk_z: int = 64,
+) -> DataFrame:
+    """Chunk table (slab-local z starting at 0) for slices landed with
+    ``slice_key > after_key`` — the input
+    ``imaging.zarr_sink.append_ome_zarr_z`` expects for incremental
+    store growth.
+
+    Correct under the acquisition contract the reference's writer also
+    assumes (`io/readers.py:145` sorted-glob): slices are written in
+    ascending z per stack, so everything after the last appended key IS
+    the next contiguous slab.  The caller tracks ``after_key`` (the max
+    key of the previous append — durable alongside the stream
+    checkpoint); append validation in the sink refuses geometry that
+    would truncate a boundary window, so an out-of-contract arrival
+    fails loudly rather than corrupting the store.
+    """
+    sl = spark.read.parquet(slice_dir).filter(F.col("slice_key") > after_key)
+    w = W.partitionBy("channel", "stack").orderBy("slice_key")
+    dense = (
+        sl.dropDuplicates(["channel", "stack", "slice_key"])
+        .withColumn("z", (F.row_number().over(w) - 1).cast("int"))
+        .drop("slice_key")
+    )
+    return slices_to_chunks(dense, chunk_z)

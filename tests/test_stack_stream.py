@@ -85,3 +85,63 @@ def test_stream_ingests_tiff_slices(spark, tmp_path):
         for r in landed.collect()
     }
     assert vals == {111, 222}
+
+
+def test_streamed_waves_append_into_one_zarr(spark, tmp_path):
+    """The full incremental acquisition story: slices stream in over
+    two waves; each wave's slab is assembled from the landed table and
+    appended to ONE OME-Zarr store, which ends identical to a one-shot
+    batch build of the finished acquisition."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        build_pyramid,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        append_ome_zarr_z,
+        read_zarr_level,
+        write_ome_zarr,
+    )
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    full = rng.integers(0, 65535, size=(8, 16, 20), dtype=np.uint16)
+    root = tmp_path / "acq"
+    d = root / "SmartSPIM" / "Ex_488_Em_525" / "400000" / "400000_500000"
+    d.mkdir(parents=True)
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        channel_name="Ex_488_Em_525",
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[64, 64, 64],
+    )
+
+    def pyr(chunks):
+        return build_pyramid(chunks, (2, 2, 2), 2, chunk_zyx=[64, 64, 64])
+
+    # wave 1: planes 0-3 arrive, stream lands them, store is created
+    for z in range(4):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(full[z]))
+    ss.run_incremental_ingest(spark, str(root / "SmartSPIM"), out, ckpt)
+    slab = ss.landed_slab_chunks(spark, out, after_key=-1, chunk_z=64)
+    group = write_ome_zarr(pyr(slab), str(tmp_path / "store"), "400000_500000", **kw)
+
+    # wave 2: planes 4-7 arrive later; only THEY are decoded + appended
+    for z in range(4, 8):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(full[z]))
+    ss.run_incremental_ingest(spark, str(root / "SmartSPIM"), out, ckpt)
+    slab2 = ss.landed_slab_chunks(spark, out, after_key=3, chunk_z=64)
+    append_ome_zarr_z(pyr(slab2), group)
+
+    np.testing.assert_array_equal(read_zarr_level(group, 0), full)
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        windowed_mean,
+    )
+
+    np.testing.assert_array_equal(
+        read_zarr_level(group, 1), windowed_mean(full, (2, 2, 2))
+    )
