@@ -556,16 +556,30 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
     # i→i+1 reduction factor would FINALIZE a truncated edge window at
     # the slab boundary — the one-shot pyramid instead combines those
     # planes with the next slab's, so the stores would silently
-    # diverge.  The factor is inferred from the slab's own ladder.
+    # diverge.  The factor comes from the STORE's NGFF scale ladder
+    # (scale_z ratio between levels) — inferring it from the slab's own
+    # extents cannot reject slabs shallower than factor**(n_levels-1)
+    # (once an extent hits 1, any ratio "divides" it).
+    with fs.open_input_stream(f"{gpath}/.zattrs") as f:
+        attrs = json.loads(f.read().decode())
+    datasets = attrs["multiscales"][0]["datasets"]
+    if len(datasets) != len(levels):
+        raise ValueError(
+            f"append: slab has {len(levels)} levels, store has "
+            f"{len(datasets)} — rebuild the slab pyramid with the "
+            f"store's level count"
+        )
+    scales_z = [d["coordinateTransformations"][0]["scale"][2] for d in datasets]
     for i in range(len(geo) - 1):
+        fz = round(scales_z[i + 1] / scales_z[i])
         zi, zi1 = geo[i][0][0], geo[i + 1][0][0]
-        if zi1 == 0 or zi % zi1 != 0:
+        if zi % fz != 0 or zi1 != zi // fz:
             raise ValueError(
-                f"append: slab z extent {geo[0][0][0]} is not a multiple "
-                f"of the pyramid factor across {len(levels)} levels "
-                f"(level {i}: {zi} → {zi1}) — the boundary window would "
-                f"be truncated; append slabs in factor**(n_levels-1) "
-                f"multiples"
+                f"append: slab level-{i} z extent {zi} is not an exact "
+                f"×{fz} reduction to level {i + 1} ({zi1}) — the "
+                f"boundary window would be truncated and the store "
+                f"would diverge from a one-shot build; append slabs in "
+                f"factor**(n_levels-1)-plane multiples"
             )
     for lvl, level_df in enumerate(levels):
         lvl_dir = f"{gpath}/{lvl}"
@@ -588,6 +602,28 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
                 f"append: store z extent {shape[2]} is not a multiple of "
                 f"its z-chunk {chunks[2]} (level {lvl}) — the previous "
                 f"append ended on a partial chunk; rebuild or re-chunk"
+            )
+        # The slab's z-chunk grid must match the STORE's: cz indices are
+        # interpreted in store-chunk units, so a slab chunked deeper
+        # (first-wave-clamped store chunk < later wave's chunk_z) would
+        # crash mid-write, and a slab chunked shallower would scatter
+        # zero-padded part-chunks one store-chunk apart — silent data
+        # loss.  Valid: slab chunk z == store chunk z (trailing partial
+        # allowed), or the whole slab fits one store chunk.
+        from pyspark.sql import functions as F
+
+        head = level_df.filter(
+            (F.col("cz") == 0) & (F.col("cy") == 0) & (F.col("cx") == 0)
+        ).select("dz").first()
+        n_cz = int(level_df.agg(F.max("cz")).first()[0]) + 1
+        if (z_new > chunks[2] and int(head["dz"]) != chunks[2]) or (
+            z_new <= chunks[2] and n_cz != 1
+        ):
+            raise ValueError(
+                f"append: slab level-{lvl} z-chunking (first chunk dz="
+                f"{int(head['dz'])}, {n_cz} z-chunks for extent {z_new}) "
+                f"does not match the store's z-chunk {chunks[2]} — "
+                f"assemble the slab with chunk_z={chunks[2]}"
             )
         off = shape[2] // chunks[2]
         compress = _compress_from_meta(meta["compressor"])
@@ -633,22 +669,9 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
 
 
 def _compress_from_meta(meta: dict[str, Any] | None):
-    """Compressor fn from on-disk .zarray metadata (inverse direction
-    of ``_make_codec`` — append must stay byte-compatible with what the
-    store was created with)."""
-    if meta is None:
-        return lambda b: b
-    if meta["id"] == "zlib":
-        level = int(meta.get("level", 1))
-        return lambda b: zlib.compress(b, level)
-    if meta["id"] == "blosc":  # pragma: no cover - container has no blosc
-        import blosc
-
-        return lambda b: blosc.compress(
-            b,
-            typesize=2,
-            cname=meta.get("cname", "zstd"),
-            clevel=int(meta.get("clevel", 3)),
-            shuffle=int(meta.get("shuffle", 1)),
-        )
-    raise ValueError(f"unsupported compressor metadata {meta!r}")
+    """Compressor fn from on-disk .zarray metadata, delegating to
+    ``_make_codec`` (ONE codec table — append must stay byte-compatible
+    with what the store was created with, so this must never drift from
+    the create path)."""
+    name = "none" if meta is None else meta["id"]
+    return _make_codec(name, meta)[1]

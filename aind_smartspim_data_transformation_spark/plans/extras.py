@@ -232,17 +232,25 @@ def x08_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = None
     for name, child, parent, ck, pk in edges:
+        # ONE pass per edge: the distinct-key subtree feeds a single
+        # LEFT OUTER join, and both counts come from the same
+        # aggregation (count + count-of-unmatched) — a separate
+        # anti-join branch would scan and key-shuffle the fact TWICE.
         keys = child.distinct()
-        orphans = keys.join(parent, keys[ck] == parent[pk], "left_anti")
-        row = keys.agg(F.count("*").alias("n_keys")).crossJoin(
-            orphans.agg(F.count("*").alias("n_orphans"))
-        ).select(
-            F.lit(name).alias("edge"),
-            "n_keys",
-            "n_orphans",
-            F.expr("n_orphans * 1000000 div greatest(n_keys, 1)").alias(
-                "orphan_ppm"
-            ),
+        row = (
+            keys.join(parent, keys[ck] == parent[pk], "left")
+            .agg(
+                F.count("*").alias("n_keys"),
+                F.count(F.when(parent[pk].isNull(), True)).alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("edge"),
+                "n_keys",
+                "n_orphans",
+                F.expr("n_orphans * 1000000 div greatest(n_keys, 1)").alias(
+                    "orphan_ppm"
+                ),
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("edge")

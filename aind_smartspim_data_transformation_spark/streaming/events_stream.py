@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from pyspark.sql.streaming import (
+    StreamingQueryListener as _SQL_LISTENER_BASE,
+)
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -536,6 +539,12 @@ def watermark_drop_metrics(query) -> dict:
     regression (e.g. an upstream clock skew pushing events behind the
     watermark) pages someone instead of shrinking the corpus quietly.
     Reads ``recentProgress`` — no extra action, no second stream.
+    CAVEAT: ``recentProgress`` is a bounded ring buffer
+    (``spark.sql.streaming.numRecentProgressUpdates``, default 100), so
+    on a 24/7 stream this is a point-in-time window, not a lifetime
+    counter — old drops silently age out.  For cumulative alerting
+    attach :class:`WatermarkDropListener` instead, which accumulates
+    per-query totals across every progress event.
     """
     dropped = 0
     state_rows = 0
@@ -552,3 +561,39 @@ def watermark_drop_metrics(query) -> dict:
         "state_rows": state_rows,
         "batches": batches,
     }
+
+
+class WatermarkDropListener(_SQL_LISTENER_BASE):
+    """Cumulative watermark/state counters for 24/7 alerting.
+
+    Register with ``spark.streams.addListener``: accumulates
+    ``numRowsDroppedByWatermark`` per query across EVERY progress
+    event — unlike ``recentProgress``, nothing ages out of a ring
+    buffer.  ``totals[query_id] = {"rows_dropped_by_watermark",
+    "batches"}``.
+    """
+
+    def __init__(self):
+        self.totals: dict[str, dict] = {}
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        import json as _json
+
+        p = _json.loads(event.progress.json)
+        t = self.totals.setdefault(
+            p["id"], {"rows_dropped_by_watermark": 0, "batches": 0}
+        )
+        t["batches"] += 1
+        for op in p.get("stateOperators") or []:
+            t["rows_dropped_by_watermark"] += int(
+                op.get("numRowsDroppedByWatermark", 0) or 0
+            )
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        pass

@@ -168,7 +168,14 @@ def accumulated_slices_to_chunks(
     before ranking; the file-source checkpoint makes them impossible in
     this local flow.
     """
-    sl = spark.read.parquet(slice_dir)
+    return _densify_and_chunk(spark.read.parquet(slice_dir), chunk_z)
+
+
+def _densify_and_chunk(sl: DataFrame, chunk_z: int) -> DataFrame:
+    """The ONE home of the dense-z contract: dedup on (channel, stack,
+    slice_key), z = rank of slice_key within the stack, then the
+    standard chunk assembly.  Shared by the full-table and slab paths
+    so their z assignment can never desynchronize."""
     w = W.partitionBy("channel", "stack").orderBy("slice_key")
     dense = (
         sl.dropDuplicates(["channel", "stack", "slice_key"])
@@ -198,11 +205,7 @@ def landed_slab_chunks(
     would truncate a boundary window, so an out-of-contract arrival
     fails loudly rather than corrupting the store.
     """
-    sl = spark.read.parquet(slice_dir).filter(F.col("slice_key") > after_key)
-    w = W.partitionBy("channel", "stack").orderBy("slice_key")
-    dense = (
-        sl.dropDuplicates(["channel", "stack", "slice_key"])
-        .withColumn("z", (F.row_number().over(w) - 1).cast("int"))
-        .drop("slice_key")
+    return _densify_and_chunk(
+        spark.read.parquet(slice_dir).filter(F.col("slice_key") > after_key),
+        chunk_z,
     )
-    return slices_to_chunks(dense, chunk_z)

@@ -286,3 +286,71 @@ def test_append_z_slab_equals_one_shot(spark, tmp_path):
     write_tree(odd, rng.integers(0, 9, size=(3, 32, 40), dtype=np.uint16), 0)
     with pytest.raises(ValueError, match="truncated"):
         append_ome_zarr_z(pyramid(odd), group)
+
+
+def test_append_refuses_shallow_slab_and_chunk_mismatch(spark, tmp_path):
+    """Round-5 self-review regressions: (1) a slab shallower than
+    factor**(n_levels-1) must be refused (its deepest levels finalize
+    truncated windows — the extent-ratio check alone cannot see this
+    once an extent hits 1); (2) a slab whose z-chunking differs from
+    the store's must be refused with the store's chunk size named, and
+    re-chunking to that size must succeed."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        build_pyramid,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        append_ome_zarr_z,
+        read_zarr_level,
+        write_ome_zarr,
+    )
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        read_stack_tree,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def tree(name, planes):
+        root = tmp_path / name
+        d = root / "SmartSPIM" / "Ex_488_Em_525" / "400000" / "400000_500000"
+        d.mkdir(parents=True)
+        for i, img in enumerate(planes):
+            (d / f"{i:06d}.png").write_bytes(encode_png_gray(img))
+        return root
+
+    def pyr(root, n_levels, chunk_z=64):
+        chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=chunk_z)
+        return build_pyramid(chunks, (2, 2, 2), n_levels, chunk_zyx=[64, 64, 64])
+
+    kw = dict(
+        channel_name="Ex_488_Em_525",
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[64, 64, 64],
+    )
+    full8 = rng.integers(0, 65535, size=(8, 16, 20), dtype=np.uint16)
+    group = write_ome_zarr(
+        pyr(tree("base", full8), 3), str(tmp_path / "s3"), "400000_500000", **kw
+    )
+    # (1) 2-deep slab into a 3-level store: level extents [2,1,1] — the
+    # old slab-ratio check passed this; the store-ladder check must not
+    shallow = tree("shallow", rng.integers(0, 9, size=(2, 16, 20), dtype=np.uint16))
+    with pytest.raises(ValueError, match="truncated"):
+        append_ome_zarr_z(pyr(shallow, 3), group)
+
+    # (2) store whose z-chunk was clamped by a 4-deep first wave; the
+    # second wave is DEEPER (8 planes), so its single 8-deep chunk
+    # cannot land on the store's 4-plane grid
+    full12 = np.concatenate([full8, rng.integers(0, 65535, size=(4, 16, 20), dtype=np.uint16)])
+    g2 = write_ome_zarr(
+        pyr(tree("w1", full12[:4]), 2), str(tmp_path / "clamped"), "400000_500000", **kw
+    )
+    w2 = tree("w2", full12[4:])
+    with pytest.raises(ValueError, match="chunk_z=4"):
+        append_ome_zarr_z(pyr(w2, 2), g2)  # slab chunk dz=8 != store 4
+    append_ome_zarr_z(pyr(w2, 2, chunk_z=4), g2)  # re-chunked: fine
+    np.testing.assert_array_equal(read_zarr_level(g2, 0), full12)

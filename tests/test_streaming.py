@@ -518,3 +518,61 @@ def test_watermark_drop_metrics_surface_late_rows(spark, tmp_path):
         q.stop()
     assert m["rows_dropped_by_watermark"] >= 1
     assert m["batches"] >= 2
+
+
+def test_watermark_drop_listener_accumulates(spark, tmp_path):
+    """The cumulative listener (not recentProgress's bounded ring
+    buffer) must count the planted late straggler and keep counting
+    across batches."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "lsrc"
+    src.mkdir()
+
+    def drop_files(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    drop_files([(1, dt(2024, 1, 1, 10, 0), 1, 1.0),
+                (2, dt(2024, 1, 1, 13, 0), 1, 1.0)])
+    listener = es.WatermarkDropListener()
+    spark.streams.addListener(listener)
+    try:
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("listener_demo")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            drop_files([(3, dt(2024, 1, 1, 10, 45), 1, 1.0)])  # LATE
+            q.processAllAvailable()
+            # listener events are delivered asynchronously
+            import time
+
+            qid = str(q.id)
+            for _ in range(50):
+                t = listener.totals.get(qid)
+                if t and t["rows_dropped_by_watermark"] >= 1:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        t = listener.totals[qid]
+        assert t["rows_dropped_by_watermark"] >= 1
+        assert t["batches"] >= 2
+    finally:
+        spark.streams.removeListener(listener)
