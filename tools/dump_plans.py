@@ -380,6 +380,47 @@ ANNOTATIONS = {
         "skipping on BOTH dimensions (tests/test_layout.py measures "
         "it on real parquet footers)."
     ),
+    "s11_ivf_pq_search": (
+        "The COMPOSED IVF-PQ query (round 5): coarse probe → PQ-ADC "
+        "scan → exact re-rank. Look for: ONE parquet scan; centroid "
+        "assignment, cell filter, PQ codes and the ADC sum all inside "
+        "a single WholeStageCodegen span (centroids + LUT are "
+        "literals); NO Exchange hashpartitioning anywhere; the "
+        "shortlist is TakeOrderedAndProject(20) and the exact re-rank "
+        "touches only those 20 rows. At scale `cell` is the partition "
+        "key and the nprobe filter prunes files."
+    ),
+    "c13_mixture_rebalance": (
+        "Temperature-scaled mixture weights (round 5). Look for: one "
+        "HashAggregate pair (partial → final) collapsing the corpus to "
+        "|sources| rows BEFORE anything else; the totals are an "
+        "aggregate OF that tiny table cross-joined back as a broadcast "
+        "single row. The fact is scanned once, shuffled as |sources| "
+        "rows."
+    ),
+    "x08_fk_orphans": (
+        "Referential-integrity audit (round 5). Look for: per edge, "
+        "ONE distinct-key aggregation feeding ONE left-outer "
+        "SortMergeJoin whose single aggregate computes both counts "
+        "(count + count-of-null-parent) — no second scan per edge; the "
+        "three edges are independent subtrees unioned at one row each."
+    ),
+    "t12_mean_token_rank": (
+        "Mean corpus-frequency rank (round 5). Look for: "
+        "explode → token-keyed HashAggregate (map-side combine) "
+        "collapsing occurrences to the vocab BEFORE the rank window "
+        "(the Window's single-partition sort runs over |vocab| rows, "
+        "never over occurrences — the count-based rank formula is the "
+        "documented swap-in past ~100M vocab); then one token-keyed "
+        "join back and a doc-keyed aggregate."
+    ),
+    "e15_transition_matrix": (
+        "Event-type transition matrix (round 5). Look for: ONE "
+        "user_id-keyed Exchange feeding the lag Window (the same "
+        "partitioning e04 sessionization shuffles on — co-schedulable), "
+        "then a (from,to)-keyed aggregate of |types|² rows and a "
+        "broadcast join for row totals."
+    ),
 }
 
 INGEST_NOTE = (
