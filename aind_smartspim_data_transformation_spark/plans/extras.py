@@ -406,3 +406,89 @@ QUERIES["t12_mean_token_rank"] = t12_mean_token_rank
 ORACLE["t12_mean_token_rank"] = T12_SQL
 QUERIES["e15_transition_matrix"] = e15_transition_matrix
 ORACLE["e15_transition_matrix"] = E15_SQL
+
+
+# ---------------------------------------------------------------------------
+# D13 — dedup keeping the BEST copy: near-dup clusters (d03 pairs →
+# d09's O(log n) star clustering) resolved by QUALITY (t02's integer
+# score) instead of by arbitrary min-id — the curation decision a real
+# pipeline makes: among N near-duplicates, keep the highest-quality
+# text, drop the rest, and account for the quality mass removed.
+#
+# Plan: candidate pairs and clustering are the d03/d09 machinery
+# (banded, capped, |E|-row shuffles); scoring touches ONLY clustered
+# docs (cluster membership ≪ corpus); the keeper choice is one
+# `max_by` aggregate per cluster — deterministic tiebreak on (quality,
+# -doc_id), no window needed.
+# ---------------------------------------------------------------------------
+def d13_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        connected_components_star,
+        d03_dedup_minhash_lsh,
+    )
+    from aind_smartspim_data_transformation_spark.operators.text import (
+        quality_ppm_expr,
+    )
+
+    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    comp = connected_components_star(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_ppm_expr().alias("q"))
+    m = comp.join(scored, comp["node"] == scored["doc_id"]).select(
+        "label", "doc_id", "q"
+    )
+    return (
+        m.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("max_by(doc_id, struct(q, -doc_id))").alias("keeper_doc"),
+            F.max("q").alias("keeper_q_ppm"),
+            (F.sum("q") - F.max("q")).alias("q_ppm_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+def _d13_sql() -> str:
+    from aind_smartspim_data_transformation_spark.operators.dedup import D03_SQL
+    from aind_smartspim_data_transformation_spark.operators.text import (
+        QUALITY_BASE_SQL,
+        QUALITY_PPM_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2 FROM ({D03_SQL}) _d03
+), und AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+), reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+), comp AS (
+  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+), base AS ({QUALITY_BASE_SQL}
+), scored AS (
+  SELECT doc_id,
+         {QUALITY_PPM_SQL} AS q
+  FROM base
+), k AS (
+  SELECT comp.component, s.doc_id, s.q,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY s.q DESC, s.doc_id ASC) AS rn
+  FROM comp JOIN scored s ON comp.node = s.doc_id
+)
+SELECT component,
+       count(*) AS n_docs,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc,
+       max(CASE WHEN rn = 1 THEN q END) AS keeper_q_ppm,
+       CAST(sum(q) - max(CASE WHEN rn = 1 THEN q END) AS BIGINT)
+         AS q_ppm_dropped
+FROM k GROUP BY component ORDER BY component
+"""
+
+
+QUERIES["d13_keep_best_quality"] = d13_keep_best_quality
+ORACLE["d13_keep_best_quality"] = _d13_sql()
