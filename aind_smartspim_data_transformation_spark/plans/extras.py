@@ -433,7 +433,13 @@ def d13_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
     comp = connected_components_star(pairs)
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", quality_ppm_expr().alias("q"))
+    # Membership filter BEFORE scoring: a post-join filter would still
+    # evaluate the (tokenize-heavy) quality projection corpus-wide —
+    # the broadcast-semi keeps the scoring scan to cluster members.
+    members = comp.select(F.col("node").alias("doc_id"))
+    scored = docs.join(F.broadcast(members), "doc_id").select(
+        "doc_id", quality_ppm_expr().alias("q")
+    )
     m = comp.join(scored, comp["node"] == scored["doc_id"]).select(
         "label", "doc_id", "q"
     )
