@@ -89,3 +89,63 @@ def test_s11_plan_scan_is_narrow_and_pruned(spark, sf_dir):
     # re-rank can only improve on ADC order: approx order != exact
     # order is allowed, but each d2_exact is a true distance (>= 0)
     assert all(e >= 0 for e in exacts)
+
+
+def test_ivf_cells_prune_files_when_partitioned(spark, sf_dir, tmp_path):
+    """The s11 scale claim, measured: with the corpus laid out
+    hive-partitioned by coarse cell, the nprobe filter becomes a
+    PartitionFilter and the executed scan's numFiles touches ONLY the
+    probed cells' files — the IVF index IS the storage layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aind_smartspim_data_transformation_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {sim.KM_SCALE}) AS BIGINT))"
+        ).alias("x"),
+    )
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["x"]])
+        for r in e.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= sim.N_CENTROIDS)
+        ).collect()
+    ]
+    cents.sort()
+    path = str(tmp_path / "emb_by_cell")
+    e.withColumn("cell", sim._kmeans_assign(e, cents)).write.partitionBy(
+        "cell"
+    ).parquet(path)
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cell_dirs) > 2
+
+    probe = [cid for cid, _ in cents[: 2]]  # any 2 cells
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    rows = scan.collect()
+    assert len(rows) > 0
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # pruning is real: the executed scan's numFiles metric equals the
+    # probed cells' file count, a fraction of what's on disk
+    probed_files = sum(
+        len([f for f in os.listdir(os.path.join(path, f"cell={c}"))
+             if f.endswith(".parquet")])
+        for c in probe
+        if os.path.isdir(os.path.join(path, f"cell={c}"))
+    )
+    leaf = scan._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    num_files = leaf.metrics().apply("numFiles").value()
+    total_files = sum(
+        len([f for f in os.listdir(os.path.join(path, d))
+             if f.endswith(".parquet")])
+        for d in cell_dirs
+    )
+    assert num_files == probed_files > 0
+    assert num_files < total_files
+    # correctness: identical to filtering the unpartitioned view
+    unpruned = spark.read.parquet(path)
+    assert len(rows) == unpruned.filter(F.col("cell").isin(probe)).count()
