@@ -434,10 +434,12 @@ def d13_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components_star(pairs)
     docs = load_table(spark, sf_dir, "documents")
     # Membership filter BEFORE scoring: a post-join filter would still
-    # evaluate the (tokenize-heavy) quality projection corpus-wide —
-    # the broadcast-semi keeps the scoring scan to cluster members.
+    # evaluate the (tokenize-heavy) quality projection corpus-wide.
+    # NO forced broadcast — members scales with the corpus dup rate
+    # (a boilerplate-heavy crawl can cluster half its docs), so AQE
+    # picks broadcast while it fits and semi-SMJ beyond.
     members = comp.select(F.col("node").alias("doc_id"))
-    scored = docs.join(F.broadcast(members), "doc_id").select(
+    scored = docs.join(members, "doc_id", "left_semi").select(
         "doc_id", quality_ppm_expr().alias("q")
     )
     m = comp.join(scored, comp["node"] == scored["doc_id"]).select(
