@@ -500,3 +500,128 @@ FROM k GROUP BY component ORDER BY component
 
 QUERIES["d13_keep_best_quality"] = d13_keep_best_quality
 ORACLE["d13_keep_best_quality"] = _d13_sql()
+
+
+# ---------------------------------------------------------------------------
+# C14 — the COMPLETE curation pipeline as ONE dataflow, the capstone
+# composition a training-data team actually ships: near-dup clusters
+# keep their best-quality copy (d13), unclustered docs pass through,
+# survivors face the c05 quality gate, and the kept corpus is
+# hash-split (c01) — output is the final corpus manifest per
+# (split, lang) with doc/token accounting at every pipeline stage.
+#
+# Plan: the expensive stages are the d03/d09 machinery (banded,
+# capped) and ONE quality scan of the corpus; keepers + unclustered
+# are a semi/anti pair on the same tiny membership table; everything
+# downstream aggregates |splits|×|langs| rows.  The whole pipeline is
+# one lazy plan — no intermediate materialization, Catalyst sees (and
+# prunes) end to end.
+# ---------------------------------------------------------------------------
+def c14_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.corpus import (
+        MIN_TOKENS,
+        QUALITY_KEEP_PPM,
+    )
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        connected_components_star,
+        d03_dedup_minhash_lsh,
+    )
+    from aind_smartspim_data_transformation_spark.operators.text import (
+        quality_ppm_expr,
+    )
+
+    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    comp = connected_components_star(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    members = comp.select(F.col("node").alias("doc_id"))
+
+    scored_members = docs.join(members, "doc_id", "left_semi").select(
+        "doc_id", quality_ppm_expr().alias("q")
+    )
+    keepers = (
+        comp.join(scored_members, comp["node"] == scored_members["doc_id"])
+        .groupBy("label")
+        .agg(F.expr("max_by(doc_id, struct(q, -doc_id))").alias("doc_id"))
+        .select("doc_id")
+    )
+    surviving = docs.join(members, "doc_id", "left_anti").select("doc_id").unionByName(
+        keepers
+    )
+    n_tokens = F.size(F.split("text", " "))
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    kept = (
+        docs.join(surviving, "doc_id", "left_semi")
+        .filter(
+            (quality_ppm_expr() >= QUALITY_KEEP_PPM) & (n_tokens >= MIN_TOKENS)
+        )
+        .select(split.alias("split"), "lang", n_tokens.alias("n_tok"))
+    )
+    return (
+        kept.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _c14_sql() -> str:
+    from aind_smartspim_data_transformation_spark.operators.corpus import (
+        MIN_TOKENS,
+        QUALITY_KEEP_PPM,
+    )
+    from aind_smartspim_data_transformation_spark.operators.dedup import D03_SQL
+    from aind_smartspim_data_transformation_spark.operators.text import (
+        QUALITY_BASE_SQL,
+        QUALITY_PPM_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2 FROM ({D03_SQL}) _d03
+), und AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+), reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+), comp AS (
+  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+), base AS ({QUALITY_BASE_SQL}
+), scored AS (
+  SELECT doc_id,
+         {QUALITY_PPM_SQL} AS q
+  FROM base
+), keepers AS (
+  SELECT doc_id FROM (
+    SELECT s.doc_id,
+           row_number() OVER (PARTITION BY comp.component
+                              ORDER BY s.q DESC, s.doc_id ASC) AS rn
+    FROM comp JOIN scored s ON comp.node = s.doc_id
+  ) WHERE rn = 1
+), surviving AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM comp)
+  UNION ALL
+  SELECT doc_id FROM keepers
+), kept AS (
+  SELECT CASE WHEN substring(md5(b.doc_id::VARCHAR), 1, 1) < 'c' THEN 'train'
+              WHEN substring(md5(b.doc_id::VARCHAR), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split,
+         b.lang, b.n_tokens AS n_tok
+  FROM base b JOIN surviving USING (doc_id)
+  WHERE ({QUALITY_PPM_SQL.replace("text", "b.text")}) >= {QUALITY_KEEP_PPM}
+    AND b.n_tokens >= {MIN_TOKENS}
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM kept GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+QUERIES["c14_curation_pipeline"] = c14_curation_pipeline
+ORACLE["c14_curation_pipeline"] = _c14_sql()
