@@ -33,7 +33,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SLICE_SCHEMA = (
     "channel string, stack string, slice_idx int, "
@@ -65,6 +70,9 @@ class SmartspimDataSource(DataSource):
 
     def reader(self, schema) -> "SmartspimReader":
         return SmartspimReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SmartspimStreamReader":
+        return SmartspimStreamReader(self.options)
 
 
 class SmartspimReader(DataSourceReader):
@@ -204,3 +212,81 @@ class SmartspimReader(DataSourceReader):
                 str(arr.dtype),
                 arr.tobytes(),
             )
+
+
+class SmartspimStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the smartspim source:
+    ``spark.readStream.format("smartspim").load(root)``.
+
+    An acquisition writes slices over hours; each microbatch picks up
+    the files that appeared since the last offset.  The offset is
+    COMPACT and monotone — ``{"done": {stack_dir_rel: n_processed}}``
+    — relying on the same contract as everything else in this repo
+    (`io/readers.py:145` sorted-glob): slice filenames within a stack
+    are written in ascending name order, so "new" files always sort
+    after the processed prefix and ``slice_idx`` (= z) is the running
+    per-stack count.  ``readBetweenOffsets`` replays any [start, end)
+    window from the listing, which makes recovery exact.
+
+    This is the *simple* stream-reader API: listing AND decode run on
+    the driver, which is right for live-acquisition rates (a slice
+    every few seconds).  Draining a large backlog at cluster speed is
+    the partitioned path: `streaming/stack_stream.py` (file-source
+    stream, executor decode) or the batch DataSource after the fact.
+    """
+
+    def __init__(self, options):
+        root = options.get("path")
+        if not root:
+            raise ValueError("smartspim source requires a path: .load(root)")
+        self.root = root
+
+    def initialOffset(self) -> dict:
+        return {"done": {}}
+
+    def _listing(self) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for dirpath, _dirnames, filenames in sorted(os.walk(self.root)):
+            slices = sorted(f for f in filenames if f.lower().endswith(_EXTS))
+            if slices:
+                out[os.path.relpath(dirpath, self.root)] = slices
+        return out
+
+    def _rows(self, rel: str, names: Sequence[str], idx0: int):
+        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+            decode_image_gray,
+        )
+
+        pieces = rel.split(os.sep)
+        channel = pieces[0] if len(pieces) > 1 else ""
+        stack = pieces[-1]
+        for i, name in enumerate(names):
+            with open(os.path.join(self.root, rel, name), "rb") as f:
+                arr = decode_image_gray(f.read())
+            yield (
+                channel, stack, idx0 + i,
+                arr.shape[0], arr.shape[1], str(arr.dtype), arr.tobytes(),
+            )
+
+    def read(self, start: dict):
+        done = dict(start.get("done", {}))
+        listing = self._listing()
+        rows = []
+        for rel, names in listing.items():
+            n0 = int(done.get(rel, 0))
+            if len(names) > n0:
+                rows.extend(self._rows(rel, names[n0:], n0))
+                done[rel] = len(names)
+        return iter(rows), {"done": done}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s = start.get("done", {})
+        e = end.get("done", {})
+        listing = self._listing()
+        for rel, n_end in e.items():
+            n0 = int(s.get(rel, 0))
+            if int(n_end) > n0:
+                yield from self._rows(rel, listing[rel][n0:int(n_end)], n0)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained; nothing external to release

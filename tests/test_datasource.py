@@ -200,3 +200,61 @@ def test_datasource_slab_zero_means_whole_stack(ds_dataset):
     parts = reader.partitions()
     assert len(parts) == 2 * 2 * 2  # one per stack, floor ignored
     assert all(p.z0 == 0 for p in parts)
+
+
+def test_datasource_streams_two_waves(spark, tmp_path):
+    """spark.readStream.format("smartspim"): slices arriving across two
+    availableNow runs are each decoded exactly once (compact per-stack
+    offsets), and the accumulated rows equal the batch read of the
+    finished tree."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+    root = tmp_path / "acq" / "SmartSPIM"
+    rng = np.random.default_rng(9)
+    planes = rng.integers(0, 65535, size=(6, 12, 14), dtype=np.uint16)
+    d = root / "Ex_488_Em_525" / "400000" / "400000_500000"
+    d.mkdir(parents=True)
+
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    for z in range(3):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(planes[z]))
+
+    spark.dataSource.register(SmartspimDataSource)
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("smartspim")
+            .load(str(root))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 3
+    for z in range(3, 6):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(planes[z]))
+    drain()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    )
+    batch = sorted(
+        map(tuple, spark.read.format("smartspim").load(str(root)).collect())
+    )
+    assert got == batch
+    assert len(got) == 6  # wave-1 slices were not re-decoded
+    # z order survived the incremental arrival
+    idx = [r[2] for r in got]
+    assert sorted(idx) == list(range(6))
