@@ -22,10 +22,11 @@ in tests/test_datasource.py.
 Scale: file *listing* happens once on the driver — os.walk by default,
 or ``option("manifest", file)`` with root-relative paths (an
 object-store inventory dump) so a 100 TB tree never walks millions of
-keys; decode bandwidth scales with
-executors.  Column pruning is handled by Spark post-read; predicate
-pushdown on (channel, stack) could be added via ``pushFilters`` if
-needed, since partitions carry those values.
+keys; decode bandwidth scales with executors.  Column pruning is
+handled by Spark post-read; channel/stack equality predicates push
+down via ``pushFilters`` and prune whole stack directories at plan
+time.  ``spark.readStream.format("smartspim")`` tails a live
+acquisition (see :class:`SmartspimStreamReader`).
 """
 
 from __future__ import annotations
