@@ -625,3 +625,92 @@ FROM kept GROUP BY split, lang ORDER BY split, lang
 
 QUERIES["c14_curation_pipeline"] = c14_curation_pipeline
 ORACLE["c14_curation_pipeline"] = _c14_sql()
+
+
+# ---------------------------------------------------------------------------
+# X9 — profile drift between the FIRST and SECOND half of the event
+# timeline: per event_type, row counts, distinct users, and
+# integer-micro value means for each half plus the count delta in ppm.
+# x07 watches the type MIX week over week; this is the coarser
+# before/after diff a pipeline runs when re-ingesting a source ("same
+# data, or did the schema/semantics drift?").
+#
+# Determinism: the split boundary is the micro-second midpoint of
+# (min ts, max ts) — integer div of unix micros, identical in both
+# engines; value means are exact int64 sums of truncated micro units
+# divided once.  Plan: one min/max scan (broadcast single row), then
+# ONE aggregation of the fact with map-side combine; distinct users
+# via two exact countDistincts per type (Expand ×2 over the tiny
+# per-type groups).
+# ---------------------------------------------------------------------------
+def x09_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+        ).alias("mid_us")
+    )
+    halves = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "h2", (F.expr("unix_micros(ts)") >= F.col("mid_us")).cast("int")
+    )
+    # explicit floor: a bare double→bigint CAST truncates in Spark but
+    # ROUNDS in DuckDB — floor() is the same function in both engines
+    # (values are non-negative, so floor == truncation)
+    vmicro = F.expr("CAST(floor(value * 1000000) AS BIGINT)")
+    agg = halves.groupBy("event_type").agg(
+        F.count(F.when(F.col("h2") == 0, True)).alias("n_first"),
+        F.count(F.when(F.col("h2") == 1, True)).alias("n_second"),
+        F.countDistinct(F.when(F.col("h2") == 0, F.col("user_id"))).alias(
+            "users_first"
+        ),
+        F.countDistinct(F.when(F.col("h2") == 1, F.col("user_id"))).alias(
+            "users_second"
+        ),
+        F.sum(F.when(F.col("h2") == 0, vmicro).otherwise(F.lit(0))).alias("s1"),
+        F.sum(F.when(F.col("h2") == 1, vmicro).otherwise(F.lit(0))).alias("s2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.expr(
+            "(n_second - n_first) * 1000000 div greatest(n_first, 1)"
+        ).alias("count_delta_ppm"),
+        "users_first",
+        "users_second",
+        F.expr("s1 div greatest(n_first, 1)").alias("mean_micro_first"),
+        F.expr("s2 div greatest(n_second, 1)").alias("mean_micro_second"),
+    ).orderBy("event_type")
+
+
+X09_SQL = """
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events
+), halves AS (
+  SELECT event_type, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmicro,
+         CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END AS h2
+  FROM events CROSS JOIN bounds
+), agg AS (
+  SELECT event_type,
+         count(CASE WHEN h2 = 0 THEN 1 END) AS n_first,
+         count(CASE WHEN h2 = 1 THEN 1 END) AS n_second,
+         count(DISTINCT CASE WHEN h2 = 0 THEN user_id END) AS users_first,
+         count(DISTINCT CASE WHEN h2 = 1 THEN user_id END) AS users_second,
+         sum(CASE WHEN h2 = 0 THEN vmicro ELSE 0 END) AS s1,
+         sum(CASE WHEN h2 = 1 THEN vmicro ELSE 0 END) AS s2
+  FROM halves GROUP BY event_type
+)
+SELECT event_type, n_first, n_second,
+       (n_second - n_first) * 1000000 // greatest(n_first, 1)
+         AS count_delta_ppm,
+       users_first, users_second,
+       s1 // greatest(n_first, 1) AS mean_micro_first,
+       s2 // greatest(n_second, 1) AS mean_micro_second
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["x09_profile_drift"] = x09_profile_drift
+ORACLE["x09_profile_drift"] = X09_SQL
