@@ -894,11 +894,15 @@ WITH per_src AS (
   SELECT sum(n_docs) AS total_docs, sum(weight) AS total_weight FROM per_src
 )
 SELECT source, n_docs, weight,
-       n_docs * 1000000 // total_docs AS natural_ppm,
-       weight * 1000000 // total_weight AS target_ppm,
-       (weight * 1000000 // total_weight) * 1000
-         // greatest(n_docs * 1000000 // total_docs, 1) AS boost_milli,
-       {MIX_BUDGET} * weight // total_weight AS budget_docs
+       -- CASTs: total_docs/total_weight are DuckDB HUGEINT sums, so
+       -- every division here inherits int128 — driver-hash-unsafe
+       -- (r5 judge audit); all values are ppm-scale, inside int64.
+       CAST(n_docs * 1000000 // total_docs AS BIGINT) AS natural_ppm,
+       CAST(weight * 1000000 // total_weight AS BIGINT) AS target_ppm,
+       CAST((weight * 1000000 // total_weight) * 1000
+         // greatest(n_docs * 1000000 // total_docs, 1) AS BIGINT)
+         AS boost_milli,
+       CAST({MIX_BUDGET} * weight // total_weight AS BIGINT) AS budget_docs
 FROM per_src CROSS JOIN totals
 ORDER BY source
 """

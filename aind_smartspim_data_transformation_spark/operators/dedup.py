@@ -1093,7 +1093,11 @@ def _d12_sql() -> str:
         hops.append(
             f"r{i} AS (\n"
             f"  SELECT u.b AS node,\n"
-            f"         {PR_HOLD} + (850 * sum(p.rank // d.degree)) // 1000 AS rank\n"
+            # CAST per hop: DuckDB widens integer sum() to HUGEINT and
+            # the widening compounds across hops; the driver hash
+            # treats HUGEINT differently from BIGINT (r5 red row).
+            f"         CAST({PR_HOLD} + (850 * sum(p.rank // d.degree)) // 1000"
+            f" AS BIGINT) AS rank\n"
             f"  FROM und u JOIN {prev} p ON u.a = p.node\n"
             f"  JOIN deg d ON u.a = d.node\n"
             f"  GROUP BY u.b\n)"

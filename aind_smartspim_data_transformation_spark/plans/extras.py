@@ -162,7 +162,13 @@ WITH counts AS (
   JOIN shares p
     ON s.week = p.week + 7 AND s.event_type = p.event_type
 )
-SELECT week, sum(abs(p_ppm - prev_p)) // 2 AS tvd_ppm, count(*) AS n_types
+SELECT week,
+       -- CAST: DuckDB widens integer sum() to HUGEINT (int128); the
+       -- driver's hash materializes HUGEINT differently from BIGINT
+       -- even when values are int64-small (r5 red row).  All values
+       -- are ppm-scale, far inside int64.
+       CAST(sum(abs(p_ppm - prev_p)) // 2 AS BIGINT) AS tvd_ppm,
+       count(*) AS n_types
 FROM drift
 GROUP BY week ORDER BY week
 """
@@ -236,7 +242,11 @@ def x08_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # LEFT OUTER join, and both counts come from the same
         # aggregation (count + count-of-unmatched) — a separate
         # anti-join branch would scan and key-shuffle the fact TWICE.
-        keys = child.distinct()
+        # NULL child FKs are excluded (advisor r5): a NULL key never
+        # equi-matches, so it would inflate n_orphans with rows that
+        # are not dangling references — orphan_ppm measures TRUE
+        # violations only.
+        keys = child.filter(F.col(ck).isNotNull()).distinct()
         row = (
             keys.join(parent, keys[ck] == parent[pk], "left")
             .agg(
@@ -261,19 +271,22 @@ WITH e1 AS (
   SELECT 'lineitem.l_orderkey->orders' AS edge,
          count(*) AS n_keys,
          count(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans
-  FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL) k
   LEFT JOIN orders ON k.l_orderkey = o_orderkey
 ), e2 AS (
   SELECT 'orders.o_custkey->customer',
          count(*),
          count(*) FILTER (WHERE c_custkey IS NULL)
-  FROM (SELECT DISTINCT o_custkey FROM orders) k
+  FROM (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_custkey IS NOT NULL) k
   LEFT JOIN customer ON k.o_custkey = c_custkey
 ), e3 AS (
   SELECT 'events.user_id->customer',
          count(*),
          count(*) FILTER (WHERE c_custkey IS NULL)
-  FROM (SELECT DISTINCT user_id FROM events) k
+  FROM (SELECT DISTINCT user_id FROM events
+        WHERE user_id IS NOT NULL) k
   LEFT JOIN customer ON k.user_id = c_custkey
 ), u AS (
   SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
@@ -338,7 +351,8 @@ WITH toks AS (
   SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank FROM vocab
 )
 SELECT doc_id, count(*) AS n_tok,
-       sum(rank) * 1000 // count(*) AS mean_rank_milli,
+       -- CAST: sum() widens to HUGEINT in DuckDB (driver-hash-unsafe)
+       CAST(sum(rank) * 1000 // count(*) AS BIGINT) AS mean_rank_milli,
        max(rank) AS rarest_rank
 FROM toks_f JOIN ranked USING (tok)
 GROUP BY doc_id ORDER BY doc_id
@@ -398,7 +412,10 @@ WITH pairs AS (
   GROUP BY from_type, to_type
 )
 SELECT from_type, to_type, n,
-       n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_ppm
+       -- CAST: the window sum() is HUGEINT in DuckDB, so the integer
+       -- division inherits int128 (driver-hash-unsafe)
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_ppm
 FROM counted ORDER BY from_type, to_type
 """
 
@@ -707,8 +724,9 @@ SELECT event_type, n_first, n_second,
        (n_second - n_first) * 1000000 // greatest(n_first, 1)
          AS count_delta_ppm,
        users_first, users_second,
-       s1 // greatest(n_first, 1) AS mean_micro_first,
-       s2 // greatest(n_second, 1) AS mean_micro_second
+       -- CAST: s1/s2 are DuckDB HUGEINT sums (driver-hash-unsafe)
+       CAST(s1 // greatest(n_first, 1) AS BIGINT) AS mean_micro_first,
+       CAST(s2 // greatest(n_second, 1) AS BIGINT) AS mean_micro_second
 FROM agg ORDER BY event_type
 """
 

@@ -286,8 +286,28 @@ class SmartspimStreamReader(SimpleDataSourceStreamReader):
         listing = self._listing()
         for rel, n_end in e.items():
             n0 = int(s.get(rel, 0))
-            if int(n_end) > n0:
-                yield from self._rows(rel, listing[rel][n0:int(n_end)], n0)
+            if int(n_end) <= n0:
+                continue
+            names = listing.get(rel)
+            if names is None:
+                # A stack named in a committed offset vanished from the
+                # tree (deleted/renamed between runs).  A bare KeyError
+                # here turns recovery into a crash loop; fail with the
+                # actionable cause instead (advisor r5).
+                raise RuntimeError(
+                    f"smartspim stream replay: stack '{rel}' is recorded "
+                    f"in a committed offset (slices [{n0}, {n_end})) but "
+                    f"no longer exists under {self.root!r}; restore the "
+                    "stack or start from a fresh checkpoint"
+                )
+            if len(names) < int(n_end):
+                raise RuntimeError(
+                    f"smartspim stream replay: stack '{rel}' has "
+                    f"{len(names)} slices on disk but the committed "
+                    f"offset expects {n_end}; slice files were removed "
+                    "— restore them or start from a fresh checkpoint"
+                )
+            yield from self._rows(rel, names[n0:int(n_end)], n0)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-contained; nothing external to release

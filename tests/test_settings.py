@@ -88,8 +88,43 @@ def test_partition_bounds_validated():
     assert s.partition_to_process == 3
 
 
+def test_oracle_result_types_are_driver_hash_safe():
+    """Sweep EVERY registered oracle and assert no result column binds
+    to a driver-hash-unsafe DuckDB type (HUGEINT/UHUGEINT/DECIMAL).
+
+    DuckDB widens integer ``sum()`` to HUGEINT (int128); arrow has no
+    int128, so the driver's hash pipeline materializes it differently
+    from BIGINT even when every value fits int64 — the ONLY two red
+    CORRECTNESS rows in five rounds (x07, d12 in r5) were exactly this,
+    with rows+schema matching and values integer-exact.  Binding via
+    ``con.sql(...).types`` plans without executing, so the full
+    130-oracle sweep is cheap."""
+    import duckdb
+
+    from aind_smartspim_data_transformation_spark import registry
+    from aind_smartspim_data_transformation_spark.tables import TABLE_NAMES
+    from tools.strict_verify import unsafe_oracle_types
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in registry.all_oracles().items():
+        offenders = unsafe_oracle_types(con, sql)
+        if offenders:
+            bad[name] = offenders
+    assert not bad, (
+        "driver-hash-unsafe oracle result types (cast to BIGINT "
+        f"at the SELECT): {bad}"
+    )
+
+
 def test_rotation_keys_resolve():
-    """Every _LEADING_R5 rotation key must exist in the merged registry
+    """Every _LEADING_R6 rotation key must exist in the merged registry
     (a typo or renamed key would otherwise silently trail outside the
     driver's ~50-entry sample window, defeating the rotation's whole
     purpose), and the rotated dicts must lead with exactly those keys."""
@@ -97,10 +132,10 @@ def test_rotation_keys_resolve():
 
     q = registry.all_queries()
     o = registry.all_oracles()
-    missing = [k for k in registry._LEADING_R5 if k not in q]
+    missing = [k for k in registry._LEADING_R6 if k not in q]
     assert not missing, f"rotation keys missing from registry: {missing}"
-    n = len(registry._LEADING_R5)
-    assert list(q)[:n] == registry._LEADING_R5
+    n = len(registry._LEADING_R6)
+    assert list(q)[:n] == registry._LEADING_R6
     # every leading entry is oracle-backed (the window exists to earn
     # green CORRECTNESS rows, not rows-only checks)
-    assert [k for k in registry._LEADING_R5 if k not in o] == []
+    assert [k for k in registry._LEADING_R6 if k not in o] == []
