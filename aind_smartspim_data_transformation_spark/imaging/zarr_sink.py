@@ -547,6 +547,19 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
     - compressor metadata is reused from disk, so appended chunks are
       byte-compatible with the initial write.
 
+    CRASH SAFETY (advisor r6): before any chunk lands, an intent fence
+    ``.zattrs["append_in_progress"] = {"pre_z": [...], "post_z": [...]}``
+    records every level's expected pre/post z extent; it is removed
+    only after ALL levels' chunks and ``.zarray`` shapes are committed.
+    A crash mid-append therefore leaves a DETECTABLE state, and a
+    retried append with the same slab ROLLS FORWARD instead of
+    double-appending: per level, ``shape[2] == post_z`` means committed
+    (skip), ``shape[2] == pre_z`` means redo (chunk writes are
+    idempotent — fixed keys, deterministic compressor — and the
+    ``.zarray`` shape update is the level's commit point).  A fence
+    whose slab geometry does not match the retry refuses loudly.
+    Any OTHER writer must refuse while the fence is present.
+
     Metadata: only ``shape`` (per level) and ``omero.rdefs.defaultZ``
     change; NGFF transforms are depth-independent.
     """
@@ -581,10 +594,43 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
                 f"would diverge from a one-shot build; append slabs in "
                 f"factor**(n_levels-1)-plane multiples"
             )
+    metas = []
+    for lvl in range(len(levels)):
+        with fs.open_input_stream(f"{gpath}/{lvl}/.zarray") as f:
+            metas.append(json.loads(f.read().decode()))
+    cur_z = [m["shape"][2] for m in metas]
+    slab_z = [geo[lvl][0][0] for lvl in range(len(levels))]
+
+    fence = attrs.get("append_in_progress")
+    if fence is not None:
+        pre_z, post_z = list(fence["pre_z"]), list(fence["post_z"])
+        if [b - a for a, b in zip(pre_z, post_z)] != slab_z:
+            raise ValueError(
+                "append: store has an in-progress append fence for slab "
+                f"z extents {[b - a for a, b in zip(pre_z, post_z)]} but "
+                f"this slab's are {slab_z} — a previous append crashed "
+                "midway; retry it with the SAME slab to roll forward, or "
+                "rebuild the store"
+            )
+        bad = [
+            lvl
+            for lvl in range(len(levels))
+            if cur_z[lvl] not in (pre_z[lvl], post_z[lvl])
+        ]
+        if bad:
+            raise ValueError(
+                f"append: levels {bad} have z extents "
+                f"{[cur_z[i] for i in bad]} matching neither the fence's "
+                f"pre {[pre_z[i] for i in bad]} nor post "
+                f"{[post_z[i] for i in bad]} — the store was modified "
+                "outside the fenced append; rebuild"
+            )
+        base_z = pre_z
+    else:
+        base_z = cur_z
+
     for lvl, level_df in enumerate(levels):
-        lvl_dir = f"{gpath}/{lvl}"
-        with fs.open_input_stream(f"{lvl_dir}/.zarray") as f:
-            meta = json.loads(f.read().decode())
+        meta = metas[lvl]
         (z_new, y_new, x_new), dtype = geo[lvl]
         shape = meta["shape"]
         chunks = meta["chunks"]
@@ -597,7 +643,9 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
                 f"append: plane {y_new}x{x_new} != store "
                 f"{shape[3]}x{shape[4]} (level {lvl})"
             )
-        if shape[2] % chunks[2] != 0:
+        # roll-forward skips this: a committed level legitimately ends
+        # on the slab's own trailing partial chunk
+        if fence is None and shape[2] % chunks[2] != 0:
             raise ValueError(
                 f"append: store z extent {shape[2]} is not a multiple of "
                 f"its z-chunk {chunks[2]} (level {lvl}) — the previous "
@@ -625,7 +673,26 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
                 f"does not match the store's z-chunk {chunks[2]} — "
                 f"assemble the slab with chunk_z={chunks[2]}"
             )
-        off = shape[2] // chunks[2]
+
+    # Every level validated and NO chunk written yet — this is the
+    # point of no return: fence the append so a crash anywhere past
+    # here is detectable and the retry rolls forward.
+    if fence is None:
+        attrs["append_in_progress"] = {
+            "pre_z": base_z,
+            "post_z": [a + b for a, b in zip(base_z, slab_z)],
+        }
+        _write_json(f"{gpath}/.zattrs", attrs)
+
+    for lvl, level_df in enumerate(levels):
+        meta = metas[lvl]
+        lvl_dir = f"{gpath}/{lvl}"
+        (z_new, _y_new, _x_new), _dtype = geo[lvl]
+        shape = meta["shape"]
+        chunks = meta["chunks"]
+        if fence is not None and cur_z[lvl] == base_z[lvl] + z_new:
+            continue  # this level's append already committed
+        off = base_z[lvl] // chunks[2]
         compress = _compress_from_meta(meta["compressor"])
         chunk_shape = tuple(chunks[2:])
 
@@ -654,17 +721,17 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
                     f.write(compress(np.ascontiguousarray(arr).tobytes()))
 
         _arrow_foreach(level_df, _write_partition)
-        meta["shape"] = [1, 1, shape[2] + z_new, shape[3], shape[4]]
+        # the level's COMMIT point: chunks are all on disk (idempotent
+        # keys, so a redo overwrote byte-identical data), now the shape
+        meta["shape"] = [1, 1, base_z[lvl] + z_new, shape[3], shape[4]]
         _write_json(f"{gpath}/{lvl}/.zarray", meta)
+    # finalize: drop the fence (the append's overall commit point) and
     # keep the default display plane centered in the GROWN stack
-    with fs.open_input_stream(f"{gpath}/.zattrs") as f:
-        attrs = json.loads(f.read().decode())
+    attrs.pop("append_in_progress", None)
     rdefs = attrs.get("omero", {}).get("rdefs")
     if rdefs is not None and "defaultZ" in rdefs:
-        with fs.open_input_stream(f"{gpath}/0/.zarray") as f:
-            z_total = json.loads(f.read().decode())["shape"][2]
-        rdefs["defaultZ"] = z_total // 2
-        _write_json(f"{gpath}/.zattrs", attrs)
+        rdefs["defaultZ"] = (base_z[0] + slab_z[0]) // 2
+    _write_json(f"{gpath}/.zattrs", attrs)
     return group
 
 

@@ -560,28 +560,51 @@ def read_stack_tree_datasource(
     # registered "smartspim", the normal register() raises while this
     # session still cannot resolve the format.  Check the session-local
     # manager and, on that conflict, register into it directly.
-    dsm = sess._jsparkSession.sessionState().dataSourceManager()
-    if not dsm.dataSourceExists("smartspim"):
-        try:
-            sess.dataSource.register(SmartspimDataSource)
-        except AnalysisException:
-            from pyspark.sql.udf import _wrap_function
+    #
+    # The whole registration dance below leans on PRIVATE PySpark
+    # internals (_jsparkSession.sessionState().dataSourceManager(),
+    # _wrap_function, UserDefinedPythonDataSource) that move across
+    # Spark versions.  Since "auto" makes this the DEFAULT ingest, any
+    # breakage here (advisor r5) must DEGRADE to the public-API UDF
+    # path, not fail ingestion — hence the broad except + fallback.
+    try:
+        dsm = sess._jsparkSession.sessionState().dataSourceManager()
+        if not dsm.dataSourceExists("smartspim"):
+            try:
+                sess.dataSource.register(SmartspimDataSource)
+            except AnalysisException:
+                from pyspark.sql.udf import _wrap_function
 
-            wrapped = _wrap_function(sess.sparkContext, SmartspimDataSource)
-            jds = getattr(
-                sess.sparkContext._jvm,
-                "org.apache.spark.sql.execution.datasources.v2.python."
-                "UserDefinedPythonDataSource",
-            )(wrapped)
-            dsm.registerDataSource("smartspim", jds)
-    slices = (
-        sess.read.format("smartspim")
-        # chunk_z-aligned z-slabs: every tile of a slab comes from one
-        # scan task, and decode parallelism scales with stacks × slabs;
-        # the floor keeps small acquisitions from idling cores
-        .option("slab", str(chunk_z))
-        .option("min_partitions", str(sess.sparkContext.defaultParallelism * 2))
-        .load(root)
-        .withColumnRenamed("slice_idx", "z")
-    )
+                wrapped = _wrap_function(sess.sparkContext, SmartspimDataSource)
+                jds = getattr(
+                    sess.sparkContext._jvm,
+                    "org.apache.spark.sql.execution.datasources.v2.python."
+                    "UserDefinedPythonDataSource",
+                )(wrapped)
+                dsm.registerDataSource("smartspim", jds)
+        slices = (
+            sess.read.format("smartspim")
+            # chunk_z-aligned z-slabs: every tile of a slab comes from
+            # one scan task, and decode parallelism scales with stacks
+            # × slabs; the floor keeps small acquisitions from idling
+            # cores
+            .option("slab", str(chunk_z))
+            .option(
+                "min_partitions",
+                str(sess.sparkContext.defaultParallelism * 2),
+            )
+            .load(root)
+            .withColumnRenamed("slice_idx", "z")
+        )
+    except Exception as exc:  # pragma: no cover - version-dependent
+        import warnings
+
+        warnings.warn(
+            "smartspim DataSource registration failed "
+            f"({type(exc).__name__}: {exc}); falling back to the UDF "
+            "ingest path (read_stack_tree)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return read_stack_tree(spark, root, chunk_z, chunk_y, chunk_x)
     return slices_to_chunks(slices, chunk_z, chunk_y, chunk_x)

@@ -354,3 +354,97 @@ def test_append_refuses_shallow_slab_and_chunk_mismatch(spark, tmp_path):
         append_ome_zarr_z(pyr(w2, 2), g2)  # slab chunk dz=8 != store 4
     append_ome_zarr_z(pyr(w2, 2, chunk_z=4), g2)  # re-chunked: fine
     np.testing.assert_array_equal(read_zarr_level(g2, 0), full12)
+
+
+def test_append_crash_fence_and_roll_forward(spark, tmp_path, monkeypatch):
+    """Advisor r6: a crash mid-append must leave a DETECTABLE state
+    (the .zattrs append fence) and a retry with the same slab must
+    roll forward to exactly the one-shot store — never double-append.
+    Crash points exercised: (a) after the fence but before any level
+    commits, (b) after level 0 commits but before level 1.  A retry
+    with a DIFFERENT slab against a fenced store must refuse."""
+    from aind_smartspim_data_transformation_spark.imaging import zarr_sink
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        build_pyramid,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        append_ome_zarr_z,
+        write_ome_zarr,
+    )
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        read_stack_tree,
+    )
+
+    rng = np.random.default_rng(29)
+    full = rng.integers(0, 65535, size=(8, 16, 20), dtype=np.uint16)
+
+    def tree(name, planes, z0=0):
+        root = tmp_path / name
+        d = root / "SmartSPIM" / "Ex_488_Em_525" / "400000" / "400000_500000"
+        d.mkdir(parents=True)
+        for i, img in enumerate(planes):
+            (d / f"{z0 + i:06d}.png").write_bytes(encode_png_gray(img))
+        return root
+
+    def pyr(root):
+        chunks = read_stack_tree(spark, str(root / "SmartSPIM"), chunk_z=64)
+        return build_pyramid(chunks, (2, 2, 2), 2, chunk_zyx=[64, 64, 64])
+
+    kw = dict(
+        channel_name="Ex_488_Em_525",
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[64, 64, 64],
+    )
+    slab_a, slab_b = tree("a", full[:4]), tree("b", full[4:], 4)
+    slab_c = tree("c", full[:2])  # different DEPTH: fence must refuse it
+    one_shot = write_ome_zarr(
+        pyr(tree("full", full)), str(tmp_path / "oneshot"), "400000_500000", **kw
+    )
+
+    real_write_json = zarr_sink._write_json
+
+    def run_crash_at(nth_zarray_write: int) -> str:
+        """Fresh store from slab A, then append slab B crashing at the
+        nth .zarray write; returns the group path."""
+        dest = tmp_path / f"crash{nth_zarray_write}"
+        group = write_ome_zarr(pyr(slab_a), str(dest), "400000_500000", **kw)
+        seen = {"n": 0}
+
+        def exploding(path, obj):
+            if path.endswith("/.zarray"):
+                seen["n"] += 1
+                if seen["n"] == nth_zarray_write:
+                    raise OSError("simulated crash mid-append")
+            return real_write_json(path, obj)
+
+        monkeypatch.setattr(zarr_sink, "_write_json", exploding)
+        with pytest.raises(OSError, match="simulated crash"):
+            append_ome_zarr_z(pyr(slab_b), group)
+        monkeypatch.setattr(zarr_sink, "_write_json", real_write_json)
+        return group
+
+    for crash_at in (1, 2):
+        group = run_crash_at(crash_at)
+        # partial state is detectable: the fence survives the crash
+        from pathlib import Path
+
+        attrs = json.loads(Path(group, ".zattrs").read_text())
+        assert "append_in_progress" in attrs
+        # a different-GEOMETRY slab must be refused while the fence is
+        # up (same-geometry slabs are indistinguishable by design — the
+        # fence pins extents, not content)
+        with pytest.raises(ValueError, match="crashed midway"):
+            append_ome_zarr_z(pyr(slab_c), group)
+        # retry with the SAME slab rolls forward to the one-shot store
+        append_ome_zarr_z(pyr(slab_b), group)
+        for lvl in (0, 1):
+            np.testing.assert_array_equal(
+                zarr_sink.read_zarr_level(group, lvl),
+                zarr_sink.read_zarr_level(one_shot, lvl),
+            )
+        attrs = json.loads(Path(group, ".zattrs").read_text())
+        assert "append_in_progress" not in attrs
