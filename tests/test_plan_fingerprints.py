@@ -20,20 +20,34 @@ import pytest
 from aind_smartspim_data_transformation_spark import registry
 
 # query -> max allowed "Exchange hashpartitioning" nodes in the FINAL
-# adaptive plan at sf0.001 (ceilings chosen = observed + headroom 1).
+# adaptive plan (ceilings = observed + headroom 1; observed counts were
+# measured IDENTICAL at sf0.001 and sf0.01 in r6 and are recorded in
+# PLANS.md §fingerprints — regenerate with tools/dump_plans.py before
+# touching a ceiling).
 MAX_WIDE_EXCHANGES = {
-    "q01_pricing_summary": 2,       # one agg exchange
-    "q03_revenue_by_nation": 4,     # fact⋈fact + agg
-    "q12_distinct_agg": 5,          # Expand + distinct aggs
-    "e02_tumbling_window": 2,
-    "e04_sessionize": 3,            # one user_id shuffle + agg
-    "e05_asof_join": 4,
-    "d03_dedup_minhash_lsh": 8,     # sig agg, band groupBy, verify joins
-    "s01_cosine_topk": 1,           # broadcast query vector, top-k only
-    "s11_ivf_pq_search": 1,         # narrow map + two top-k's
-    "t02_quality_score": 1,
-    "c13_mixture_rebalance": 3,
-    "x08_fk_orphans": 12,           # 3 edges × (distinct + join + agg)
+    "q01_pricing_summary": 2,       # observed 1: one agg exchange
+    "q03_revenue_by_nation": 2,     # observed 1: AQE broadcasts dims
+    "q12_distinct_agg": 3,          # observed 2: Expand + distinct aggs
+    "e02_tumbling_window": 2,       # observed 1
+    "e04_sessionize": 2,            # observed 1: one user_id shuffle
+    "e05_asof_join": 2,             # observed 1
+    "d03_dedup_minhash_lsh": 4,     # observed 3: sig agg, band groupBy, verify
+    "s01_cosine_topk": 1,           # observed 0: broadcast query vec, top-k
+    "s11_ivf_pq_search": 1,         # observed 0: narrow map + two top-k's
+    "t02_quality_score": 1,         # observed 0
+    "c13_mixture_rebalance": 3,     # observed 2
+    "x08_fk_orphans": 4,            # observed 3: one distinct+join+agg per edge
+    "d13_keep_best_quality": 7,     # observed 6: d03 + star + score join + agg
+    "c14_curation_pipeline": 9,     # observed 8: d13 shape + gate + manifest agg
+}
+
+# Queries whose plan MUST share the d03 candidate-pair subtree instead
+# of recomputing the MinHash/verify pipeline per consumer: their final
+# plans must contain at least one ReusedExchange (observed r6: d13=2,
+# c14=3 reuse nodes at both test SFs).
+REQUIRE_REUSED_EXCHANGE = {
+    "d13_keep_best_quality",
+    "c14_curation_pipeline",
 }
 
 # BNLJ is legitimate in exactly two shapes: a non-equi join with no
@@ -69,4 +83,9 @@ def test_wide_shuffle_ceiling(spark, sf_dir, name):
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} fell back to nested-loop"
+        )
+    if name in REQUIRE_REUSED_EXCHANGE:
+        assert "ReusedExchange" in plan, (
+            f"{name}: no ReusedExchange — the d03 pair pipeline is being "
+            f"recomputed per consumer instead of shared"
         )

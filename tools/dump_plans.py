@@ -421,6 +421,31 @@ ANNOTATIONS = {
         "then a (from,to)-keyed aggregate of |types|² rows and a "
         "broadcast join for row totals."
     ),
+    "d13_keep_best_quality": (
+        "Keep-best-quality dedup (round 5; plan-audited round 6). "
+        "Composes d03 pairs → d09 star clustering → max_by keeper. "
+        "Look for: the d03 candidate-pair subtree computed ONCE — the "
+        "executed plan carries `ReusedExchange` nodes where clustering "
+        "and scoring both consume it (observed 2 reuse nodes, asserted "
+        "in tests/test_plan_fingerprints.py); quality scoring semi-"
+        "joined to cluster MEMBERS before the tokenize-heavy "
+        "projection, so non-clustered text is never scored; no forced "
+        "broadcast on the SF-scaling membership side (AQE decides). "
+        "Observed wide exchanges: 6 (ceiling 7)."
+    ),
+    "c14_curation_pipeline": (
+        "Full curation pipeline in ONE lazy plan (round 5; plan-"
+        "audited round 6): d03 dedup → d09 clusters → keep-best → "
+        "quality gate → hash split → per-(split,lang) manifest. Look "
+        "for: `ReusedExchange` where keepers and the anti-joined "
+        "unclustered survivors share the d03/comp subtrees (observed 3 "
+        "reuse nodes, asserted in tests/test_plan_fingerprints.py); "
+        "the md5 split and token count in codegen; the final agg "
+        "carries |splits|×|langs| rows. Observed wide exchanges: 8 "
+        "(ceiling 9) — for the THREE heaviest subsystems composed, "
+        "Catalyst sees end-to-end and nothing is materialized between "
+        "stages."
+    ),
 }
 
 INGEST_NOTE = (
@@ -522,6 +547,41 @@ def main() -> None:
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # fingerprints: measured wide-exchange counts of the guarded set
+    # (executed adaptive plans — the numbers the test ceilings pin)
+    from test_plan_fingerprints import (  # tests/ already on sys.path
+        MAX_WIDE_EXCHANGES,
+        REQUIRE_REUSED_EXCHANGE,
+    )
+
+    fp = [
+        "## Fingerprints — measured wide-exchange counts (guarded set)",
+        "",
+        f"Executed adaptive plans at {SF_DIR} (identical counts were",
+        "measured at sf0.001 in r6).  `tests/test_plan_fingerprints.py`",
+        "pins each query's ceiling at observed+1; regenerate this table",
+        "before touching a ceiling.",
+        "",
+        "| query | wide exchanges | ceiling | reused | BNLJ |",
+        "|---|---|---|---|---|",
+    ]
+    for name in sorted(MAX_WIDE_EXCHANGES):
+        df = queries[name](spark, SF_DIR)
+        df.collect()
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        n = plan.count("Exchange hashpartitioning")
+        reuse = plan.count("ReusedExchange")
+        mark = " (required)" if name in REQUIRE_REUSED_EXCHANGE else ""
+        fp.append(
+            f"| {name} | {n} | {MAX_WIDE_EXCHANGES[name]} | "
+            f"{reuse}{mark} | "
+            f"{'yes' if 'BroadcastNestedLoopJoin' in plan else 'no'} |"
+        )
+    out += fp + [""]
 
     out += [SUBPLAN_AUDIT]
     (REPO / "PLANS.md").write_text("\n".join(out))
