@@ -732,3 +732,384 @@ FROM agg ORDER BY event_type
 
 QUERIES["x09_profile_drift"] = x09_profile_drift
 ORACLE["x09_profile_drift"] = X09_SQL
+
+
+# ---------------------------------------------------------------------------
+# N1 (round 6) — MinHash estimator calibration QA: for every VERIFIED
+# d03 near-dup pair, the lane-agreement Jaccard estimate (agreeing
+# minhash lanes / 16, the statistic LSH banding is built on) next to
+# the exact shingle-set Jaccard, both in integer ppm.  This is the
+# audit a pipeline team runs before trusting a (bands, rows) setting:
+# a mis-calibrated estimator silently changes the dedup threshold.
+#
+# Plan: d03's verified pairs; signatures and shingle sets computed for
+# PAIR DOCS ONLY (broadcast semi-filter before the tokenize-heavy
+# explode — pair docs ≪ corpus); agreement is a narrow 16-way equality
+# sum, exact Jaccard a narrow array_intersect — no shingle-level join.
+# ---------------------------------------------------------------------------
+def n01_minhash_estimator_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        N_MINHASH,
+        _SHINGLES,
+        d03_dedup_minhash_lsh,
+    )
+
+    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    pair_docs = (
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .union(pairs.select(F.col("doc2")))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(pair_docs), "doc_id"
+    )
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+    )
+    side = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i // 4}|"), F.col("sh"))),
+                    8 * (i % 4) + 1,
+                    8,
+                )
+            ).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ],
+        F.collect_set("sh").alias("shs"),
+    )
+    s1 = side.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+        F.col("shs").alias("shs1"),
+    )
+    s2 = side.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+        F.col("shs").alias("shs2"),
+    )
+    agree = None
+    for i in range(N_MINHASH):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        agree = t if agree is None else agree + t
+    common = F.size(F.array_intersect("shs1", "shs2")).cast("long")
+    union = (
+        F.size("shs1").cast("long") + F.size("shs2").cast("long") - common
+    )
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            agree.alias("agree_lanes"),
+            common.alias("n_common"),
+            union.alias("n_union"),
+        )
+        .select(
+            "doc1",
+            "doc2",
+            "agree_lanes",
+            F.expr(f"agree_lanes * 1000000 div {N_MINHASH}").alias("est_ppm"),
+            F.expr("n_common * 1000000 div n_union").alias("exact_ppm"),
+        )
+        .withColumn("err_ppm", F.expr("abs(est_ppm - exact_ppm)"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _n01_sql() -> str:
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        D03_SQL,
+        N_MINHASH,
+        _MINHASH_COLS,
+    )
+
+    agree = " + ".join(
+        f"CAST(sa.h{i} = sb.h{i} AS BIGINT)" for i in range(N_MINHASH)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT doc1, doc2 FROM ({D03_SQL}) _d03
+), pd AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc1 AS doc_id FROM pairs UNION ALL SELECT doc2 FROM pairs
+  )
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+    AND doc_id IN (SELECT doc_id FROM pd)
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+), sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT p.doc1, p.doc2, count(*) AS n_common
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.doc1
+  JOIN sh y ON y.doc_id = p.doc2 AND y.sh = x.sh
+  GROUP BY p.doc1, p.doc2
+)
+SELECT p.doc1, p.doc2,
+       CAST({agree} AS BIGINT) AS agree_lanes,
+       CAST(({agree}) * 1000000 // {N_MINHASH} AS BIGINT) AS est_ppm,
+       CAST(c.n_common * 1000000 // (za.n_sh + zb.n_sh - c.n_common)
+            AS BIGINT) AS exact_ppm,
+       CAST(abs(({agree}) * 1000000 // {N_MINHASH}
+            - c.n_common * 1000000 // (za.n_sh + zb.n_sh - c.n_common))
+            AS BIGINT) AS err_ppm
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc1
+JOIN sigs sb ON sb.doc_id = p.doc2
+JOIN common c ON c.doc1 = p.doc1 AND c.doc2 = p.doc2
+JOIN sizes za ON za.doc_id = p.doc1
+JOIN sizes zb ON zb.doc_id = p.doc2
+ORDER BY p.doc1, p.doc2
+"""
+
+
+QUERIES["n01_minhash_estimator_qa"] = n01_minhash_estimator_qa
+ORACLE["n01_minhash_estimator_qa"] = _n01_sql()
+
+
+# ---------------------------------------------------------------------------
+# N2 (round 6) — pairwise source similarity: total variation distance
+# between every two sources' token distributions, integer ppm.  The
+# "which sources are interchangeable / which add diversity" matrix a
+# mixture designer reads before setting c13's temperatures, and the
+# redundancy screen before paying to ingest a new crawl.
+#
+# TVD over the token UNION without a dense |vocab|×|pairs| grid:
+#   Σ_union |p1−p2| = Σ_shared |p1−p2| − Σ_shared p1 − Σ_shared p2
+#                     + T1 + T2
+# where T_s = Σ p_ppm over ALL of source s's tokens — so the only join
+# is token-keyed on the SHARED vocabulary (map-side-combined counts,
+# ≤|sources|² rows per token), plus a broadcast of the |sources|-row
+# totals.  At web scale, cap to the top-V tokens per source first
+# (the tail contributes ≤ vocab-floor-loss ppm to TVD).
+# ---------------------------------------------------------------------------
+def n02_source_pair_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = tok.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = cnt.join(F.broadcast(tot), "source").select(
+        "source", "tok", F.expr("n * 1000000 div tot").alias("p_ppm")
+    )
+    t_ppm = p.groupBy("source").agg(F.sum("p_ppm").alias("t_ppm"))
+    a = p.select(
+        F.col("source").alias("s1"), "tok", F.col("p_ppm").alias("p1")
+    )
+    b = p.select(
+        F.col("source").alias("s2"), "tok", F.col("p_ppm").alias("p2")
+    )
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(F.expr("abs(p1 - p2)")).alias("sum_abs"),
+            F.sum("p1").alias("sum_p1"),
+            F.sum("p2").alias("sum_p2"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    ta = t_ppm.select(F.col("source").alias("s1"), F.col("t_ppm").alias("t1"))
+    tb = t_ppm.select(F.col("source").alias("s2"), F.col("t_ppm").alias("t2"))
+    return (
+        shared.join(F.broadcast(ta), "s1")
+        .join(F.broadcast(tb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.expr("(sum_abs - sum_p1 - sum_p2 + t1 + t2) div 2").alias(
+                "tvd_ppm"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+N02_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tok_f AS (
+  SELECT source, tok FROM tok WHERE tok != ''
+), cnt AS (
+  SELECT source, tok, count(*) AS n FROM tok_f GROUP BY source, tok
+), tot AS (
+  SELECT source, sum(n) AS tot FROM cnt GROUP BY source
+), p AS (
+  SELECT c.source, c.tok,
+         CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
+  FROM cnt c JOIN tot t USING (source)
+), t_ppm AS (
+  SELECT source, CAST(sum(p_ppm) AS BIGINT) AS t_ppm FROM p GROUP BY source
+), shared AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(sum(abs(a.p_ppm - b.p_ppm)) AS BIGINT) AS sum_abs,
+         CAST(sum(a.p_ppm) AS BIGINT) AS sum_p1,
+         CAST(sum(b.p_ppm) AS BIGINT) AS sum_p2,
+         count(*) AS n_shared
+  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s1, s2, n_shared,
+       CAST((sum_abs - sum_p1 - sum_p2 + ta.t_ppm + tb.t_ppm) // 2
+            AS BIGINT) AS tvd_ppm
+FROM shared
+JOIN t_ppm ta ON ta.source = s1
+JOIN t_ppm tb ON tb.source = s2
+ORDER BY s1, s2
+"""
+
+QUERIES["n02_source_pair_tvd"] = n02_source_pair_tvd
+ORACLE["n02_source_pair_tvd"] = N02_SQL
+
+
+# ---------------------------------------------------------------------------
+# N3 (round 6) — corpus balance audit: the Gini coefficient of the
+# doc-count distribution across sources, integer ppm (0 = perfectly
+# balanced, →1e6 as one source dominates).  The single-scalar health
+# figure next to c13's per-source detail: a mixture whose Gini creeps
+# up is concentrating, whatever the per-source boosts say.
+#
+# Gini = Σ_i Σ_j |n_i − n_j| / (2·S·Σn) — computed on the
+# |sources|-row aggregate, so the pairwise cross product is S² rows of
+# a broadcast-sized table; the corpus itself contributes ONE map-side-
+# combined count aggregation.
+# ---------------------------------------------------------------------------
+def n03_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n"))
+    a = per.select(F.col("n").alias("na"))
+    b = per.select(F.col("n").alias("nb"))
+    sum_abs = a.crossJoin(b).agg(
+        F.sum(F.expr("abs(na - nb)")).alias("sum_abs")
+    )
+    tots = per.agg(
+        F.count("*").alias("n_sources"), F.sum("n").alias("total_docs")
+    )
+    return sum_abs.crossJoin(F.broadcast(tots)).select(
+        "n_sources",
+        "total_docs",
+        F.expr("sum_abs * 1000000 div (2 * n_sources * total_docs)").alias(
+            "gini_ppm"
+        ),
+    )
+
+
+N03_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), pairwise AS (
+  SELECT CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sum_abs
+  FROM per a CROSS JOIN per b
+), tots AS (
+  SELECT count(*) AS n_sources, CAST(sum(n) AS BIGINT) AS total_docs
+  FROM per
+)
+SELECT n_sources, total_docs,
+       CAST(sum_abs * 1000000 // (2 * n_sources * total_docs) AS BIGINT)
+         AS gini_ppm
+FROM pairwise CROSS JOIN tots
+"""
+
+QUERIES["n03_source_gini"] = n03_source_gini
+ORACLE["n03_source_gini"] = N03_SQL
+
+
+# ---------------------------------------------------------------------------
+# N4 (round 6) — event burstiness: the Fano factor (variance/mean) of
+# DAILY event counts per type, integer milli, over the dense day grid
+# (zero days included — a bursty type IS one with quiet days; dropping
+# them would bias every type toward Poisson).  ~1000 milli ≈ Poisson
+# arrivals; ≫1000 = bursty (bot storms, batch replays); ≪1000 =
+# over-regular (heartbeats).  The temporal-health twin of x09's
+# before/after drift.
+#
+# Plan: one (type, day) fact aggregation with map-side combine; the
+# dense grid is sequence(min_day, max_day) × distinct types — tiny,
+# broadcast; moments are exact int64 (Σn, Σn²).  At 100 TB per-type
+# daily totals can overflow the n·Σn² term past int64 — shard the
+# moments by month and merge, or move the final arithmetic to decimal;
+# at test SFs the values are ≤~1e12, exact in both engines.
+# ---------------------------------------------------------------------------
+def n04_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.expr("sequence(d0, d1)")).alias("d"))
+    types = daily.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["event_type", "d"], "left")
+        .fillna(0, subset=["n"])
+    )
+    return (
+        dense.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n").alias("total"),
+            F.sum(F.expr("n * n")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.expr(
+                "(n_days * s2 - total * total) * 1000"
+                " div (n_days * greatest(total, 1))"
+            ).alias("fano_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+N04_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+), days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM daily
+), dense AS (
+  SELECT t.event_type, dy.d, coalesce(daily.n, 0) AS n
+  FROM days dy CROSS JOIN types t
+  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = dy.d
+), agg AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM dense GROUP BY event_type
+)
+SELECT event_type, n_days, total,
+       CAST((n_days * s2 - total * total) * 1000
+            // (n_days * greatest(total, 1)) AS BIGINT) AS fano_milli
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["n04_event_burstiness"] = n04_event_burstiness
+ORACLE["n04_event_burstiness"] = N04_SQL

@@ -41,6 +41,11 @@ _LEADING_R6 = [
     "x09_profile_drift",
     "x07_weekly_drift",
     "d12_dup_pagerank",
+    # invariant (b): round-6's new queries
+    "n01_minhash_estimator_qa",
+    "n02_source_pair_tvd",
+    "n03_source_gini",
+    "n04_event_burstiness",
 ]
 
 
