@@ -51,11 +51,13 @@ class ImagingJobSettings(BaseModel):
     chunk_size: list[int] = Field(default_factory=lambda: [128, 128, 128])
     scale_factor: list[int] = Field(default_factory=lambda: [2, 2, 2])
     downsample_levels: int = 4
-    # "auto": DataSource scan (one partition per stack, no z-map) when
-    # the Python DataSource API is available, UDF path otherwise;
-    # "datasource"/"udf" force one path (udf is the only path with a
-    # quarantine mode).
-    ingest: Literal["auto", "datasource", "udf"] = "auto"
+    # "auto": FUSED zero-shuffle ingest (decode→chunk→pyramid→write in
+    # one Python task per z-slab/y-band; imaging/fused.py) when the
+    # probed per-task buffer fits memory, DataSource scan when it
+    # doesn't, UDF path when the DataSource API is unavailable;
+    # "fused"/"datasource"/"udf" force one path (udf is the only path
+    # with a quarantine mode).
+    ingest: Literal["auto", "fused", "datasource", "udf"] = "auto"
 
     @model_validator(mode="after")
     def _check_partitioning(self) -> "ImagingJobSettings":

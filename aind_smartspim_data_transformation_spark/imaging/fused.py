@@ -1,0 +1,353 @@
+"""Fused zero-shuffle imaging ingest: decode → chunk → ALL pyramid
+levels → compressed OME-Zarr chunks, in ONE Python task per
+(z-slab, y-band).
+
+The round-6 profile (NOTES_r06.md) showed the chunk-table pipeline's
+cost is ~95% data plane: the pixel volume crosses Python→JVM as Arrow
+tile rows, through a full-volume assembly shuffle, back to Python for
+the pyramid, and again for each level's write — 1713 executor core-s
+for a 1.6 GB job whose numpy kernels need 83.  This path removes every
+one of those crossings: pixel bytes never enter the JVM.  Spark moves
+only PATH rows (the listing shuffle that groups a slab's slice paths
+into one task) and one summary row back per task.
+
+Why a task can compute the WHOLE pyramid locally: the store's chunk
+GRID is preserved across levels (chunk dims shrink by the factor, so
+level-L chunk (cz,cy,cx) derives exactly from level-(L-1) chunk
+(cz,cy,cx)), and the sink's geometry guard (shared
+``_write_all_metadata``) only admits chunk dims where per-chunk
+windowed means equal the global windowed mean (divisible-by-factor or
+full-extent per axis).  The guard protects both write paths — they
+cannot disagree on metadata or geometry — and
+tests/test_imaging_job.py asserts the two stores are ARRAY-IDENTICAL
+at every level.
+
+Parallelism: slabs alone can under-fill a cluster (a 64-slice
+acquisition at chunk_z=128 is one slab per stack), so each slab is
+further split into Y-BANDS of whole chunk rows, sized so total tasks
+≈ 2× parallelism.  Every band task re-decodes its slab's slices and
+crops immediately — decode is ~5% of kernel cost (NOTES_r06 profile:
+5 s of 83 core-s for 1.6 GB), so duplicating it buys full core
+utilization AND drops the per-task buffer to band_rows × plane_width
+× chunk_z.
+
+Memory envelope: one task holds its band (≤ chunk_z × band_rows ×
+width bytes, +1 decoded slice).  The ``auto`` ingest picks fused only
+when the probed per-task buffer fits ``FUSED_MAX_TASK_BYTES``;
+giant-plane acquisitions keep the tile-first shuffle pipeline, whose
+peak per-group memory is chunk-sized.  Corrupt slices fail the job
+(like the DataSource path) — quarantine ingest remains UDF-only.
+
+Reference parity: the reference writes each stack via a dask graph and
+re-reads every written level to compute the next
+(`compress/png_to_zarr.py:350-394,673-686`); this path is strictly
+fewer passes (decode once per band, no level re-reads, no staging).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# A fused task buffers one (z-slab, y-band).  256 MiB × 32 concurrent
+# tasks ≈ 8 GiB peak — conservative for this container; on a real
+# cluster size it to executor memory / cores.
+FUSED_MAX_TASK_BYTES = 256 << 20
+
+
+def _open_bytes(path: str) -> bytes:
+    """Read a file by Spark-listing path: ``file:/x`` / ``file:///x``
+    URIs (what binaryFile listings produce) or any pyarrow.fs URI."""
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        _fs_for,
+    )
+
+    if path.startswith("file:"):
+        p = path[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        with open(p, "rb") as f:
+            return f.read()
+    fs, p = _fs_for(path)
+    with fs.open_input_stream(p) as f:
+        return f.read()
+
+
+def probe_stack_geometry(
+    spark: SparkSession, root: str
+) -> list[dict[str, Any]]:
+    """One geometry row per stack: (channel, stack, z, y, x, dtype) —
+    z from the listing count (no content read), y/x/dtype from decoding
+    each stack's FIRST slice driver-side (#stacks small reads)."""
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        decode_image_gray,
+        scan_stack_files,
+    )
+
+    firsts = (
+        scan_stack_files(spark, root)
+        .groupBy("channel", "stack")
+        .agg(
+            F.count("*").alias("n_slices"),
+            F.min("path").alias("first_path"),
+        )
+        .collect()
+    )
+    out = []
+    for r in sorted(firsts, key=lambda r: (r["channel"], r["stack"])):
+        arr = decode_image_gray(_open_bytes(r["first_path"]))
+        out.append(
+            {
+                "channel": r["channel"],
+                "stack": r["stack"],
+                "z": int(r["n_slices"]),
+                "y": int(arr.shape[0]),
+                "x": int(arr.shape[1]),
+                "dtype": str(arr.dtype),
+            }
+        )
+    return out
+
+
+def _band_plan(
+    geo: list[dict[str, Any]], chunk_zyx: list[int], parallelism: int
+) -> dict[tuple[str, str], tuple[int, int]]:
+    """Per stack: (n_bands, cy_chunks_per_band) splitting the y chunk
+    rows so total tasks ≈ 2× parallelism (never more bands than chunk
+    rows; at least 1)."""
+    cz, cy_chunk, _ = chunk_zyx
+    slabs = sum(-(-g["z"] // cz) for g in geo)
+    want = max(1, (2 * parallelism) // max(slabs, 1))
+    plan = {}
+    for g in geo:
+        n_cy = -(-g["y"] // cy_chunk)
+        n_bands = min(want, n_cy)
+        per_band = -(-n_cy // n_bands)
+        n_bands = -(-n_cy // per_band)  # drop empty trailing bands
+        plan[(g["channel"], g["stack"])] = (n_bands, per_band)
+    return plan
+
+
+def fused_task_bytes(
+    geo: list[dict[str, Any]], chunk_zyx: list[int], parallelism: int
+) -> int:
+    """Worst-case per-task buffer (band rows × width × slab depth)."""
+    plan = _band_plan(geo, chunk_zyx, parallelism)
+    worst = 0
+    for g in geo:
+        _, per_band = plan[(g["channel"], g["stack"])]
+        band_rows = min(per_band * chunk_zyx[1], g["y"])
+        item = np.dtype(g["dtype"]).itemsize
+        worst = max(
+            worst,
+            min(chunk_zyx[0], g["z"]) * band_rows * g["x"] * item
+            + g["y"] * g["x"] * item,  # +1 full decoded slice
+        )
+    return worst
+
+
+def run_fused_ingest(
+    spark: SparkSession,
+    root: str,
+    output_root: str,
+    voxel_size_zyx: list[float],
+    scale_factor_zyx: list[int],
+    chunk_zyx: list[int],
+    n_levels: int,
+    compressor_name: str = "zlib",
+    compressor_kwargs: dict[str, Any] | None = None,
+    stack_filter: list[tuple[str, str]] | None = None,
+    geo: list[dict[str, Any]] | None = None,
+) -> tuple[list[str], dict[str, int]]:
+    """Write every stack's full multiscale store via fused band tasks.
+
+    Returns (sorted group paths, {"n_chunks": level-0 chunks written,
+    "chunk_bytes": raw level-0 bytes}) — the same metrics contract as
+    the chunk-table job's Observation.
+    """
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        validate_pyramid_geometry,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        _make_codec,
+        _write_all_metadata,
+        _ZARR_DTYPES,
+    )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        scan_stack_files,
+    )
+
+    validate_pyramid_geometry(chunk_zyx, scale_factor_zyx, n_levels)
+    codec_meta, _ = _make_codec(compressor_name, compressor_kwargs)
+    if geo is None:
+        geo = probe_stack_geometry(spark, root)
+    if stack_filter is not None:
+        keep = set(stack_filter)
+        geo = [g for g in geo if (g["channel"], g["stack"]) in keep]
+    if not geo:
+        return [], {"n_chunks": 0, "chunk_bytes": 0}
+    for g in geo:
+        if g["dtype"] not in _ZARR_DTYPES:
+            raise ValueError(f"unsupported dtype {g['dtype']} in {g}")
+    meta_rows = [
+        {
+            **g,
+            "cdz": min(chunk_zyx[0], g["z"]),
+            "cdy": min(chunk_zyx[1], g["y"]),
+            "cdx": min(chunk_zyx[2], g["x"]),
+        }
+        for g in geo
+    ]
+    groups, ladder = _write_all_metadata(
+        meta_rows,
+        output_root,
+        voxel_size_zyx,
+        scale_factor_zyx,
+        chunk_zyx,
+        n_levels,
+        codec_meta,
+    )
+
+    cz_chunk, cy_chunk, cx_chunk = chunk_zyx
+    factors = tuple(scale_factor_zyx)
+    plan = _band_plan(geo, chunk_zyx, spark.sparkContext.defaultParallelism)
+
+    # listing → (slab, band) groups.  The z-rank window moves ~100-byte
+    # path rows (content never scanned); each slice row is duplicated
+    # once per band (bands re-decode, see module docstring) and the
+    # groupBy shuffle lands each task's ≤chunk_z paths together.
+    files = scan_stack_files(spark, root).select("path", "channel", "stack")
+    if stack_filter is not None:
+        keys = spark.createDataFrame(
+            list(stack_filter), "channel string, stack string"
+        )
+        files = files.join(F.broadcast(keys), ["channel", "stack"])
+    w = W.partitionBy("channel", "stack").orderBy("path")
+    bands_df = spark.createDataFrame(
+        [(c, s, b) for (c, s), (nb, _) in plan.items() for b in range(nb)],
+        "channel string, stack string, band int",
+    )
+    # EXPLICIT numPartitions on the group key: the group rows are tiny
+    # (paths), so AQE would coalesce the groupBy shuffle into ONE
+    # partition — it sizes by bytes and cannot see that each row
+    # explodes into seconds of decode+compress work (measured: the
+    # whole 1.6 GB job serialized into a single 142 core-s task).  An
+    # explicit repartition count is exempt from AQE coalescing and
+    # satisfies applyInPandas's required clustering, so the write stage
+    # runs one task per hash bucket; 4× groups over-partitioning keeps
+    # hash collisions from doubling a straggler's work.
+    n_groups = sum(
+        -(-g["z"] // cz_chunk) * plan[(g["channel"], g["stack"])][0]
+        for g in geo
+    )
+    slabs = (
+        files.withColumn("z", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("slab", (F.col("z") / cz_chunk).cast("int"))
+        .join(F.broadcast(bands_df), ["channel", "stack"])
+        .repartition(4 * n_groups, "channel", "stack", "slab", "band")
+    )
+
+    def _write_band(pdf):
+        import pandas as pd
+
+        from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+            windowed_mean,
+        )
+        from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+            _fs_for,
+            _make_codec as make_codec,
+        )
+        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+            decode_image_gray,
+        )
+
+        _, compress = make_codec(compressor_name, compressor_kwargs)
+        pdf = pdf.sort_values("z")
+        channel = pdf["channel"].iloc[0]
+        stack = pdf["stack"].iloc[0]
+        cz = int(pdf["slab"].iloc[0])
+        band = int(pdf["band"].iloc[0])
+        _, per_band = plan[(channel, stack)]
+        cy0 = band * per_band
+        y0 = cy0 * cy_chunk
+        stack_ladder = ladder[(channel, stack)]
+        buf = None
+        for i, path in enumerate(pdf["path"]):
+            plane = decode_image_gray(_open_bytes(path))
+            if buf is None:
+                y1 = min(y0 + per_band * cy_chunk, plane.shape[0])
+                buf = np.empty(
+                    (len(pdf), y1 - y0, plane.shape[1]), dtype=plane.dtype
+                )
+            buf[i] = plane[y0:y1]  # crop NOW: band memory, not slab
+        fs, base = _fs_for(output_root)
+        made: set[str] = set()
+        n_chunks = 0
+        raw_bytes = 0
+        bh, bw = buf.shape[1], buf.shape[2]
+        for cyy in range(-(-bh // cy_chunk)):
+            for cx in range(-(-bw // cx_chunk)):
+                arr = buf[
+                    :,
+                    cyy * cy_chunk : (cyy + 1) * cy_chunk,
+                    cx * cx_chunk : (cx + 1) * cx_chunk,
+                ]
+                n_chunks += 1
+                raw_bytes += arr.nbytes
+                for lvl in range(n_levels):
+                    pad_shape = stack_ladder[lvl]
+                    out = arr
+                    if out.shape != pad_shape:  # edge chunk → zero-pad
+                        full = np.zeros(pad_shape, dtype=out.dtype)
+                        full[
+                            : out.shape[0], : out.shape[1], : out.shape[2]
+                        ] = out
+                        out = full
+                    key = "/".join(
+                        [
+                            base,
+                            channel,
+                            f"{stack}.ome.zarr",
+                            str(lvl),
+                            "0",
+                            "0",
+                            str(cz),
+                            str(cy0 + cyy),
+                            str(cx),
+                        ]
+                    )
+                    parent = key.rsplit("/", 1)[0]
+                    if parent not in made:
+                        fs.create_dir(parent, recursive=True)
+                        made.add(parent)
+                    with fs.open_output_stream(key) as f:
+                        f.write(
+                            compress(np.ascontiguousarray(out).tobytes())
+                        )
+                    if lvl < n_levels - 1:
+                        # downsample the UNPADDED data: zero padding
+                        # before the mean would corrupt edge windows
+                        arr = windowed_mean(arr, factors)
+        return pd.DataFrame(
+            {"n_chunks": [n_chunks], "chunk_bytes": [raw_bytes]}
+        )
+
+    summaries = (
+        slabs.groupBy("channel", "stack", "slab", "band")
+        .applyInPandas(_write_band, schema="n_chunks long, chunk_bytes long")
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("chunk_bytes").alias("chunk_bytes"),
+        )
+        .first()
+    )
+    return sorted(groups), {
+        "n_chunks": int(summaries["n_chunks"]),
+        "chunk_bytes": int(summaries["chunk_bytes"]),
+    }

@@ -98,17 +98,13 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
     if settings.partition_to_process == 0:
         _copy_tree(deriv, f"{out}/derivatives")
 
-    chunks = _ingest_chunks(spark, settings, root)
     # O3 compat: callers who still launch N independent job instances
     # (the reference's only multi-node mechanism, `smartspim_job.py:
     # 30-41,226-228`) get the same deterministic round-robin split.  A
     # single Spark app doesn't need this — the scheduler owns
     # parallelism — so the filter only engages for num_of_partitions>1.
+    mine: list | None = None
     if settings.num_of_partitions > 1:
-        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
-            scan_stack_files,
-        )
-
         all_stacks = sorted(
             (r["channel"], r["stack"])
             for r in scan_stack_files(spark, f"{root}/SmartSPIM")
@@ -126,6 +122,52 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
                 "written": [],
                 "metrics": {},
             }
+
+    # Fused zero-shuffle path (imaging/fused.py): "auto" takes it when
+    # the probed per-task band buffer fits memory — pixel bytes never
+    # enter the JVM, no assembly shuffle, every pyramid level computed
+    # and written by the decode task itself.  Falls through to the
+    # chunk-table pipeline for giant planes (memory envelope) or when
+    # forced off.
+    if settings.ingest in ("fused", "auto"):
+        from aind_smartspim_data_transformation_spark.imaging.fused import (
+            FUSED_MAX_TASK_BYTES,
+            fused_task_bytes,
+            probe_stack_geometry,
+            run_fused_ingest,
+        )
+
+        geo = probe_stack_geometry(spark, f"{root}/SmartSPIM")
+        task_bytes = fused_task_bytes(
+            geo, list(settings.chunk_size),
+            spark.sparkContext.defaultParallelism,
+        )
+        if settings.ingest == "fused" or task_bytes <= FUSED_MAX_TASK_BYTES:
+            written, metrics = run_fused_ingest(
+                spark,
+                f"{root}/SmartSPIM",
+                out,
+                voxel_size_zyx=voxel_zyx,
+                scale_factor_zyx=list(settings.scale_factor),
+                chunk_zyx=list(settings.chunk_size),
+                n_levels=settings.downsample_levels,
+                compressor_name=settings.compressor_name.value,
+                compressor_kwargs=settings.compressor_kwargs,
+                stack_filter=mine,
+                geo=geo,
+            )
+            return {
+                "status_code": 200,
+                "message": (
+                    f"wrote {len(written)} stacks in "
+                    f"{time.time() - start:.1f}s (fused)"
+                ),
+                "written": written,
+                "metrics": metrics,
+            }
+
+    chunks = _ingest_chunks(spark, settings, root)
+    if mine is not None:
         keys = spark.createDataFrame(mine, "channel string, stack string")
         chunks = chunks.join(F.broadcast(keys), ["channel", "stack"])
     # Observation metrics ride the FIRST action over the chunk table —

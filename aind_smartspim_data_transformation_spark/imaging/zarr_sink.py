@@ -371,6 +371,74 @@ def write_ome_zarr_all(
     )
 
     n_lvls = len(levels)
+    groups, chunk_ladder = _write_all_metadata(
+        geo,
+        output_root,
+        voxel_size_zyx,
+        scale_factor_zyx,
+        chunk_zyx,
+        n_lvls,
+        codec_meta,
+    )
+
+    for lvl, level_df in enumerate(levels):
+
+        def _write_partition(
+            rows, lvl=lvl, root=output_root, ladder=chunk_ladder, compress=compress
+        ):
+            fs, base = _fs_for(root)  # once per task, not per chunk
+            made: set[str] = set()
+            for r in rows:
+                chunk_shape = ladder[(r["channel"], r["stack"])][lvl]
+                arr = np.frombuffer(
+                    r["data"], dtype=np.dtype(r["dtype"])
+                ).reshape(r["dz"], r["dy"], r["dx"])
+                if arr.shape != chunk_shape:  # edge chunk → zero-pad
+                    full = np.zeros(chunk_shape, dtype=arr.dtype)
+                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
+                    arr = full
+                key = "/".join(
+                    [
+                        base,
+                        r["channel"],
+                        f"{r['stack']}.ome.zarr",
+                        str(lvl),
+                        "0",
+                        "0",
+                        str(r["cz"]),
+                        str(r["cy"]),
+                        str(r["cx"]),
+                    ]
+                )
+                parent = key.rsplit("/", 1)[0]
+                if parent not in made:
+                    fs.create_dir(parent, recursive=True)
+                    made.add(parent)
+                with fs.open_output_stream(key) as f:
+                    f.write(compress(np.ascontiguousarray(arr).tobytes()))
+
+        _arrow_foreach(level_df, _write_partition)
+
+    return sorted(groups)
+
+
+def _write_all_metadata(
+    geo,
+    output_root: str,
+    voxel_size_zyx: list[float],
+    scale_factor_zyx: list[int],
+    chunk_zyx: list[int],
+    n_lvls: int,
+    codec_meta: dict[str, Any] | None,
+) -> tuple[list[str], dict[tuple[str, str], list[tuple[int, int, int]]]]:
+    """Driver-side metadata writer shared by the chunk-table sink
+    (:func:`write_ome_zarr_all`) and the fused ingest
+    (imaging/fused.py): per stack, the group .zgroup/.zattrs and every
+    level's .zarray, including the geometry guard.  ``geo`` rows carry
+    channel/stack, full extents z/y/x, dtype, and origin-chunk dims
+    cdz/cdy/cdx.  Returns (group paths, per-stack chunk-dims ladder) —
+    ONE implementation so the two write paths can never disagree on
+    metadata."""
     fz, fy, fx = scale_factor_zyx
     groups: list[str] = []
     # per (channel, stack): chunk dims ladder for the writer's padding
@@ -452,45 +520,7 @@ def write_ome_zarr_all(
             dims = (-(-dims[0] // fz), -(-dims[1] // fy), -(-dims[2] // fx))
         chunk_ladder[(channel, stack)] = ladder
 
-    for lvl, level_df in enumerate(levels):
-
-        def _write_partition(
-            rows, lvl=lvl, root=output_root, ladder=chunk_ladder, compress=compress
-        ):
-            fs, base = _fs_for(root)  # once per task, not per chunk
-            made: set[str] = set()
-            for r in rows:
-                chunk_shape = ladder[(r["channel"], r["stack"])][lvl]
-                arr = np.frombuffer(
-                    r["data"], dtype=np.dtype(r["dtype"])
-                ).reshape(r["dz"], r["dy"], r["dx"])
-                if arr.shape != chunk_shape:  # edge chunk → zero-pad
-                    full = np.zeros(chunk_shape, dtype=arr.dtype)
-                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
-                    arr = full
-                key = "/".join(
-                    [
-                        base,
-                        r["channel"],
-                        f"{r['stack']}.ome.zarr",
-                        str(lvl),
-                        "0",
-                        "0",
-                        str(r["cz"]),
-                        str(r["cy"]),
-                        str(r["cx"]),
-                    ]
-                )
-                parent = key.rsplit("/", 1)[0]
-                if parent not in made:
-                    fs.create_dir(parent, recursive=True)
-                    made.add(parent)
-                with fs.open_output_stream(key) as f:
-                    f.write(compress(np.ascontiguousarray(arr).tobytes()))
-
-        _arrow_foreach(level_df, _write_partition)
-
-    return sorted(groups)
+    return groups, chunk_ladder
 
 
 def read_zarr_level(group: str, level: int) -> np.ndarray:

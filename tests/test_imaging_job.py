@@ -182,14 +182,14 @@ def test_job_partitioned_runs_cover_all_stacks(spark, tmp_path):
 
 
 def test_job_ingest_paths_write_identical_stores(spark, tmp_path):
-    """The DataSource scan (the round-5 default) and the UDF pipeline
-    must produce byte-identical zarr stores through the FULL job —
-    and 'auto' must actually pick the DataSource path on this
-    runtime."""
+    """All THREE ingest paths — fused (the round-6 default), the
+    DataSource scan, and the UDF pipeline — must produce byte-identical
+    zarr stores through the FULL job (chunk bytes AND metadata JSON),
+    and 'auto' must actually pick the fused path at this geometry."""
     root = tmp_path / "ds"
     make_dataset(root, height=24, width=28)
 
-    def run(ingest: str) -> dict[str, bytes]:
+    def run(ingest: str) -> tuple[dict[str, bytes], dict]:
         out = tmp_path / f"out_{ingest}"
         resp = run_imaging_job(
             spark,
@@ -206,10 +206,20 @@ def test_job_ingest_paths_write_identical_stores(spark, tmp_path):
             str(p.relative_to(out)): p.read_bytes()
             for p in sorted(out.rglob("*"))
             if p.is_file()
-        }
+        }, resp
 
-    ds, udf = run("datasource"), run("udf")
+    (ds, _), (udf, _), (fused, fused_resp) = (
+        run("datasource"), run("udf"), run("fused")
+    )
     assert ds == udf
+    assert fused == ds
+    # metrics contract parity: fused reports the same ingest accounting
+    # keys the chunk-table job's Observation produces
+    assert set(fused_resp["metrics"]) == {"n_chunks", "chunk_bytes"}
+    # 'auto' takes the fused path at this (tiny) geometry
+    (auto, auto_resp) = run("auto")
+    assert auto == fused
+    assert "(fused)" in auto_resp["message"]
     # the availability gate: this pyspark has the DataSource API
     assert hasattr(spark, "dataSource")
 
