@@ -1113,3 +1113,191 @@ FROM agg ORDER BY event_type
 
 QUERIES["n04_event_burstiness"] = n04_event_burstiness
 ORACLE["n04_event_burstiness"] = N04_SQL
+
+
+# ---------------------------------------------------------------------------
+# N5 (round 6) — sequence-packing audit: the standard LLM pre-training
+# prep concatenates a source's documents in a deterministic order and
+# cuts the token stream every CAP tokens into fixed-length training
+# sequences ("concat-and-chunk").  This audits that packing per source
+# WITHOUT materializing the packed stream: per doc, the running token
+# offset places it in its first/last shard; per source we report shard
+# count, fill, docs-per-shard, and the fraction of docs straddling a
+# shard boundary (high straddle → more mid-document truncations seen
+# by the model).  Token counts are t01's whitespace tokens (parity
+# with DuckDB's string_split established there).
+#
+# Plan: ONE window cumsum partitioned by source (the only shuffle),
+# then a per-source aggregation — map-side combined.  The window is
+# sequential per source; at 100 TB a single source's stream outgrows
+# one task, so shard the cumsum: range-partition each source by
+# doc_id, per-range token subtotals (tiny) to the driver, broadcast
+# the per-range prefix offsets back, and the window becomes
+# per-range-local — the classic two-pass distributed prefix sum.  At
+# test SFs the single window is exact and identical in both engines.
+# All outputs integer (ppm/milli), CAST to BIGINT for the driver hash.
+# ---------------------------------------------------------------------------
+_N05_CAP = 2048  # tokens per packed training sequence
+
+
+def n05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    cap = _N05_CAP
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tok"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = docs.select(
+        "source",
+        "tok",
+        F.sum("tok").over(w).alias("cum"),
+    ).select(
+        "source",
+        "tok",
+        F.expr(f"(cum - tok) div {cap}").alias("shard_first"),
+        F.expr(f"(cum - 1) div {cap}").alias("shard_last"),
+    )
+    return (
+        placed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.sum(
+                F.expr("CASE WHEN shard_last > shard_first THEN 1 ELSE 0 END")
+            ).alias("n_straddle"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"(total_tokens + {cap} - 1) div {cap}").alias("n_shards"),
+            F.expr(
+                f"n_docs * 1000 div ((total_tokens + {cap} - 1) div {cap})"
+            ).alias("docs_per_shard_milli"),
+            F.expr(
+                f"total_tokens * 1000000 div "
+                f"(((total_tokens + {cap} - 1) div {cap}) * {cap})"
+            ).alias("fill_ppm"),
+            F.expr("n_straddle * 1000000 div n_docs").alias("straddle_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+N05_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+  FROM documents
+), placed AS (
+  SELECT source, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+), shards AS (
+  SELECT source, tok,
+         (cum - tok) // {_N05_CAP} AS shard_first,
+         (cum - 1) // {_N05_CAP} AS shard_last
+  FROM placed
+), agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN shard_last > shard_first THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_straddle
+  FROM shards GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       CAST((total_tokens + {_N05_CAP} - 1) // {_N05_CAP} AS BIGINT)
+         AS n_shards,
+       CAST(n_docs * 1000
+            // ((total_tokens + {_N05_CAP} - 1) // {_N05_CAP}) AS BIGINT)
+         AS docs_per_shard_milli,
+       CAST(total_tokens * 1000000
+            // (((total_tokens + {_N05_CAP} - 1) // {_N05_CAP})
+                * {_N05_CAP}) AS BIGINT) AS fill_ppm,
+       CAST(n_straddle * 1000000 // n_docs AS BIGINT) AS straddle_ppm
+FROM agg ORDER BY source
+"""
+
+QUERIES["n05_sequence_packing"] = n05_sequence_packing
+ORACLE["n05_sequence_packing"] = N05_SQL
+
+
+# ---------------------------------------------------------------------------
+# N6 (round 6) — curriculum quality deciles: bucket the corpus into 10
+# equal-count tiers by a deterministic lexical-quality proxy (type-
+# token ratio, milli — distinct whitespace tokens per token) and report
+# each tier's volume so a data-mixing curriculum (quality-ascending
+# schedules, tier-weighted sampling) can be priced before writing any
+# shards.  Total order is (ttr_milli, doc_id) — the doc_id tie-break
+# makes ntile assignment unique, so both engines agree row-for-row.
+#
+# Plan: one narrow projection then a GLOBAL ntile — a single total
+# sort.  That is the exact form; at 100 TB replace it with
+# approx-quantile tier BOUNDARIES (one pass, t-digest/histogram
+# sketch) and a map-side bucket join — tiers become approximate at the
+# boundary but no global sort exists.  The sketch variant's shape is
+# x06_hist_quantiles; this query keeps the exact contract the oracle
+# can verify.  All outputs integer, CAST BIGINT.
+# ---------------------------------------------------------------------------
+def n06_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("tok"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000"
+            " div size(split(text, ' '))"
+        ).alias("ttr_milli"),
+    )
+    w = W.orderBy("ttr_milli", "doc_id")
+    tiered = scored.select(
+        "n_chars", "tok", "ttr_milli", F.ntile(10).over(w).alias("tier")
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("ttr_milli").alias("ttr_lo"),
+            F.max("ttr_milli").alias("ttr_hi"),
+            F.sum("tok").alias("total_tokens"),
+            F.expr("sum(n_chars) * 1000 div count(*)").alias(
+                "mean_chars_milli"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+N06_SQL = """
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS tok,
+         len(list_distinct(string_split(text, ' '))) * 1000
+           // len(string_split(text, ' ')) AS ttr_milli
+  FROM documents
+), tiered AS (
+  SELECT n_chars, tok, ttr_milli,
+         ntile(10) OVER (ORDER BY ttr_milli, doc_id) AS tier
+  FROM scored
+)
+SELECT tier, count(*) AS n_docs,
+       CAST(min(ttr_milli) AS BIGINT) AS ttr_lo,
+       CAST(max(ttr_milli) AS BIGINT) AS ttr_hi,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) * 1000 // count(*) AS BIGINT) AS mean_chars_milli
+FROM tiered GROUP BY tier ORDER BY tier
+"""
+
+QUERIES["n06_quality_deciles"] = n06_quality_deciles
+ORACLE["n06_quality_deciles"] = N06_SQL

@@ -46,6 +46,8 @@ _LEADING_R6 = [
     "n02_source_pair_tvd",
     "n03_source_gini",
     "n04_event_burstiness",
+    "n05_sequence_packing",
+    "n06_quality_deciles",
 ]
 
 
