@@ -458,3 +458,69 @@ def test_append_crash_fence_and_roll_forward(spark, tmp_path, monkeypatch):
             )
         attrs = json.loads(Path(group, ".zattrs").read_text())
         assert "append_in_progress" not in attrs
+
+
+def test_fused_multi_slab_store_identical(spark, tmp_path):
+    """Multi-z-slab geometry through the FUSED path: 10 slices at
+    chunk_z=4 → 3 slabs (partial last), 3 y chunk-rows → multiple
+    bands.  The fused store must be byte-identical to the chunk-table
+    pipeline's, and level data must equal the numpy windowed-mean
+    oracle — this covers the slab/band boundary arithmetic the 2-slice
+    fixture never reaches (pair windows falling ON slab boundaries,
+    edge-chunk padding in the partial slab)."""
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    root = tmp_path / "ds"
+    ch, col, stack = "Ex_445_Em_469", "432380", "432380_504340"
+    d = root / "SmartSPIM" / ch / col / stack
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    vol = rng.integers(0, 65535, size=(10, 12, 16)).astype(np.uint16)
+    for z in range(10):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(vol[z]))
+    (root / "derivatives").mkdir()
+    (root / "acquisition.json").write_text(
+        json.dumps(
+            {
+                "tiles": [
+                    {
+                        "channel": {"channel_name": "445"},
+                        "coordinate_transformations": [
+                            {"type": "scale", "scale": [1.8, 1.8, 2.0]}
+                        ],
+                        "file_name": f"{ch}/{col}/{stack}/",
+                    }
+                ]
+            }
+        )
+    )
+
+    def run(ingest):
+        out = tmp_path / f"out_{ingest}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[4, 4, 4],
+                downsample_levels=3,
+                ingest=ingest,
+            ),
+        )
+        assert resp["status_code"] == 200
+        return out, {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }
+
+    (out_f, fused), (_, ds) = run("fused"), run("datasource")
+    assert fused == ds
+    # numpy oracle at every level
+    g = f"{out_f}/{ch}/{stack}.ome.zarr"
+    expect = vol
+    for lvl in range(3):
+        assert np.array_equal(read_zarr_level(g, lvl), expect)
+        expect = windowed_mean(expect, (2, 2, 2))
