@@ -82,35 +82,60 @@ def probe_stack_geometry(
 ) -> list[dict[str, Any]]:
     """One geometry row per stack: (channel, stack, z, y, x, dtype) —
     z from the listing count (no content read), y/x/dtype from decoding
-    each stack's FIRST slice driver-side (#stacks small reads)."""
+    each stack's FIRST slice.  The decode runs DISTRIBUTED (mapInPandas
+    over the #stacks first-paths): at acquisition scale (10⁴ stacks)
+    a driver-side loop of small reads + decodes is minutes of serial
+    latency before any work starts; here it is one tiny Spark stage."""
     from aind_smartspim_data_transformation_spark.sources.stack_reader import (
-        decode_image_gray,
         scan_stack_files,
     )
 
-    firsts = (
-        scan_stack_files(spark, root)
-        .groupBy("channel", "stack")
-        .agg(
-            F.count("*").alias("n_slices"),
-            F.min("path").alias("first_path"),
-        )
-        .collect()
+    firsts = scan_stack_files(spark, root).groupBy("channel", "stack").agg(
+        F.count("*").alias("n_slices"),
+        F.min("path").alias("first_path"),
     )
-    out = []
-    for r in sorted(firsts, key=lambda r: (r["channel"], r["stack"])):
-        arr = decode_image_gray(_open_bytes(r["first_path"]))
-        out.append(
-            {
-                "channel": r["channel"],
-                "stack": r["stack"],
-                "z": int(r["n_slices"]),
-                "y": int(arr.shape[0]),
-                "x": int(arr.shape[1]),
-                "dtype": str(arr.dtype),
-            }
+
+    def _probe(batches):
+        import pandas as pd
+
+        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+            decode_image_gray,
         )
-    return out
+
+        for pdf in batches:
+            ys, xs, dts = [], [], []
+            for p in pdf["first_path"]:
+                arr = decode_image_gray(_open_bytes(p))
+                ys.append(arr.shape[0])
+                xs.append(arr.shape[1])
+                dts.append(str(arr.dtype))
+            yield pd.DataFrame(
+                {
+                    "channel": pdf["channel"],
+                    "stack": pdf["stack"],
+                    "z": pdf["n_slices"],
+                    "y": ys,
+                    "x": xs,
+                    "dtype": dts,
+                }
+            )
+
+    rows = firsts.mapInPandas(
+        _probe,
+        schema="channel string, stack string, z long, y long, x long, "
+        "dtype string",
+    ).collect()
+    return [
+        {
+            "channel": r["channel"],
+            "stack": r["stack"],
+            "z": int(r["z"]),
+            "y": int(r["y"]),
+            "x": int(r["x"]),
+            "dtype": r["dtype"],
+        }
+        for r in sorted(rows, key=lambda r: (r["channel"], r["stack"]))
+    ]
 
 
 def _band_plan(
@@ -246,11 +271,20 @@ def run_fused_ingest(
         -(-g["z"] // cz_chunk) * plan[(g["channel"], g["stack"])][0]
         for g in geo
     )
+    # Cap the partition count: a petabyte acquisition can have 10⁶
+    # (slab, band) groups, and 4× that in hash buckets is pure
+    # scheduler overhead — past the cap, hash collisions just put a
+    # few groups per task, which applyInPandas handles serially and
+    # correctly.  The floor keeps small trees from under-filling.
+    n_parts = max(
+        2 * spark.sparkContext.defaultParallelism,
+        min(4 * n_groups, 32_768),
+    )
     slabs = (
         files.withColumn("z", (F.row_number().over(w) - 1).cast("int"))
         .withColumn("slab", (F.col("z") / cz_chunk).cast("int"))
         .join(F.broadcast(bands_df), ["channel", "stack"])
-        .repartition(4 * n_groups, "channel", "stack", "slab", "band")
+        .repartition(n_parts, "channel", "stack", "slab", "band")
     )
 
     def _write_band(pdf):

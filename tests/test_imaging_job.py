@@ -208,13 +208,15 @@ def test_job_ingest_paths_write_identical_stores(spark, tmp_path):
             if p.is_file()
         }, resp
 
-    (ds, _), (udf, _), (fused, fused_resp) = (
+    (ds, ds_resp), (udf, _), (fused, fused_resp) = (
         run("datasource"), run("udf"), run("fused")
     )
     assert ds == udf
     assert fused == ds
     # metrics contract parity: fused reports the same ingest accounting
-    # keys the chunk-table job's Observation produces
+    # VALUES the chunk-table job's Observation produces (level-0 chunk
+    # count and raw unpadded bytes)
+    assert fused_resp["metrics"] == ds_resp["metrics"]
     assert set(fused_resp["metrics"]) == {"n_chunks", "chunk_bytes"}
     # 'auto' takes the fused path at this (tiny) geometry
     (auto, auto_resp) = run("auto")
