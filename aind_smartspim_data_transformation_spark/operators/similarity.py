@@ -651,20 +651,23 @@ def _kmeans_assign(e: DataFrame, cents: list[tuple[int, list[int]]]):
     return F.array_min(F.array(*dists))["cid"]
 
 
-def s09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT))"
-        ).alias("x"),
-    )
+def lloyd_train(
+    e: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Deterministic integer Lloyd training shared by s09 and the
+    SemDeDup composition (plans/extras.n07_semantic_dedup).  ``e`` must
+    carry (vec_id, x) with x already integer-quantized; init centroids
+    are the vectors with vec_id 1..k.  Each round: literal-centroid
+    assignment (narrow broadcast map — NO corpus shuffle) then a K×d-row
+    mean update.  Returns (final assignment with a ``cell`` column, the
+    final centroid list)."""
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["x"]])
-        for r in e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= KM_K)).collect()
+        for r in e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).collect()
     ]
     cents.sort()
     assigned = None
-    for _ in range(KM_ITERS):
+    for _ in range(iters):
         assigned = e.withColumn("cell", _kmeans_assign(e, cents))
         new_cents = (
             assigned.select("cell", F.posexplode("x").alias("dim", "val"))
@@ -681,6 +684,17 @@ def s09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r["cell"]), [int(v) for v in r["c"]]) for r in new_cents.collect()
         ]
         cents.sort()
+    return assigned, cents
+
+
+def s09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT))"
+        ).alias("x"),
+    )
+    assigned, cents = lloyd_train(e, KM_K, KM_ITERS)
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
     cent_rows = spark.createDataFrame(
         [(cid, sum(abs(v) for v in cvec)) for cid, cvec in cents],

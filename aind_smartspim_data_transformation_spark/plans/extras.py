@@ -1301,3 +1301,126 @@ FROM tiered GROUP BY tier ORDER BY tier
 
 QUERIES["n06_quality_deciles"] = n06_quality_deciles
 ORACLE["n06_quality_deciles"] = N06_SQL
+
+
+# ---------------------------------------------------------------------------
+# N7 (round 6) — SemDeDup-style semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540): k-means-cluster the embedding space, then compare
+# pairs ONLY within a cluster and drop every vector that has a
+# lower-id neighbor at cosine ≥ EPS (greedy keep-lowest-id — the
+# deterministic stand-in for the paper's keep-one-representative).
+# Reports per-cluster volume, drops, and kept_ppm — the dedup budget a
+# curation run prices before committing.
+#
+# Plan: Lloyd training is s09's shared helper (integer-exact, literal
+# centroids → assignment is a narrow broadcast map, corpus scanned
+# once per iteration, K×d-row update shuffles); the pair stage
+# shuffles on `cell`, so work is Σ|cell|² — the SemDeDup contract is
+# that K scales with corpus size (the paper uses 11k clusters for
+# 100M docs) keeping clusters bounded; a degenerate giant cluster is
+# the K-too-small smell, and the per-cell counts this query emits are
+# exactly the monitor for it.  Cosine is float (round 6dp) only
+# inside the threshold compare — every OUTPUT column is BIGINT.
+# ---------------------------------------------------------------------------
+SEM_K = 16
+SEM_ITERS = 2
+SEM_EPS = 0.9
+
+
+def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> "
+            f"CAST(floor(CAST(v AS DOUBLE) * {S.KM_SCALE}) AS BIGINT))"
+        ).alias("x"),
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("v"),
+    )
+    assigned, _ = S.lloyd_train(e, SEM_K, SEM_ITERS)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = S._dot("va", "vb") / (
+        F.sqrt(S._norm_sq("va")) * F.sqrt(S._norm_sq("vb"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(F.round(cos, 6) >= SEM_EPS)
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .join(dropped, "cell", "left")
+        .fillna(0, subset=["n_dropped"])
+        .select(
+            "cell",
+            "n_vectors",
+            "n_dropped",
+            F.expr(
+                "(n_vectors - n_dropped) * 1000000 div n_vectors"
+            ).alias("kept_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _n07_sql() -> str:
+    from aind_smartspim_data_transformation_spark.operators.similarity import (
+        KM_SCALE,
+        _km_sql_assign,
+        _km_sql_update,
+    )
+
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        v -> CAST(floor(v * {KM_SCALE}) AS BIGINT)) AS x
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, x AS c FROM q WHERE vec_id BETWEEN 1 AND {SEM_K}
+), a1 AS ({_km_sql_assign("q", "c0")}
+), c1 AS ({_km_sql_update("a1")}
+), a2 AS ({_km_sql_assign("q", "c1")}
+), av AS (
+  SELECT a2.vec_id, a2.cell, e.embedding::DOUBLE[] AS v
+  FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id
+), dropped AS (
+  SELECT cell, count(*) AS n_dropped FROM (
+    SELECT DISTINCT a.cell, b.vec_id
+    FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= {SEM_EPS}
+  ) GROUP BY cell
+)
+SELECT s.cell, s.n_vectors, coalesce(d.n_dropped, 0) AS n_dropped,
+       CAST((s.n_vectors - coalesce(d.n_dropped, 0)) * 1000000
+            // s.n_vectors AS BIGINT) AS kept_ppm
+FROM (SELECT cell, count(*) AS n_vectors FROM a2 GROUP BY cell) s
+LEFT JOIN dropped d ON s.cell = d.cell
+ORDER BY s.cell
+"""
+
+
+QUERIES["n07_semantic_dedup"] = n07_semantic_dedup
+ORACLE["n07_semantic_dedup"] = _n07_sql()

@@ -48,6 +48,7 @@ _LEADING_R6 = [
     "n04_event_burstiness",
     "n05_sequence_packing",
     "n06_quality_deciles",
+    "n07_semantic_dedup",
 ]
 
 
