@@ -39,6 +39,13 @@ MAX_WIDE_EXCHANGES = {
     "x08_fk_orphans": 4,            # observed 3: one distinct+join+agg per edge
     "d13_keep_best_quality": 7,     # observed 6: d03 + star + score join + agg
     "c14_curation_pipeline": 9,     # observed 8: d13 shape + gate + manifest agg
+    "n01_minhash_estimator_qa": 4,  # observed 3
+    "n02_source_pair_tvd": 8,       # observed 7: shared-vocab join chain
+    "n03_source_gini": 4,           # observed 3 (+legit tiny-agg BNLJ)
+    "n04_event_burstiness": 3,      # observed 2 (+legit dense-grid BNLJ)
+    "n05_sequence_packing": 2,      # observed 1: one source window shuffle
+    "n06_quality_deciles": 1,       # observed 0: global-sort window, no hash
+    "n07_semantic_dedup": 2,        # observed 1: cell pair join (AQE bcast)
 }
 
 # Queries whose plan MUST share the d03 candidate-pair subtree instead
@@ -59,6 +66,8 @@ BNLJ_ALLOWED = {
     "e08_interval_join",
     "s01_cosine_topk",        # broadcast 1-row query vector
     "c13_mixture_rebalance",  # broadcast 1-row totals
+    "n03_source_gini",        # |sources|-row aggregate cross product
+    "n04_event_burstiness",   # dense day grid × tiny type list
 }
 
 

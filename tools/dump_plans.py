@@ -446,6 +446,58 @@ ANNOTATIONS = {
         "Catalyst sees end-to-end and nothing is materialized between "
         "stages."
     ),
+    "n01_minhash_estimator_qa": (
+        "MinHash calibration audit (round 6): lane-agreement estimate "
+        "vs exact shingle Jaccard for every VERIFIED d03 pair. Look "
+        "for: the broadcast semi-filter restricting the tokenize-heavy "
+        "shingle explode to PAIR DOCS only (candidates ≪ corpus); one "
+        "signature aggregation shared with the estimate. Observed wide "
+        "exchanges: 3 (ceiling 4)."
+    ),
+    "n02_source_pair_tvd": (
+        "Pairwise source token-distribution TVD. Look for: the ONLY "
+        "join keyed on the SHARED vocabulary (the union term is "
+        "algebraic: Σ_union|p1−p2| = Σ_shared|p1−p2| − Σ_shared p1 − "
+        "Σ_shared p2 + T1 + T2) — no dense |vocab|×|pairs| grid "
+        "anywhere in the plan. Observed wide exchanges: 7 (ceiling 8)."
+    ),
+    "n03_source_gini": (
+        "Gini of source doc counts. Look for: the pairwise cross "
+        "product fed by the |sources|-ROW aggregate (broadcast-sized), "
+        "never the corpus — the corpus contributes one map-side-"
+        "combined count agg; the BNLJ is the legitimate tiny-aggregate "
+        "attach. Observed wide exchanges: 3 (ceiling 4)."
+    ),
+    "n04_event_burstiness": (
+        "Fano factor of daily per-type counts over the DENSE day grid. "
+        "Look for: one (type, day) fact aggregation with partial agg; "
+        "the dense grid built from sequence(min,max) × tiny distinct "
+        "types (broadcast BNLJ, legit); exact int64 moments. Observed "
+        "wide exchanges: 2 (ceiling 3)."
+    ),
+    "n05_sequence_packing": (
+        "Concat-and-chunk training-shard audit. Look for: ONE window "
+        "cumsum partitioned by source (the only exchange) feeding the "
+        "per-source agg — the packed stream is never materialized. At "
+        "100 TB the per-source window becomes a two-pass distributed "
+        "prefix sum (docstring). Observed wide exchanges: 1 (ceiling 2)."
+    ),
+    "n06_quality_deciles": (
+        "Curriculum deciles via global ntile(10). Look for: a single "
+        "total-sort window (the WindowExec single-partition warning is "
+        "the EXPECTED exact-contract shape; the 100 TB variant swaps in "
+        "approx-quantile boundaries + map-side bucketing); zero hash "
+        "exchanges. Observed wide exchanges: 0 (ceiling 1)."
+    ),
+    "n07_semantic_dedup": (
+        "SemDeDup composition (round 6): shared Lloyd trainer → "
+        "cluster-scoped pairwise cosine → keep-lowest-id. Look for: "
+        "assignment as a NARROW literal-centroid map (no corpus "
+        "shuffle inside iterations); the pair join keyed on `cell` so "
+        "work is Σ|cell|² (K sizes with the corpus); per-cell counts "
+        "as the K-too-small monitor. Observed wide exchanges: 1 "
+        "(ceiling 2)."
+    ),
 }
 
 INGEST_NOTE = (
