@@ -526,3 +526,46 @@ def test_fused_multi_slab_store_identical(spark, tmp_path):
     for lvl in range(3):
         assert np.array_equal(read_zarr_level(g, lvl), expect)
         expect = windowed_mean(expect, (2, 2, 2))
+
+
+def test_fused_rerun_and_partial_damage_repair(spark, tmp_path):
+    """Fused writes are idempotent at fixed chunk keys: a re-run over
+    an existing store (the task-retry / job-retry model — no staging,
+    no rename commit) must reproduce the byte-identical store, and a
+    re-run over a PARTIALLY damaged store (chunks deleted mid-write,
+    as a crashed executor leaves it) must repair it to the same
+    bytes."""
+    root = tmp_path / "ds"
+    make_dataset(root, height=24, width=28)
+
+    def run(out):
+        return run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[8, 8, 8],
+                downsample_levels=2,
+                ingest="fused",
+            ),
+        )
+
+    def snap(out):
+        return {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }
+
+    out = tmp_path / "out"
+    run(out)
+    first = snap(out)
+    run(out)  # full re-run over the existing store
+    assert snap(out) == first
+    # simulate a crashed write: remove some chunk files + one .zarray
+    victims = [p for p in sorted(out.rglob("*")) if p.is_file()][::7]
+    for v in victims:
+        v.unlink()
+    assert snap(out) != first
+    run(out)
+    assert snap(out) == first
