@@ -1424,3 +1424,115 @@ ORDER BY s.cell
 
 QUERIES["n07_semantic_dedup"] = n07_semantic_dedup
 ORACLE["n07_semantic_dedup"] = _n07_sql()
+
+
+# ---------------------------------------------------------------------------
+# N8 (round 6) — per-window HLL distinct users: x04's HyperLogLog
+# register pipeline GROUPED by the 1-hour tumbling window, reporting
+# estimate vs exact and error ppm per window.  This is the batch twin
+# of the streaming `windowed_hll_distinct` stateful operator
+# (streaming/events_stream.py): the stream maintains the registers
+# incrementally per open window and emits ONCE when the watermark
+# closes it — tests/test_streaming.py asserts stream estimates equal
+# these, window for window, because both sides share the md5-lane
+# hash/bucket/rho formulas (integer-exact in Spark, DuckDB, AND
+# hashlib).
+#
+# Plan: one (window, bucket) aggregation with map-side combine —
+# ≤ windows × 256 rows through the exchange regardless of event
+# count — plus the exact countDistinct for QA (drop it at 100 TB:
+# the estimate IS the product; the exact column exists so the oracle
+# can price the sketch's error).
+# ---------------------------------------------------------------------------
+def n08_windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.sketch import (
+        HLL_ALPHA_MILLI,
+        HLL_M,
+        _H32,
+    )
+    from aind_smartspim_data_transformation_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("hour", "ts").alias("w_start"),
+        F.col("user_id").cast("string").alias("token"),
+    )
+    h = F.expr(_H32)
+    regs = (
+        ev.select(
+            "w_start",
+            (h % HLL_M).alias("bucket"),
+            F.expr(f"{_H32} div {HLL_M}").alias("v"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("v") == 0, F.lit(25)).otherwise(
+                F.lit(25) - F.length(F.bin("v"))
+            ),
+        )
+        .groupBy("w_start", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    num = HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << 32)
+    sums = regs.groupBy("w_start").agg(
+        (
+            F.expr("sum(shiftleft(CAST(1 AS BIGINT), 32 - r))")
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 32)
+        ).alias("s"),
+        F.count("*").alias("n_regs"),
+    )
+    exact = ev.groupBy("w_start").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    return (
+        sums.join(exact, "w_start")
+        .select(
+            "w_start",
+            "n_regs",
+            "n_exact",
+            F.expr(f"{num} div (1000 * s)").alias("est"),
+            F.expr(
+                f"abs({num} div (1000 * s) - n_exact) * 1000000"
+                " div greatest(n_exact, 1)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("w_start")
+    )
+
+
+def _n08_sql() -> str:
+    from aind_smartspim_data_transformation_spark.operators.sketch import (
+        HLL_ALPHA_MILLI,
+        HLL_M,
+    )
+
+    h = "('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT"
+    num = HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << 32)
+    return f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+         {h} % {HLL_M} AS bucket, {h} // {HLL_M} AS v, user_id
+  FROM events
+), regs AS (
+  SELECT w_start, bucket,
+         max(CASE WHEN v = 0 THEN 25 ELSE 25 - length(bin(v)) END) AS r
+  FROM ev GROUP BY w_start, bucket
+), sums AS (
+  SELECT w_start,
+         sum((1::BIGINT << (32 - r)))::BIGINT
+           + ({HLL_M} - count(*)) * (1::BIGINT << 32) AS s,
+         count(*) AS n_regs
+  FROM regs GROUP BY w_start
+), exact AS (
+  SELECT w_start, count(DISTINCT user_id) AS n_exact FROM ev GROUP BY w_start
+)
+SELECT s.w_start, s.n_regs, e.n_exact,
+       {num} // (1000 * s.s) AS est,
+       abs({num} // (1000 * s.s) - e.n_exact) * 1000000
+         // greatest(e.n_exact, 1) AS err_ppm
+FROM sums s JOIN exact e USING (w_start)
+ORDER BY s.w_start
+"""
+
+
+QUERIES["n08_windowed_hll_users"] = n08_windowed_hll_users
+ORACLE["n08_windowed_hll_users"] = _n08_sql()

@@ -49,6 +49,7 @@ _LEADING_R6 = [
     "n05_sequence_packing",
     "n06_quality_deciles",
     "n07_semantic_dedup",
+    "n08_windowed_hll_users",
 ]
 
 

@@ -327,6 +327,98 @@ def finalized_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def windowed_hll_distinct(events: DataFrame) -> DataFrame:
+    """Per-tumbling-window DISTINCT-USER estimate as an INCREMENTAL
+    HyperLogLog — the streaming twin of batch n08_windowed_hll_users
+    (plans/extras.py): state per open window is the fixed 256-byte
+    register array (NOT the user set — a billion distinct users per
+    window costs the same 256 bytes), updated with each microbatch and
+    emitted EXACTLY ONCE when the watermark passes the window end
+    (event-time timeout, append mode).
+
+    Hash parity: the registers use the repo's md5-lane family
+    (operators/sketch.py) computed here via hashlib on
+    ``str(user_id)`` — bit-identical to Spark's
+    ``md5(cast(user_id AS string))`` and DuckDB's ``md5(::VARCHAR)``,
+    so the stream's integer estimates equal the batch/oracle ones
+    exactly (asserted in tests/test_streaming.py).
+
+    This is the production shape for streaming cardinality: built-in
+    ``approx_count_distinct`` works under windows too, but its HLL++
+    sketch is opaque — this operator's registers are the SAME sketch
+    the batch pipeline (x04/n08) and any external consumer can merge
+    by max(), giving stream↔batch mergeability, not just parity.
+
+    Requires ``withWatermark("ts", ...)`` upstream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from aind_smartspim_data_transformation_spark.operators.sketch import (
+        HLL_ALPHA_MILLI,
+        HLL_M,
+    )
+
+    out_schema = "w_start timestamp, n_regs long, est long"
+    state_schema = "regs binary"
+
+    def _estimate(regs: bytes) -> tuple[int, int]:
+        s = 0
+        n_regs = 0
+        for r in regs:
+            if r:
+                n_regs += 1
+                s += 1 << (32 - r)
+            else:
+                s += 1 << 32
+        num = HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << 32)
+        return n_regs, num // (1000 * s)
+
+    def _update(key, pdfs, state):
+        import hashlib
+
+        w_start = pd.Timestamp(key[0])  # group key: the window start
+        if state.hasTimedOut:
+            (regs,) = state.get
+            state.remove()
+            n_regs, est = _estimate(regs)
+            yield pd.DataFrame(
+                {
+                    "w_start": [w_start],
+                    "n_regs": [n_regs],
+                    "est": [est],
+                }
+            )
+            return
+        regs = bytearray(state.get[0]) if state.exists else bytearray(HLL_M)
+        for uid in pdfs_users(pdfs):
+            h = int(hashlib.md5(uid.encode()).hexdigest()[:8], 16)
+            bucket, v = h % HLL_M, h // HLL_M
+            rho = 25 if v == 0 else 25 - v.bit_length()
+            if rho > regs[bucket]:
+                regs[bucket] = rho
+        state.update((bytes(regs),))
+        # fire when the watermark passes the window end (1-hour windows,
+        # matching the date_trunc("hour") key below)
+        state.setTimeoutTimestamp(w_start.value // 1_000_000 + 3_600_000)
+
+    def pdfs_users(pdfs):
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                yield str(int(uid))
+
+    keyed = events.select(
+        F.date_trunc("hour", "ts").alias("w_start"), "user_id", "ts"
+    )
+    return keyed.groupBy("w_start").applyInPandasWithState(
+        _update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """Running per-user totals via ``transformWithStateInPandas`` — the
     Spark 4 arbitrary-state API that supersedes applyInPandasWithState:

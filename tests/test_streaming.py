@@ -576,3 +576,56 @@ def test_watermark_drop_listener_accumulates(spark, tmp_path):
         assert t["batches"] >= 2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_windowed_hll_stream_matches_batch_n08(spark, sf_dir, tmp_path):
+    """The incremental windowed HLL: registers accumulated across
+    microbatches per open window, each window emitted exactly once on
+    watermark close, and every estimate EQUAL to batch
+    n08_windowed_hll_users' (shared hash family — hashlib and Spark
+    md5 agree bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    from aind_smartspim_data_transformation_spark.plans.extras import (
+        n08_windowed_hll_users,
+    )
+    from aind_smartspim_data_transformation_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    mid = ev.agg(F.expr("percentile_approx(CAST(ts AS LONG), 0.5)")).collect()[0][0]
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    # two waves split mid-stream: most windows span both microbatches,
+    # so the test exercises cross-batch register accumulation
+    ev.filter(F.col("ts").cast("long") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    ev.filter(F.col("ts").cast("long") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(
+        [(999_999_999, __import__("datetime").datetime(2035, 1, 1))],
+        "user_id long, ts timestamp",
+    ).select("ts", "user_id").coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 second")
+    )
+    got = {
+        r["w_start"]: (r["n_regs"], r["est"])
+        for r in es.run_to_completion(
+            es.windowed_hll_distinct(stream), "t_hll_windows", mode="append"
+        ).collect()
+        if r["w_start"].year < 2035
+    }
+    want = {
+        r["w_start"]: (r["n_regs"], r["est"])
+        for r in n08_windowed_hll_users(spark, sf_dir).collect()
+    }
+    assert len(got) > 1
+    assert got == want
