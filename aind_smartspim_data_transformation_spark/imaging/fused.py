@@ -242,6 +242,7 @@ def run_fused_ingest(
     cz_chunk, cy_chunk, cx_chunk = chunk_zyx
     factors = tuple(scale_factor_zyx)
     plan = _band_plan(geo, chunk_zyx, spark.sparkContext.defaultParallelism)
+    heights = {(g["channel"], g["stack"]): g["y"] for g in geo}
 
     # listing → (slab, band) groups.  The z-rank window moves ~100-byte
     # path rows (content never scanned); each slice row is duplicated
@@ -310,12 +311,16 @@ def run_fused_ingest(
         _, per_band = plan[(channel, stack)]
         cy0 = band * per_band
         y0 = cy0 * cy_chunk
+        y1 = min(y0 + per_band * cy_chunk, heights[(channel, stack)])
         stack_ladder = ladder[(channel, stack)]
         buf = None
         for i, path in enumerate(pdf["path"]):
-            plane = decode_image_gray(_open_bytes(path))
+            # prefix decode: a band needs rows [y0, y1) only, and both
+            # codecs can stop inflating at y1 — the re-decode cost the
+            # band split pays scales with the band's END, not the full
+            # plane height (first bands are near-free)
+            plane = decode_image_gray(_open_bytes(path), row_stop=y1)
             if buf is None:
-                y1 = min(y0 + per_band * cy_chunk, plane.shape[0])
                 buf = np.empty(
                     (len(pdf), y1 - y0, plane.shape[1]), dtype=plane.dtype
                 )

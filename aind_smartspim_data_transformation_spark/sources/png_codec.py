@@ -97,6 +97,11 @@ def probe_png_header(data: bytes) -> tuple[int, int, int]:
     w, h, bitdepth, colortype = struct.unpack(">IIBB", data[16:26])
     if colortype != 0:
         raise ValueError(f"only grayscale (colortype 0) supported, got {colortype}")
+    # a zeroed/garbage IHDR must fail HERE: the streaming prefix decoder
+    # legitimately skips the zlib tail, so a 0×0 "image" would otherwise
+    # decode to an empty array instead of a dead-letterable error
+    if w <= 0 or h <= 0 or bitdepth not in (8, 16):
+        raise ValueError(f"invalid PNG IHDR: {w}x{h} bitdepth={bitdepth}")
     return w, h, bitdepth
 
 
@@ -201,24 +206,43 @@ def _decode_band_wavefront(
     return out
 
 
-def decode_png_gray(data: bytes) -> np.ndarray:
-    """Decode a grayscale PNG into a 2-D uint8/uint16 array."""
+def decode_png_gray(data: bytes, row_stop: int | None = None) -> np.ndarray:
+    """Decode a grayscale PNG into a 2-D uint8/uint16 array.
+
+    ``row_stop``: decode only rows ``[0, row_stop)`` — PNG filters
+    reference the PREVIOUS row, so a prefix is decodable standalone,
+    and the zlib stream is inflated only as far as the prefix needs.
+    A consumer that wants rows [y0, y1) decodes ``row_stop=y1`` and
+    slices: inflate+unfilter cost scales with y1, not the full height
+    (the fused ingest's band tasks, imaging/fused.py).  Full decode
+    (``row_stop=None``) is byte-identical to the historical path."""
     w, h, bitdepth = probe_png_header(data)
+    if row_stop is None or row_stop > h:
+        row_stop = h
     bpp = bitdepth // 8
     stride = w * bpp
-    # gather IDAT payloads
-    idat = bytearray()
+    need = row_stop * (stride + 1)
+    # inflate IDAT payloads streaming, stopping once the prefix is in
+    dec = zlib.decompressobj()
+    raw = bytearray()
     off = 8
-    while off < len(data):
+    while off < len(data) and len(raw) < need:
         (length,) = struct.unpack(">I", data[off : off + 4])
         tag = data[off + 4 : off + 8]
         if tag == b"IDAT":
-            idat += data[off + 8 : off + 8 + length]
+            raw += dec.decompress(data[off + 8 : off + 8 + length])
         off += 12 + length
         if tag == b"IEND":
             break
-    raw = zlib.decompress(bytes(idat))
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if len(raw) < need:
+        raise ValueError(
+            f"PNG pixel stream truncated: {len(raw)} bytes for "
+            f"{row_stop} rows ({need} needed)"
+        )
+    h = row_stop
+    rows = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(
+        h, stride + 1
+    )
     ftypes = rows[:, 0]
     cur = rows[:, 1:]
     bad = set(np.unique(ftypes)) - {0, 1, 2, 3, 4}

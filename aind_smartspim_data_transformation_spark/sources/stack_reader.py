@@ -57,15 +57,17 @@ ALLOWED_EXTENSIONS = ("png", "tif", "tiff")
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_image_gray(data: bytes) -> "np.ndarray":
+def decode_image_gray(data: bytes, row_stop: int | None = None) -> "np.ndarray":
     """Magic-byte dispatch over the supported slice formats (the
     reference's pims reader handles both PNG and TIFF stacks,
     `io/readers.py:112-184`; content sniffing beats extension trust —
-    a mislabeled file fails with a clear codec error, not garbage)."""
+    a mislabeled file fails with a clear codec error, not garbage).
+    ``row_stop`` decodes only the first N rows (both codecs support
+    prefix decode — see their docstrings)."""
     if data[:8] == _PNG_SIG:
-        return decode_png_gray(data)
+        return decode_png_gray(data, row_stop)
     if data[:2] in (b"II", b"MM"):
-        return decode_tiff_gray(data)
+        return decode_tiff_gray(data, row_stop)
     raise ValueError("unrecognized image format (PNG/TIFF supported)")
 
 

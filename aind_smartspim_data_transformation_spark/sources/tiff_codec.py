@@ -200,9 +200,16 @@ def probe_tiff_header(data: bytes) -> tuple[int, int, int]:
     return w, h, bits
 
 
-def decode_tiff_gray(data: bytes) -> np.ndarray:
-    """Decode a grayscale strip TIFF into a 2-D uint8/uint16 array."""
+def decode_tiff_gray(data: bytes, row_stop: int | None = None) -> np.ndarray:
+    """Decode a grayscale strip TIFF into a 2-D uint8/uint16 array.
+
+    ``row_stop``: decode only rows ``[0, row_stop)`` — strips are
+    independent, so decompression stops at the first strip past the
+    prefix (the horizontal predictor is per-row and unaffected).  Full
+    decode (``None``) is byte-identical to the historical path."""
     w, h, bits = probe_tiff_header(data)
+    if row_stop is None or row_stop > h:
+        row_stop = h
     tags, en = _read_ifd(data)
     compression = tags.get(259, [1])[0]
     predictor = tags.get(317, [1])[0]
@@ -218,8 +225,12 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         )
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    dtype = np.dtype(en + ("u2" if bits == 16 else "u1"))
+    need = row_stop * w * dtype.itemsize
     raw = bytearray()
     for off, cnt in zip(offsets, counts):
+        if len(raw) >= need:
+            break
         strip = data[off : off + cnt]
         if compression == 1:
             raw += strip
@@ -227,7 +238,12 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
             raw += _lzw_decompress(strip)
         else:
             raw += zlib.decompress(strip)
-    dtype = np.dtype(en + ("u2" if bits == 16 else "u1"))
+    if len(raw) < need:
+        raise ValueError(
+            f"TIFF pixel stream truncated: {len(raw)} bytes for "
+            f"{row_stop} rows ({need} needed)"
+        )
+    h = row_stop
     arr = np.frombuffer(bytes(raw), dtype=dtype, count=h * w).reshape(h, w)
     if predictor == 2:  # horizontal differencing: cumsum per row
         native = arr.astype(np.int64)

@@ -343,3 +343,50 @@ def test_mixed_png_tiff_stack(spark, tmp_path):
     )
     got = assemble_array(chunks, 64)
     assert np.array_equal(got, arrays["Ex_561_Em_600/464780_530260"])
+
+
+@given(_images(), st.integers(0, 4), st.data())
+@settings(max_examples=60, deadline=None)
+def test_png_prefix_decode_equals_full(arr, ft, data):
+    """row_stop prefix decode == full decode's prefix, for every filter
+    type and every stop point (including 0 rows past the end)."""
+    stop = data.draw(st.integers(1, arr.shape[0] + 2))
+    enc = encode_png_gray(arr, filter_type=ft)
+    assert np.array_equal(
+        decode_png_gray(enc, row_stop=stop),
+        decode_png_gray(enc)[: min(stop, arr.shape[0])],
+    )
+
+
+@given(_images(), st.sampled_from([1, 5, 8]), st.data())
+@settings(max_examples=40, deadline=None)
+def test_tiff_prefix_decode_equals_full(arr, compression, data):
+    stop = data.draw(st.integers(1, arr.shape[0] + 2))
+    enc = encode_tiff_gray(arr, compression=compression)
+    assert np.array_equal(
+        decode_tiff_gray(enc, row_stop=stop),
+        decode_tiff_gray(enc)[: min(stop, arr.shape[0])],
+    )
+
+
+def test_png_prefix_decode_truncated_stream_raises():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 65535, size=(20, 16)).astype(np.uint16)
+    enc = bytearray(encode_png_gray(arr))
+    # corrupt: chop the IDAT payload in half (keep chunk framing by
+    # rewriting the stream with a short IDAT) — full decode and deep
+    # prefixes must fail loudly, shallow prefixes still decode
+    import struct as _s
+    import zlib as _z
+
+    raw = b"".join(
+        bytes([0]) + arr[y].astype(">u2").tobytes() for y in range(20)
+    )
+    comp = _z.compress(raw, 6)[: len(_z.compress(raw, 6)) // 2]
+    from aind_smartspim_data_transformation_spark.sources.png_codec import _chunk
+
+    hdr = bytes(enc[:33])  # signature + IHDR
+    broken = hdr + _chunk(b"IDAT", comp) + _chunk(b"IEND", b"")
+    with __import__("pytest").raises(ValueError, match="truncated"):
+        decode_png_gray(broken)
+    assert decode_png_gray(broken, row_stop=1).shape == (1, 16)
