@@ -1536,3 +1536,214 @@ ORDER BY s.w_start
 
 QUERIES["n08_windowed_hll_users"] = n08_windowed_hll_users
 ORACLE["n08_windowed_hll_users"] = _n08_sql()
+
+
+# ---------------------------------------------------------------------------
+# N9 (round 6) — cross-source contamination matrix: for every source
+# pair, how many DISTINCT 8-token shingles they share, normalized by
+# the smaller source's shingle vocabulary (integer ppm).  c08 audits
+# train-vs-eval contamination against a tiny broadcast panel; this is
+# the source×source generalization that tells a corpus curator which
+# ingest feeds are copies of each other BEFORE mixing weights are
+# chosen (the d10/d03 fingerprint machinery, aimed at provenance).
+#
+# Scale shape: the explode collapses to DISTINCT (source, h) before
+# any join, so each shingle contributes at most |sources| rows; the
+# boilerplate filter (shingles present in > N9_MAX_SRCS sources are
+# ubiquitous header/footer text, not contamination signal) bounds the
+# self-join fan-out at C(N9_MAX_SRCS, 2) pairs per shingle — the
+# quadratic term is capped by a constant, not by the corpus.  Both
+# aggregations are map-side-combining groupBys; the pair matrix is
+# |sources|²-bounded, tiny at any SF.
+# ---------------------------------------------------------------------------
+N9_WINDOW = 8
+N9_MAX_SRCS = 16
+
+
+def n09_cross_source_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = N9_WINDOW
+    shingles = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= w)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {w}), "
+                    f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    # Boilerplate filter as a WINDOW count over h, not groupBy + semi
+    # join: one h-shuffle feeds the filter AND h-partitions the output,
+    # so the pair self-join below needs no further exchange and the
+    # explode-heavy shingle subtree is computed once (ReusedExchange,
+    # asserted in tests/test_plan_fingerprints.py) instead of per
+    # consumer.
+    from pyspark.sql.window import Window as W
+
+    sh = (
+        shingles.withColumn("n_src", F.count("*").over(W.partitionBy("h")))
+        .filter(F.col("n_src") <= N9_MAX_SRCS)
+        .select("source", "h")
+    )
+    per_src = sh.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            per_src.select(
+                F.col("source").alias("source_a"), F.col("n").alias("n_a")
+            ),
+            "source_a",
+        )
+        .join(
+            per_src.select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("n_shared * 1000000 div least(n_a, n_b)").alias(
+                "overlap_ppm"
+            ),
+        )
+        .orderBy(F.desc("overlap_ppm"), "source_a", "source_b")
+    )
+
+
+N09_SQL = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS toks,
+         unnest(generate_series(1, len(string_split(text, ' ')) - {N9_WINDOW} + 1)) AS i
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {N9_WINDOW}
+), sh0 AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(toks[i:i + {N9_WINDOW} - 1], ' ')) AS h
+  FROM toks
+), kept AS (
+  SELECT h FROM sh0 GROUP BY h HAVING count(*) <= {N9_MAX_SRCS}
+), sh AS (
+  SELECT sh0.source, sh0.h FROM sh0 JOIN kept USING (h)
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b USING (h)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared, pa.n AS n_a, pb.n AS n_b,
+       p.n_shared * 1000000 // least(pa.n, pb.n) AS overlap_ppm
+FROM pairs p
+JOIN per_src pa ON pa.source = p.source_a
+JOIN per_src pb ON pb.source = p.source_b
+ORDER BY overlap_ppm DESC, p.source_a, p.source_b
+"""
+
+
+QUERIES["n09_cross_source_contamination"] = n09_cross_source_contamination
+ORACLE["n09_cross_source_contamination"] = N09_SQL
+
+
+# ---------------------------------------------------------------------------
+# N10 (round 6) — per-label embedding dispersion: trace of the
+# population covariance and squared centroid norm per label, in
+# (milli-unit)² integers.  The embedding-space health audit behind
+# n07/s09's cluster choices: a label whose dispersion collapses is
+# mode-collapsed (embedder bug / duplicate flood); a centroid drifting
+# from the origin flags normalization skew.  Components are quantized
+# to integer milli-units FIRST (floor(v·1000 + 0.5), the s06/s09
+# half-up idiom — identical IEEE double ops in both engines), so every
+# cross-row sum is an order-independent int64 sum and the oracle is
+# exact: n·Σq² − (Σq)² = n²·σ², summed over dims, all integers.
+#
+# Scale shape: posexplode → ONE (label, dim) groupBy with map-side
+# combine (dims × labels rows through the exchange), then a
+# labels-sized reduction.  No joins, no second pass over the vectors.
+# int64 envelope: |q| ≤ ~10⁴ ⇒ (Σq)² overflows at n ≳ 10⁹ rows per
+# (label, dim); at that scale shard the moments by a hash lane and
+# combine, or move the final squares to DECIMAL (documented, as n04).
+# ---------------------------------------------------------------------------
+def n10_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, v -> "
+                "CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+            )
+        ).alias("dim", "q"),
+    )
+    per_dim = comp.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.expr("q * q")).alias("s2"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.expr("n * s2 - s * s")).alias("disp_num"),
+            F.sum(F.expr("s * s")).alias("cent_num"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.expr("disp_num div (n_vecs * n_vecs)").alias("disp_milli2"),
+            F.expr("cent_num div (n_vecs * n_vecs)").alias(
+                "centroid_norm2_milli2"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+N10_SQL = """
+WITH base AS (
+  SELECT label, embedding::DOUBLE[] AS e,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+), comp AS (
+  SELECT label, dim,
+         CAST(floor(e[dim] * 1000.0 + 0.5) AS BIGINT) AS q
+  FROM base
+), per_dim AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(q * q) AS BIGINT) AS s2
+  FROM comp GROUP BY label, dim
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(sum(n * s2 - s * s) AS BIGINT)
+         // (CAST(max(n) AS BIGINT) * CAST(max(n) AS BIGINT)) AS disp_milli2,
+       CAST(sum(s * s) AS BIGINT)
+         // (CAST(max(n) AS BIGINT) * CAST(max(n) AS BIGINT))
+         AS centroid_norm2_milli2
+FROM per_dim GROUP BY label ORDER BY label
+"""
+
+
+QUERIES["n10_embedding_dispersion"] = n10_embedding_dispersion
+ORACLE["n10_embedding_dispersion"] = N10_SQL

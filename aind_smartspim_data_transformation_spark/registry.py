@@ -50,6 +50,8 @@ _LEADING_R6 = [
     "n06_quality_deciles",
     "n07_semantic_dedup",
     "n08_windowed_hll_users",
+    "n09_cross_source_contamination",
+    "n10_embedding_dispersion",
 ]
 
 

@@ -46,6 +46,8 @@ MAX_WIDE_EXCHANGES = {
     "n05_sequence_packing": 2,      # observed 1: one source window shuffle
     "n06_quality_deciles": 1,       # observed 0: global-sort window, no hash
     "n07_semantic_dedup": 2,        # observed 1: cell pair join (AQE bcast)
+    "n09_cross_source_contamination": 7,  # observed 6: h window feeds pair join
+    "n10_embedding_dispersion": 3,  # observed 2: (label,dim) agg + label agg
 }
 
 # Queries whose plan MUST share the d03 candidate-pair subtree instead
@@ -55,6 +57,11 @@ MAX_WIDE_EXCHANGES = {
 REQUIRE_REUSED_EXCHANGE = {
     "d13_keep_best_quality",
     "c14_curation_pipeline",
+    # the explode-heavy shingle subtree must be shared across the
+    # boilerplate filter / per-source counts / pair self-join, not
+    # recomputed per consumer (observed r6: 3 reuse nodes, 1 scan,
+    # 1 explode)
+    "n09_cross_source_contamination",
 }
 
 # BNLJ is legitimate in exactly two shapes: a non-equi join with no
