@@ -498,6 +498,26 @@ ANNOTATIONS = {
         "as the K-too-small monitor. Observed wide exchanges: 1 "
         "(ceiling 2)."
     ),
+    "n09_cross_source_contamination": (
+        "Cross-source contamination matrix (round 6). Look for: ONE "
+        "parquet scan and ONE Generate explode feeding the whole "
+        "query (the shingle subtree is shared via ReusedExchange — 3 "
+        "reuse nodes — not recomputed per consumer); the boilerplate "
+        "cap as a Window count over `h` whose exchange ALSO "
+        "pre-partitions the pair self-join (no second h-shuffle); "
+        "pair fan-out bounded at C(16,2) per shingle by the cap, so "
+        "the quadratic term is a constant, not corpus-sized. Observed "
+        "wide exchanges: 6 (ceiling 7)."
+    ),
+    "n10_embedding_dispersion": (
+        "Per-label embedding dispersion (round 6). Look for: "
+        "posexplode → ONE (label, dim) hash aggregate with "
+        "partial_sum before the exchange (dims × labels rows move, "
+        "not vectors), then a labels-sized reduction; no joins, no "
+        "second pass over the embedding column. Quantize-then-sum "
+        "keeps every cross-row sum int64-exact. Observed wide "
+        "exchanges: 2 (ceiling 3)."
+    ),
 }
 
 INGEST_NOTE = (
