@@ -94,7 +94,9 @@ def probe_png_header(data: bytes) -> tuple[int, int, int]:
     """(width, height, bitdepth) from the IHDR without decompressing."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG file")
-    w, h, bitdepth, colortype = struct.unpack(">IIBB", data[16:26])
+    w, h, bitdepth, colortype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", data[16:29]
+    )
     if colortype != 0:
         raise ValueError(f"only grayscale (colortype 0) supported, got {colortype}")
     # a zeroed/garbage IHDR must fail HERE: the streaming prefix decoder
@@ -102,6 +104,16 @@ def probe_png_header(data: bytes) -> tuple[int, int, int]:
     # decode to an empty array instead of a dead-letterable error
     if w <= 0 or h <= 0 or bitdepth not in (8, 16):
         raise ValueError(f"invalid PNG IHDR: {w}x{h} bitdepth={bitdepth}")
+    # Adam7 interlacing reorders rows across seven sub-images — the
+    # sequential unfilter (and its row_stop prefix contract) would
+    # return garbage, so refuse instead (dead-letterable, like the
+    # colortype check).  Nonzero compression/filter methods are not
+    # defined by the PNG spec at all.
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG IHDR methods: compression={comp} "
+            f"filter={filt} interlace={interlace}"
+        )
     return w, h, bitdepth
 
 

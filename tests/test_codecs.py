@@ -390,3 +390,21 @@ def test_png_prefix_decode_truncated_stream_raises():
     with __import__("pytest").raises(ValueError, match="truncated"):
         decode_png_gray(broken)
     assert decode_png_gray(broken, row_stop=1).shape == (1, 16)
+
+
+def test_png_interlaced_rejected():
+    """Adam7 interlace reorders rows — the sequential unfilter must
+    refuse, not return garbage (IHDR methods validated at the probe)."""
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, size=(8, 8)).astype(np.uint8)
+    enc = bytearray(encode_png_gray(arr))
+    assert enc[28] == 0  # interlace byte inside IHDR payload
+    enc[28] = 1
+    # IHDR CRC covers bytes 12..29 (type+payload)
+    import struct as _s
+    import zlib as _z
+
+    crc = _z.crc32(bytes(enc[12:29]))
+    enc[29:33] = _s.pack(">I", crc)
+    with __import__("pytest").raises(ValueError, match="interlace"):
+        decode_png_gray(bytes(enc))
