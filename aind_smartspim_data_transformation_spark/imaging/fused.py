@@ -315,16 +315,21 @@ def run_fused_ingest(
         stack_ladder = ladder[(channel, stack)]
         buf = None
         for i, path in enumerate(pdf["path"]):
-            # prefix decode: a band needs rows [y0, y1) only, and both
-            # codecs can stop inflating at y1 — the re-decode cost the
-            # band split pays scales with the band's END, not the full
-            # plane height (first bands are near-free)
-            plane = decode_image_gray(_open_bytes(path), row_stop=y1)
+            # windowed decode: a band needs rows [y0, y1) only.  TIFF
+            # skips strips on both sides of the window; PNG inflates
+            # only up to y1 (sequential zlib) and slices — so the
+            # re-decode cost the band split pays scales with the
+            # band's extent (TIFF) or its END row (PNG), never the
+            # full plane height
+            band_rows = decode_image_gray(
+                _open_bytes(path), row_stop=y1, row_start=y0
+            )
             if buf is None:
                 buf = np.empty(
-                    (len(pdf), y1 - y0, plane.shape[1]), dtype=plane.dtype
+                    (len(pdf), y1 - y0, band_rows.shape[1]),
+                    dtype=band_rows.dtype,
                 )
-            buf[i] = plane[y0:y1]  # crop NOW: band memory, not slab
+            buf[i] = band_rows
         fs, base = _fs_for(output_root)
         made: set[str] = set()
         n_chunks = 0

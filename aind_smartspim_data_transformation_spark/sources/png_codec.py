@@ -218,19 +218,26 @@ def _decode_band_wavefront(
     return out
 
 
-def decode_png_gray(data: bytes, row_stop: int | None = None) -> np.ndarray:
+def decode_png_gray(
+    data: bytes, row_stop: int | None = None, row_start: int = 0
+) -> np.ndarray:
     """Decode a grayscale PNG into a 2-D uint8/uint16 array.
 
     ``row_stop``: decode only rows ``[0, row_stop)`` — PNG filters
     reference the PREVIOUS row, so a prefix is decodable standalone,
-    and the zlib stream is inflated only as far as the prefix needs.
-    A consumer that wants rows [y0, y1) decodes ``row_stop=y1`` and
-    slices: inflate+unfilter cost scales with y1, not the full height
-    (the fused ingest's band tasks, imaging/fused.py).  Full decode
-    (``row_stop=None``) is byte-identical to the historical path."""
+    and the zlib stream is inflated only as far as the prefix needs:
+    inflate+unfilter cost scales with row_stop, not the full height
+    (the fused ingest's band tasks, imaging/fused.py).  ``row_start``
+    only slices the returned window to ``[row_start, row_stop)`` —
+    PNG's sequential zlib stream cannot skip leading rows (unlike
+    TIFF strips) — it exists so callers can use one signature for
+    both codecs via ``decode_image_gray``.  Full decode (defaults) is
+    byte-identical to the historical path."""
     w, h, bitdepth = probe_png_header(data)
     if row_stop is None or row_stop > h:
         row_stop = h
+    if not 0 <= row_start <= row_stop:
+        raise ValueError(f"bad row window [{row_start}, {row_stop})")
     bpp = bitdepth // 8
     stride = w * bpp
     need = row_stop * (stride + 1)
@@ -289,5 +296,12 @@ def decode_png_gray(data: bytes, row_stop: int | None = None) -> np.ndarray:
         prev = rec
         y += 1
     if bitdepth == 16:
-        return out.reshape(h, w, 2).view(np.dtype(">u2")).reshape(h, w).astype(np.uint16)
-    return out.reshape(h, w)
+        full = (
+            out.reshape(h, w, 2)
+            .view(np.dtype(">u2"))
+            .reshape(h, w)
+            .astype(np.uint16)
+        )
+    else:
+        full = out.reshape(h, w)
+    return full[row_start:]

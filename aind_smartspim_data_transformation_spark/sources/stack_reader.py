@@ -57,17 +57,20 @@ ALLOWED_EXTENSIONS = ("png", "tif", "tiff")
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_image_gray(data: bytes, row_stop: int | None = None) -> "np.ndarray":
+def decode_image_gray(
+    data: bytes, row_stop: int | None = None, row_start: int = 0
+) -> "np.ndarray":
     """Magic-byte dispatch over the supported slice formats (the
     reference's pims reader handles both PNG and TIFF stacks,
     `io/readers.py:112-184`; content sniffing beats extension trust —
     a mislabeled file fails with a clear codec error, not garbage).
-    ``row_stop`` decodes only the first N rows (both codecs support
-    prefix decode — see their docstrings)."""
+    ``[row_start, row_stop)`` decodes only that row window: TIFF skips
+    strips on BOTH sides of it; PNG inflates up to row_stop (its zlib
+    stream is sequential) and slices — see the codec docstrings."""
     if data[:8] == _PNG_SIG:
-        return decode_png_gray(data, row_stop)
+        return decode_png_gray(data, row_stop, row_start)
     if data[:2] in (b"II", b"MM"):
-        return decode_tiff_gray(data, row_stop)
+        return decode_tiff_gray(data, row_stop, row_start)
     raise ValueError("unrecognized image format (PNG/TIFF supported)")
 
 

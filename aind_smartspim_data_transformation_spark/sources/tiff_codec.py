@@ -200,16 +200,23 @@ def probe_tiff_header(data: bytes) -> tuple[int, int, int]:
     return w, h, bits
 
 
-def decode_tiff_gray(data: bytes, row_stop: int | None = None) -> np.ndarray:
+def decode_tiff_gray(
+    data: bytes, row_stop: int | None = None, row_start: int = 0
+) -> np.ndarray:
     """Decode a grayscale strip TIFF into a 2-D uint8/uint16 array.
 
-    ``row_stop``: decode only rows ``[0, row_stop)`` — strips are
-    independent, so decompression stops at the first strip past the
-    prefix (the horizontal predictor is per-row and unaffected).  Full
-    decode (``None``) is byte-identical to the historical path."""
+    ``row_stop`` / ``row_start``: decode only rows ``[row_start,
+    row_stop)``.  Strips are independent, so strips entirely BELOW
+    ``row_start`` are never read (RowsPerStrip locates the first
+    needed strip) and decompression stops at the first strip past
+    ``row_stop`` — a middle band of a multi-strip plane costs only its
+    own strips.  The horizontal predictor is per-row and unaffected.
+    Full decode (defaults) is byte-identical to the historical path."""
     w, h, bits = probe_tiff_header(data)
     if row_stop is None or row_stop > h:
         row_stop = h
+    if not 0 <= row_start <= row_stop:
+        raise ValueError(f"bad row window [{row_start}, {row_stop})")
     tags, en = _read_ifd(data)
     compression = tags.get(259, [1])[0]
     predictor = tags.get(317, [1])[0]
@@ -225,10 +232,13 @@ def decode_tiff_gray(data: bytes, row_stop: int | None = None) -> np.ndarray:
         )
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    rps = tags.get(278, [h])[0] or h
+    s0 = row_start // rps  # first strip overlapping the window
+    base_row = s0 * rps
     dtype = np.dtype(en + ("u2" if bits == 16 else "u1"))
-    need = row_stop * w * dtype.itemsize
+    need = (row_stop - base_row) * w * dtype.itemsize
     raw = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for off, cnt in zip(offsets[s0:], counts[s0:]):
         if len(raw) >= need:
             break
         strip = data[off : off + cnt]
@@ -240,21 +250,32 @@ def decode_tiff_gray(data: bytes, row_stop: int | None = None) -> np.ndarray:
             raw += zlib.decompress(strip)
     if len(raw) < need:
         raise ValueError(
-            f"TIFF pixel stream truncated: {len(raw)} bytes for "
-            f"{row_stop} rows ({need} needed)"
+            f"TIFF pixel stream truncated: {len(raw)} bytes for rows "
+            f"[{base_row}, {row_stop}) ({need} needed)"
         )
-    h = row_stop
-    arr = np.frombuffer(bytes(raw), dtype=dtype, count=h * w).reshape(h, w)
+    n_rows = row_stop - base_row
+    arr = np.frombuffer(bytes(raw), dtype=dtype, count=n_rows * w).reshape(
+        n_rows, w
+    )
     if predictor == 2:  # horizontal differencing: cumsum per row
         native = arr.astype(np.int64)
         arr = (np.cumsum(native, axis=1) & ((1 << bits) - 1)).astype(dtype)
-    return arr.astype(np.uint16 if bits == 16 else np.uint8)
+    out = arr.astype(np.uint16 if bits == 16 else np.uint8)
+    return out[row_start - base_row :]
 
 
-def encode_tiff_gray(arr: np.ndarray, compression: int = 1) -> bytes:
-    """Encode a 2-D uint8/uint16 array as a single-strip II TIFF.
+def encode_tiff_gray(
+    arr: np.ndarray,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Encode a 2-D uint8/uint16 array as an II strip TIFF.
 
     ``compression``: 1 (none), 5 (LZW) or 8 (Deflate).
+    ``rows_per_strip``: ``None`` = one strip (historical layout);
+    otherwise the plane splits into independently-compressed strips of
+    that many rows — the layout that lets ``decode_tiff_gray`` read a
+    row window without touching other strips.
     """
     if arr.ndim != 2:
         raise ValueError(f"expected 2-D array, got shape {arr.shape}")
@@ -267,28 +288,50 @@ def encode_tiff_gray(arr: np.ndarray, compression: int = 1) -> bytes:
     if compression not in (1, 5, 8):
         raise ValueError(f"unsupported compression {compression}")
     h, w = arr.shape
-    payload = np.ascontiguousarray(arr.astype("<u2" if bits == 16 else "u1")).tobytes()
-    if compression == 8:
-        payload = zlib.compress(payload, 1)
-    elif compression == 5:
-        payload = _lzw_compress(payload)
-    # layout: header(8) | strip data | IFD
-    strip_off = 8
-    ifd_off = strip_off + len(payload)
+    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+    native = np.ascontiguousarray(arr.astype("<u2" if bits == 16 else "u1"))
+    strips: list[bytes] = []
+    for r0 in range(0, h, rps) or [0]:
+        seg = native[r0 : r0 + rps].tobytes()
+        if compression == 8:
+            seg = zlib.compress(seg, 1)
+        elif compression == 5:
+            seg = _lzw_compress(seg)
+        strips.append(seg)
+    if not strips:  # h == 0 is rejected upstream, but stay total
+        strips = [b""]
+    n = len(strips)
+    # layout: header(8) | strip data | [offsets array | counts array] | IFD
+    offs: list[int] = []
+    cur = 8
+    for seg in strips:
+        offs.append(cur)
+        cur += len(seg)
+    if n == 1:
+        off_val, cnt_val = offs[0], len(strips[0])
+        ifd_off = cur
+    else:  # count > 1 LONG arrays live out-of-line, pointed to by the IFD
+        off_val = cur
+        cnt_val = cur + 4 * n
+        ifd_off = cur + 8 * n
     entries = [
         (256, 4, 1, w),  # ImageWidth
         (257, 4, 1, h),  # ImageLength
         (258, 3, 1, bits),  # BitsPerSample
         (259, 3, 1, compression),
         (262, 3, 1, 1),  # PhotometricInterpretation: BlackIsZero
-        (273, 4, 1, strip_off),  # StripOffsets
+        (273, 4, n, off_val),  # StripOffsets
         (277, 3, 1, 1),  # SamplesPerPixel
-        (278, 4, 1, h),  # RowsPerStrip (single strip)
-        (279, 4, 1, len(payload)),  # StripByteCounts
+        (278, 4, 1, rps),  # RowsPerStrip
+        (279, 4, n, cnt_val),  # StripByteCounts
     ]
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
-    out += payload
+    for seg in strips:
+        out += seg
+    if n > 1:
+        out += struct.pack(f"<{n}I", *offs)
+        out += struct.pack(f"<{n}I", *(len(s) for s in strips))
     out += struct.pack("<H", len(entries))
     for tag, typ, count, value in entries:
         out += struct.pack("<HHII", tag, typ, count, value)

@@ -408,3 +408,55 @@ def test_png_interlaced_rejected():
     enc[29:33] = _s.pack(">I", crc)
     with __import__("pytest").raises(ValueError, match="interlace"):
         decode_png_gray(bytes(enc))
+
+
+@given(_images(), st.sampled_from([1, 5, 8]), st.integers(1, 9), st.data())
+@settings(max_examples=50, deadline=None)
+def test_tiff_multistrip_roundtrip_and_window(arr, compression, rps, data):
+    """Multi-strip encode round-trips, and a [start, stop) window
+    decode equals the full decode's window for every strip geometry."""
+    enc = encode_tiff_gray(arr, compression=compression, rows_per_strip=rps)
+    assert np.array_equal(decode_tiff_gray(enc), arr)
+    stop = data.draw(st.integers(1, arr.shape[0]))
+    start = data.draw(st.integers(0, stop))
+    assert np.array_equal(
+        decode_tiff_gray(enc, row_stop=stop, row_start=start),
+        arr[start:stop],
+    )
+
+
+@given(_images(), st.integers(0, 4), st.data())
+@settings(max_examples=40, deadline=None)
+def test_png_window_equals_full(arr, ft, data):
+    stop = data.draw(st.integers(1, arr.shape[0]))
+    start = data.draw(st.integers(0, stop))
+    enc = encode_png_gray(arr, filter_type=ft)
+    assert np.array_equal(
+        decode_png_gray(enc, row_stop=stop, row_start=start),
+        arr[start:stop],
+    )
+
+
+def test_tiff_window_never_reads_outside_strips():
+    """The strip-skip contract, proven destructively: corrupt every
+    strip OUTSIDE the requested window and the window still decodes
+    exactly (a decoder that touched those strips would raise on the
+    corrupted deflate streams — and the full decode does)."""
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _read_ifd,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 65535, size=(20, 16)).astype(np.uint16)
+    enc = bytearray(encode_tiff_gray(arr, compression=8, rows_per_strip=4))
+    tags, _ = _read_ifd(bytes(enc))
+    offsets, counts = tags[273], tags[279]
+    assert len(offsets) == 5
+    # window rows [8, 12) lives wholly in strip 2 — trash all others
+    for s in (0, 1, 3, 4):
+        enc[offsets[s] : offsets[s] + counts[s]] = b"\xff" * counts[s]
+    assert np.array_equal(
+        decode_tiff_gray(bytes(enc), row_stop=12, row_start=8), arr[8:12]
+    )
+    with pytest.raises(Exception):
+        decode_tiff_gray(bytes(enc))
