@@ -1681,6 +1681,9 @@ ORACLE["n09_cross_source_contamination"] = N09_SQL
 # Scale shape: posexplode → ONE (label, dim) groupBy with map-side
 # combine (dims × labels rows through the exchange), then a
 # labels-sized reduction.  No joins, no second pass over the vectors.
+# Assumes fixed-length embeddings (the table's contract): with ragged
+# arrays the max(n)² denominator would mix per-dim counts — validate
+# len(embedding) upstream if ingesting heterogeneous vectors.
 # int64 envelope: |q| ≤ ~10⁴ ⇒ (Σq)² overflows at n ≳ 10⁹ rows per
 # (label, dim); at that scale shard the moments by a hash lane and
 # combine, or move the final squares to DECIMAL (documented, as n04).
