@@ -260,3 +260,86 @@ def plan_partition_count(total_bytes: int, target_partition_bytes: int) -> int:
     if target_partition_bytes <= 0:
         raise ValueError("target_partition_bytes must be positive")
     return max(1, -(-total_bytes // target_partition_bytes))
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum WITHOUT the single-task global window.
+
+    ``Window.orderBy(...)`` with no ``partitionBy`` funnels the ENTIRE
+    input through one task (Spark even warns) — the classic prefix-sum
+    scale trap that n05/n06's docstrings document around.  This is the
+    real two-pass construction those docstrings promise:
+
+    1. ``repartitionByRange`` on the order key — partition *p* holds a
+       contiguous key range, so partition order == key order;
+    2. per-partition partial sums (#partitions rows, map-side
+       combined), cumulated into per-partition OFFSETS on the driver
+       (a #partitions-sized list, not data) and broadcast-joined back;
+    3. within-partition cumsum via a window PARTITIONED by the range
+       partition id — every task windows only its own range.
+
+    Row-identical to the global window when ``order_col`` is a total
+    order (unique keys); with ties the per-row running values within a
+    tie group are order-dependent in BOTH constructions (document or
+    pre-aggregate ties away).  The input is scanned three times
+    (boundary sample + offset pass + cumsum pass) — persist upstream
+    if it is expensive to recompute.
+
+    The range buckets come from EXPLICIT approxQuantile boundaries
+    baked in as literals, not ``repartitionByRange``: the range
+    partitioner re-SAMPLES per job, so the offset pass and the cumsum
+    pass could disagree on which partition a row belongs to (observed:
+    silently wrong totals).  Literal boundaries make bucket membership
+    a pure function of the key — identical in every pass by
+    construction.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    qs = [i / n for i in range(1, n)]
+    bounds = df.stat.approxQuantile(order_col, qs, 0.001)
+    # strictly increasing boundaries (duplicates collapse buckets)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    if uniq:
+        # plain literal comparisons, not a higher-order filter(): a
+        # lambda capturing the outer key column trips Catalyst's
+        # attribute binding when the expression crosses the offset
+        # join (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, pyspark 4.1)
+        key_d = F.col(order_col).cast("double")
+        bucket = sum(
+            ((key_d > F.lit(b)).cast("int") for b in uniq), F.lit(0)
+        )
+    else:
+        bucket = F.lit(0)
+    parts = df.withColumn("_rpid", bucket)
+    partials = (
+        parts.groupBy("_rpid").agg(F.sum(value_col).alias("_psum")).collect()
+    )
+    running = 0
+    offsets = []
+    for r in sorted(partials, key=lambda r: r["_rpid"]):
+        offsets.append((int(r["_rpid"]), running))
+        running += r["_psum"] or 0
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets,
+        f"_rpid int, _offset {'double' if isinstance(running, float) else 'long'}",
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("_rpid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        parts.join(F.broadcast(offsets_df), "_rpid")
+        .withColumn(out_col, F.col("_offset") + F.sum(value_col).over(w))
+        .drop("_rpid", "_offset")
+    )

@@ -1133,7 +1133,10 @@ ORACLE["n04_event_burstiness"] = N04_SQL
 # one task, so shard the cumsum: range-partition each source by
 # doc_id, per-range token subtotals (tiny) to the driver, broadcast
 # the per-range prefix offsets back, and the window becomes
-# per-range-local — the classic two-pass distributed prefix sum.  At
+# per-range-local — the classic two-pass distributed prefix sum,
+# IMPLEMENTED as operators/scale_utils.py::distributed_cumsum
+# (deterministic literal-boundary buckets; plan-asserted to window
+# only per-bucket in tests/test_scale_utils.py).  At
 # test SFs the single window is exact and identical in both engines.
 # All outputs integer (ppm/milli), CAST to BIGINT for the driver hash.
 # ---------------------------------------------------------------------------
@@ -1243,8 +1246,11 @@ ORACLE["n05_sequence_packing"] = N05_SQL
 # approx-quantile tier BOUNDARIES (one pass, t-digest/histogram
 # sketch) and a map-side bucket join — tiers become approximate at the
 # boundary but no global sort exists.  The sketch variant's shape is
-# x06_hist_quantiles; this query keeps the exact contract the oracle
-# can verify.  All outputs integer, CAST BIGINT.
+# x06_hist_quantiles, and the boundary-bucket machinery is
+# operators/scale_utils.py::distributed_cumsum's (literal quantile
+# boundaries → pure-function bucket id → per-bucket windows); this
+# query keeps the exact contract the oracle can verify.  All outputs
+# integer, CAST BIGINT.
 # ---------------------------------------------------------------------------
 def n06_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W

@@ -316,3 +316,37 @@ def test_aqe_skew_join_split_fires(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    """Two-pass range cumsum == the single-task global window, and the
+    plan proves the scale claim: every window is PARTITIONED by the
+    range partition id (no empty-partition-spec window funneling the
+    input through one task)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_cumsum,
+    )
+
+    df = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") * 2654435761 % 1000003).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .distinct()  # unique k: total order, so row-level parity is exact
+    )
+    got = distributed_cumsum(df, "k", "v", num_partitions=8)
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    want = df.withColumn("running_total", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # every windowspec must carry the _rpid partition key
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("_rpid" in s for s in specs), specs
