@@ -1756,3 +1756,171 @@ FROM per_dim GROUP BY label ORDER BY label
 
 QUERIES["n10_embedding_dispersion"] = n10_embedding_dispersion
 ORACLE["n10_embedding_dispersion"] = N10_SQL
+
+
+# ---------------------------------------------------------------------------
+# N11 (round 6) — split-balance audit: does c01's content-stable hash
+# split actually stratify?  For every (lang, split) cell, the lang's
+# observed split share vs the GLOBAL split share, in integer ppm, and
+# the absolute deviation.  A hash split is unbiased in expectation but
+# a finite corpus can draw a skewed cell (or a doc_id scheme can
+# correlate with language) — this is the audit that catches it before
+# a val set silently under-represents a language.  Shares are computed
+# in ppm FIRST (obs·10⁶ div n_lang), so no n_lang×n_split product ever
+# forms — int64-safe at any corpus size.
+#
+# Plan: one (lang, split) groupBy over a narrow projection; lang
+# totals, split totals, and the grand total derive from those ≤
+# |langs|×3 rows — broadcast-joined, nothing fact-sized moves twice.
+# ---------------------------------------------------------------------------
+def n11_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    cells = (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    lang_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    split_tot = cells.groupBy("split").agg(F.sum("n_docs").alias("n_split"))
+    grand = cells.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        cells.join(F.broadcast(lang_tot), "lang")
+        .join(F.broadcast(split_tot), "split")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_lang").alias("obs_share_ppm"),
+            F.expr("n_split * 1000000 div n_total").alias("exp_share_ppm"),
+            F.expr(
+                "abs(n_docs * 1000000 div n_lang "
+                "- n_split * 1000000 div n_total)"
+            ).alias("abs_dev_ppm"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+N11_SQL = """
+WITH cells AS (
+  SELECT lang,
+         CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 'train'
+              WHEN substring(md5(doc_id::VARCHAR), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+), lt AS (
+  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM cells GROUP BY lang
+), st AS (
+  SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_split FROM cells GROUP BY split
+), g AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cells
+)
+SELECT c.lang, c.split, c.n_docs,
+       c.n_docs * 1000000 // lt.n_lang AS obs_share_ppm,
+       st.n_split * 1000000 // g.n_total AS exp_share_ppm,
+       abs(c.n_docs * 1000000 // lt.n_lang
+           - st.n_split * 1000000 // g.n_total) AS abs_dev_ppm
+FROM cells c JOIN lt USING (lang) JOIN st USING (split) CROSS JOIN g
+ORDER BY c.lang, c.split
+"""
+
+
+QUERIES["n11_split_balance"] = n11_split_balance
+ORACLE["n11_split_balance"] = N11_SQL
+
+
+# ---------------------------------------------------------------------------
+# N12 (round 6) — intra- vs cross-source duplicate classification: for
+# each source, how many of its docs sit in an exact-duplicate text
+# group confined to that source (intra) vs one spanning sources
+# (cross), integer ppm of the source's docs.  The operational question
+# behind dedup ORDERING: a corpus whose duplication is mostly intra
+# can dedup per-source shards independently (cheap, embarrassingly
+# parallel); heavy cross-source duplication forces the global pass
+# (d01/d06) before mixing.  Complements n09 (near-dup shingle overlap)
+# with the exact-dup slice.
+#
+# Plan: the corpus is scanned and hashed ONCE — the (source, h)
+# groupBy sizes each source's stake, and the group classifier derives
+# FROM that aggregate (g_docs = Σ s_docs, g_srcs = row count per h —
+# stakes is already distinct on (source, h)), so both sides of the
+# h-keyed join are ≤ |groups| rows and the full text never shuffles,
+# only its 32-char digest.
+# ---------------------------------------------------------------------------
+def n12_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h")
+    )
+    stakes = docs.groupBy("source", "h").agg(F.count("*").alias("s_docs"))
+    groups = stakes.groupBy("h").agg(
+        F.sum("s_docs").alias("g_docs"),
+        F.count("*").alias("g_srcs"),
+    )
+    cls = stakes.join(groups, "h").select(
+        "source",
+        "s_docs",
+        F.when(F.col("g_docs") <= 1, F.lit("unique"))
+        .when(F.col("g_srcs") > 1, F.lit("cross"))
+        .otherwise(F.lit("intra"))
+        .alias("kind"),
+    )
+    return (
+        cls.groupBy("source")
+        .agg(
+            F.sum("s_docs").alias("n_docs"),
+            F.sum(F.when(F.col("kind") == "intra", F.col("s_docs")).otherwise(0)).alias(
+                "intra_dup_docs"
+            ),
+            F.sum(F.when(F.col("kind") == "cross", F.col("s_docs")).otherwise(0)).alias(
+                "cross_dup_docs"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "intra_dup_docs",
+            "cross_dup_docs",
+            F.expr("intra_dup_docs * 1000000 div n_docs").alias("intra_ppm"),
+            F.expr("cross_dup_docs * 1000000 div n_docs").alias("cross_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+N12_SQL = """
+WITH d AS (
+  SELECT source, md5(text) AS h FROM documents
+), groups AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS g_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS g_srcs
+  FROM d GROUP BY h
+), stakes AS (
+  SELECT source, h, CAST(count(*) AS BIGINT) AS s_docs
+  FROM d GROUP BY source, h
+), cls AS (
+  SELECT s.source, s.s_docs,
+         CASE WHEN g.g_docs <= 1 THEN 'unique'
+              WHEN g.g_srcs > 1 THEN 'cross'
+              ELSE 'intra' END AS kind
+  FROM stakes s JOIN groups g USING (h)
+)
+SELECT source,
+       CAST(sum(s_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kind = 'intra' THEN s_docs ELSE 0 END) AS BIGINT)
+         AS intra_dup_docs,
+       CAST(sum(CASE WHEN kind = 'cross' THEN s_docs ELSE 0 END) AS BIGINT)
+         AS cross_dup_docs,
+       CAST(sum(CASE WHEN kind = 'intra' THEN s_docs ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(sum(s_docs) AS BIGINT) AS intra_ppm,
+       CAST(sum(CASE WHEN kind = 'cross' THEN s_docs ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(sum(s_docs) AS BIGINT) AS cross_ppm
+FROM cls GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["n12_source_dup_profile"] = n12_source_dup_profile
+ORACLE["n12_source_dup_profile"] = N12_SQL

@@ -52,6 +52,8 @@ _LEADING_R6 = [
     "n08_windowed_hll_users",
     "n09_cross_source_contamination",
     "n10_embedding_dispersion",
+    "n11_split_balance",
+    "n12_source_dup_profile",
 ]
 
 

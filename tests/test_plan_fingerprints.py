@@ -48,6 +48,8 @@ MAX_WIDE_EXCHANGES = {
     "n07_semantic_dedup": 2,        # observed 1: cell pair join (AQE bcast)
     "n09_cross_source_contamination": 7,  # observed 6: h window feeds pair join
     "n10_embedding_dispersion": 3,  # observed 2: (label,dim) agg + label agg
+    "n11_split_balance": 7,         # observed 6: cell agg + tiny totals
+    "n12_source_dup_profile": 5,    # observed 4: one scan, digest-only aggs
 }
 
 # Queries whose plan MUST share the d03 candidate-pair subtree instead
@@ -75,6 +77,7 @@ BNLJ_ALLOWED = {
     "c13_mixture_rebalance",  # broadcast 1-row totals
     "n03_source_gini",        # |sources|-row aggregate cross product
     "n04_event_burstiness",   # dense day grid × tiny type list
+    "n11_split_balance",      # broadcast 1-row grand total
 }
 
 

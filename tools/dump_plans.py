@@ -518,6 +518,25 @@ ANNOTATIONS = {
         "keeps every cross-row sum int64-exact. Observed wide "
         "exchanges: 2 (ceiling 3)."
     ),
+    "n11_split_balance": (
+        "Split-balance audit (round 6). Look for: ONE fact-sized "
+        "(lang, split) aggregate; lang totals, split totals, and the "
+        "grand total all derive from those ≤ |langs|×3 rows (the "
+        "cell exchange is reused) and attach as broadcasts — the "
+        "1-row grand total via the allowed BNLJ attach pattern. "
+        "Shares computed in ppm first, so no n_lang×n_split product "
+        "forms (int64-safe at any corpus size). Observed wide "
+        "exchanges: 6 (ceiling 7)."
+    ),
+    "n12_source_dup_profile": (
+        "Intra- vs cross-source duplicate profile (round 6). Look "
+        "for: ONE parquet scan — the (source, h) stake aggregate is "
+        "the only fact-sized exchange, and the group classifier "
+        "derives FROM it (g_docs = sum of stakes, g_srcs = stake "
+        "count per h), so the h join moves only digest-sized "
+        "aggregates and the text column never shuffles. Observed "
+        "wide exchanges: 4 (ceiling 5)."
+    ),
 }
 
 INGEST_NOTE = (
