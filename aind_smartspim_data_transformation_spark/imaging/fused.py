@@ -98,17 +98,46 @@ def probe_stack_geometry(
     def _probe(batches):
         import pandas as pd
 
-        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
-            decode_image_gray,
+        from aind_smartspim_data_transformation_spark.sources.png_codec import (
+            probe_png_header,
         )
+        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+            _PNG_SIG,
+            probe_image_header,
+        )
+
+        def _head(path: str, n: int = 64) -> bytes:
+            # ranged read: a PNG header probe needs 29 bytes, not the
+            # whole multi-MB slice — at 10⁴ stacks the probe stage
+            # reads KBs instead of the acquisition's first-slice GBs
+            if path.startswith("file:"):
+                p = path[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+                with open(p, "rb") as f:
+                    return f.read(n)
+            from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+                _fs_for,
+            )
+
+            fs, p = _fs_for(path)
+            with fs.open_input_stream(p) as f:
+                return f.read(n)
 
         for pdf in batches:
             ys, xs, dts = [], [], []
             for p in pdf["first_path"]:
-                arr = decode_image_gray(_open_bytes(p))
-                ys.append(arr.shape[0])
-                xs.append(arr.shape[1])
-                dts.append(str(arr.dtype))
+                head = _head(p)
+                if head[:8] == _PNG_SIG:
+                    w, h, bits = probe_png_header(head)
+                else:
+                    # TIFF IFDs sit at an arbitrary offset (often the
+                    # tail), so fall back to the full read — the probe
+                    # still skips pixel decompression entirely
+                    w, h, bits = probe_image_header(_open_bytes(p))
+                ys.append(h)
+                xs.append(w)
+                dts.append("uint16" if bits == 16 else "uint8")
             yield pd.DataFrame(
                 {
                     "channel": pdf["channel"],

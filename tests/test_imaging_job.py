@@ -569,3 +569,74 @@ def test_fused_rerun_and_partial_damage_repair(spark, tmp_path):
     assert snap(out) != first
     run(out)
     assert snap(out) == first
+
+
+def test_fused_mixed_png_tiff_stack(spark, tmp_path):
+    """Fused path over a stack MIXING PNG and multi-strip deflate TIFF
+    slices: exercises the header-only geometry probe's TIFF fallback
+    (IFD at the file tail — the 64-byte fast path cannot see it) and
+    the band tasks' TIFF strip-window decode inside the real pipeline.
+    Store must equal the chunk-table pipeline's and the numpy oracle."""
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        encode_tiff_gray,
+    )
+
+    root = tmp_path / "ds"
+    ch, col, stack = "Ex_445_Em_469", "432380", "432380_504340"
+    d = root / "SmartSPIM" / ch / col / stack
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(11)
+    vol = rng.integers(0, 65535, size=(6, 12, 16)).astype(np.uint16)
+    for z in range(6):
+        if z % 2:  # extension stays .png — content sniffing must win
+            (d / f"{z:06d}.png").write_bytes(
+                encode_tiff_gray(vol[z], compression=8, rows_per_strip=4)
+            )
+        else:
+            (d / f"{z:06d}.png").write_bytes(encode_png_gray(vol[z]))
+    (root / "derivatives").mkdir()
+    (root / "acquisition.json").write_text(
+        json.dumps(
+            {
+                "tiles": [
+                    {
+                        "channel": {"channel_name": "445"},
+                        "coordinate_transformations": [
+                            {"type": "scale", "scale": [1.8, 1.8, 2.0]}
+                        ],
+                        "file_name": f"{ch}/{col}/{stack}/",
+                    }
+                ]
+            }
+        )
+    )
+
+    def run(ingest):
+        out = tmp_path / f"out_{ingest}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[4, 4, 4],
+                downsample_levels=2,
+                ingest=ingest,
+            ),
+        )
+        assert resp["status_code"] == 200
+        return out, {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }
+
+    (out_f, fused), (_, ds) = run("fused"), run("datasource")
+    assert fused == ds
+    g = f"{out_f}/{ch}/{stack}.ome.zarr"
+    expect = vol
+    for lvl in range(2):
+        assert np.array_equal(read_zarr_level(g, lvl), expect)
+        expect = windowed_mean(expect, (2, 2, 2))
