@@ -297,7 +297,12 @@ def distributed_cumsum(
     pass could disagree on which partition a row belongs to (observed:
     silently wrong totals).  Literal boundaries make bucket membership
     a pure function of the key — identical in every pass by
-    construction.
+    construction.  Boundary comparison happens in DOUBLE (what
+    approxQuantile returns): integer keys beyond 2^53 can land on
+    either side of a boundary, which only skews bucket BALANCE, never
+    the total — the within-bucket window still orders by the original
+    key.  approxQuantile's 0.001 relative error likewise bounds
+    imbalance, not correctness.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     qs = [i / n for i in range(1, n)]
