@@ -80,3 +80,62 @@ def test_x07_gap_week_yields_no_drift_row(spark, tmp_path):
     assert list(got) == [dt.date(2024, 1, 8)]
     # mix flips 750k/250k -> 250k/750k: TVD = 500000 ppm
     assert got[dt.date(2024, 1, 8)] == 500_000
+
+
+def test_n12_planted_intra_vs_cross_duplicates(spark, tmp_path):
+    """Known-answer fixture: oracle agreement cannot catch a semantic
+    bug shared by both engines, so plant exact duplicates with known
+    locality.  src_a: 4 docs, 2 sharing a text only within src_a
+    (intra).  src_b: 3 docs, 1 text shared WITH src_c (cross).  src_c:
+    2 docs, 1 cross with src_b.  src_d: 1 unique doc."""
+    rows = [
+        (1, "aaa", "en", "src_a", 3),
+        (2, "aaa", "en", "src_a", 3),   # intra dup of 1
+        (3, "bbb", "en", "src_a", 3),
+        (4, "ccc", "en", "src_a", 3),
+        (5, "xxx", "en", "src_b", 3),   # cross dup with src_c
+        (6, "yyy", "en", "src_b", 3),
+        (7, "zzz", "en", "src_b", 3),
+        (8, "xxx", "en", "src_c", 3),   # cross dup with src_b
+        (9, "www", "en", "src_c", 3),
+        (10, "vvv", "en", "src_d", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: (
+            r["n_docs"], r["intra_dup_docs"], r["cross_dup_docs"],
+            r["intra_ppm"], r["cross_ppm"],
+        )
+        for r in extras.n12_source_dup_profile(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "src_a": (4, 2, 0, 500_000, 0),
+        "src_b": (3, 0, 1, 0, 333_333),
+        "src_c": (2, 0, 1, 0, 500_000),
+        "src_d": (1, 0, 0, 0, 0),
+    }
+
+
+def test_n09_planted_shared_shingles(spark, tmp_path):
+    """Known-answer fixture for the contamination matrix: two sources
+    share exactly one 8-token shingle window's worth of text; a third
+    shares nothing.  9-token docs → 2 windows each; the shared 8-gram
+    is windows[0] of both sharers."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, shared + " tailA", "en", "s1", 9),
+        (2, shared + " tailB", "en", "s2", 9),
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9", "en", "s3", 9),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = extras.n09_cross_source_contamination(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # each doc has 2 windows → vocab 2 per source; 1 shared of min(2,2)
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert r["overlap_ppm"] == 500_000
