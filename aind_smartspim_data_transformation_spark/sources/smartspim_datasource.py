@@ -37,8 +37,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SLICE_SCHEMA = (
@@ -74,6 +76,9 @@ class SmartspimDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "SmartspimStreamReader":
         return SmartspimStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "SmartspimWriter":
+        return SmartspimWriter(self.options, overwrite)
 
 
 class SmartspimReader(DataSourceReader):
@@ -311,3 +316,250 @@ class SmartspimStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-contained; nothing external to release
+
+
+# ---------------------------------------------------------------------------
+# Writer: chunk table → OME-Zarr through Spark's commit protocol
+# ---------------------------------------------------------------------------
+
+WRITE_SCHEMA = (
+    "channel string, stack string, level int, cz int, cy int, cx int, "
+    "dz int, dy int, dx int, dtype string, data binary"
+)
+
+
+class ChunkStats(WriterCommitMessage):
+    """Per-task accounting: for each (channel, stack, level) this task
+    touched, the observed max extents (exact level extents once merged
+    across tasks — extent = max(chunk_index·chunk_dim + chunk_fill)),
+    dtype, and chunk/byte counts.  Plain picklable dict payload."""
+
+    def __init__(self, stats: dict):
+        self.stats = stats
+
+
+class SmartspimWriter(DataSourceWriter):
+    """``df.write.format("smartspim").options(...).save(root)`` — the
+    OME-Zarr sink expressed through the Python DataSource COMMIT
+    PROTOCOL (the reader/streaming-reader's missing third leg).
+
+    Input rows: :data:`WRITE_SCHEMA` — the union of per-level chunk
+    tables with a ``level`` column (the same rows
+    ``write_ome_zarr_all`` consumes, any partitioning; no grouping or
+    co-location requirement).
+
+    Crash safety falls out of the protocol: tasks write ONLY chunk
+    files; ``.zgroup``/``.zattrs``/``.zarray`` metadata is written by
+    :meth:`commit` on the driver AFTER every task has succeeded — so a
+    failed or half-finished job never leaves a store that parses as
+    complete (metadata-last, the same invariant the incremental
+    append's fence protects).  ``commit`` also validates the pyramid:
+    every stack must carry contiguous levels 0..n-1 whose observed
+    extents equal the ceil-division chain of its level-0 extents — a
+    mis-downsampled input is refused before metadata exists.
+
+    One deliberate divergence from the driver-side sinks: chunk dims
+    are the UNCLAMPED ladder derived from ``option("chunk")`` (store
+    chunk shape even when a stack's extent is smaller on an axis).
+    Zarr permits chunks larger than the array; clamping requires every
+    task to know its stack's global extent, which a single-pass
+    distributed writer cannot (and should not) coordinate.  Stores are
+    byte-identical to ``write_ome_zarr_all`` whenever extents ≥ chunk
+    (the production case) and array-identical always — both asserted
+    in tests/test_datasource.py.
+
+    Options: ``voxel_size`` (json [z,y,x] µm, default [1,1,1]),
+    ``scale_factor`` (json, default [2,2,2]), ``chunk`` (json, default
+    [128,128,128]), ``n_levels`` (default: max level seen + 1),
+    ``compressor`` / ``compressor_kwargs`` (default zlib).
+    ``mode("overwrite")`` removes the target root up front (driver,
+    before any task); the default append mode writes into place.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        import json as _json
+
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("smartspim writer requires .save(<output root>)")
+        self.voxel = _json.loads(options.get("voxel_size", "[1.0, 1.0, 1.0]"))
+        self.factors = _json.loads(options.get("scale_factor", "[2, 2, 2]"))
+        self.chunk = _json.loads(options.get("chunk", "[128, 128, 128]"))
+        self.n_levels = (
+            int(options["n_levels"]) if "n_levels" in options else None
+        )
+        self.compressor = options.get("compressor", "zlib")
+        self.compressor_kwargs = _json.loads(
+            options.get("compressor_kwargs", "null")
+        )
+        from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+            validate_pyramid_geometry,
+        )
+
+        if self.n_levels is not None:
+            validate_pyramid_geometry(self.chunk, self.factors, self.n_levels)
+        if overwrite:
+            from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+                _fs_for,
+            )
+
+            fs, base = _fs_for(self.root)
+            try:
+                fs.delete_dir(base)
+            except FileNotFoundError:
+                pass
+
+    def _ladder(self, max_level: int) -> list[tuple[int, int, int]]:
+        dims = tuple(self.chunk)
+        out = [dims]
+        fz, fy, fx = self.factors
+        for _ in range(max_level):
+            dims = (-(-dims[0] // fz), -(-dims[1] // fy), -(-dims[2] // fx))
+            out.append(dims)
+        return out
+
+    def write(self, iterator) -> ChunkStats:
+        import numpy as np
+
+        from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+            _fs_for,
+            _make_codec,
+        )
+
+        _, compress = _make_codec(self.compressor, self.compressor_kwargs)
+        fs, base = _fs_for(self.root)
+        ladder: list[tuple[int, int, int]] = self._ladder(0)
+        made: set[str] = set()
+        stats: dict = {}
+        for r in iterator:
+            lvl = int(r["level"])
+            while lvl >= len(ladder):
+                ladder = self._ladder(len(ladder))
+            dims = ladder[lvl]
+            shp = (int(r["dz"]), int(r["dy"]), int(r["dx"]))
+            if any(s > d for s, d in zip(shp, dims)):
+                raise ValueError(
+                    f"chunk {shp} exceeds level-{lvl} store chunk {dims} "
+                    f"({r['channel']}/{r['stack']}) — re-chunk the input "
+                    f"to option('chunk')'s ladder"
+                )
+            arr = np.frombuffer(bytes(r["data"]), dtype=np.dtype(r["dtype"]))
+            arr = arr.reshape(shp)
+            if shp != dims:
+                full = np.zeros(dims, dtype=arr.dtype)
+                full[: shp[0], : shp[1], : shp[2]] = arr
+                arr = full
+            key = "/".join(
+                [
+                    base,
+                    r["channel"],
+                    f"{r['stack']}.ome.zarr",
+                    str(lvl),
+                    "0",
+                    "0",
+                    str(int(r["cz"])),
+                    str(int(r["cy"])),
+                    str(int(r["cx"])),
+                ]
+            )
+            parent = key.rsplit("/", 1)[0]
+            if parent not in made:
+                fs.create_dir(parent, recursive=True)
+                made.add(parent)
+            payload = compress(np.ascontiguousarray(arr).tobytes())
+            with fs.open_output_stream(key) as f:
+                f.write(payload)
+            k = (r["channel"], r["stack"], lvl)
+            s = stats.setdefault(
+                k,
+                {"z": 0, "y": 0, "x": 0, "dtype": r["dtype"], "n": 0, "b": 0},
+            )
+            if s["dtype"] != r["dtype"]:
+                raise ValueError(
+                    f"mixed dtypes for {k}: {s['dtype']} vs {r['dtype']}"
+                )
+            s["z"] = max(s["z"], int(r["cz"]) * dims[0] + shp[0])
+            s["y"] = max(s["y"], int(r["cy"]) * dims[1] + shp[1])
+            s["x"] = max(s["x"], int(r["cx"]) * dims[2] + shp[2])
+            s["n"] += 1
+            s["b"] += len(payload)
+        return ChunkStats(stats)
+
+    def commit(self, messages) -> None:
+        from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+            validate_pyramid_geometry,
+        )
+        from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+            _make_codec,
+            _write_all_metadata,
+        )
+
+        merged: dict = {}
+        for m in messages:
+            if m is None:
+                continue
+            for k, s in m.stats.items():
+                t = merged.setdefault(k, dict(s, n=0, b=0))
+                if t["dtype"] != s["dtype"]:
+                    raise ValueError(f"mixed dtypes for {k} across tasks")
+                for ax in ("z", "y", "x"):
+                    t[ax] = max(t[ax], s[ax])
+                t["n"] += s["n"]
+                t["b"] += s["b"]
+        if not merged:
+            return  # empty frame: nothing written, no store to declare
+        by_stack: dict = {}
+        for (channel, stack, lvl), s in merged.items():
+            by_stack.setdefault((channel, stack), {})[lvl] = s
+        n_lvls = self.n_levels or 1 + max(
+            lvl for (_, _, lvl) in merged
+        )
+        validate_pyramid_geometry(self.chunk, self.factors, n_lvls)
+        fz, fy, fx = self.factors
+        geo = []
+        for (channel, stack), lvls in sorted(by_stack.items()):
+            missing = set(range(n_lvls)) - set(lvls)
+            if missing:
+                raise ValueError(
+                    f"{channel}/{stack}: missing pyramid levels "
+                    f"{sorted(missing)} of {n_lvls} — metadata refused, "
+                    f"store left unfinalized"
+                )
+            z, y, x = lvls[0]["z"], lvls[0]["y"], lvls[0]["x"]
+            ez, ey, ex = z, y, x
+            for lvl in range(1, n_lvls):
+                ez, ey, ex = -(-ez // fz), -(-ey // fy), -(-ex // fx)
+                got = (lvls[lvl]["z"], lvls[lvl]["y"], lvls[lvl]["x"])
+                if got != (ez, ey, ex):
+                    raise ValueError(
+                        f"{channel}/{stack} level {lvl}: observed extents "
+                        f"{got} != {(ez, ey, ex)} expected from level 0 by "
+                        f"×{self.factors} reduction — mis-downsampled "
+                        f"input, metadata refused"
+                    )
+            geo.append(
+                {
+                    "channel": channel,
+                    "stack": stack,
+                    "z": z,
+                    "y": y,
+                    "x": x,
+                    "dtype": lvls[0]["dtype"],
+                    # UNCLAMPED ladder origin (see class docstring)
+                    "cdz": self.chunk[0],
+                    "cdy": self.chunk[1],
+                    "cdx": self.chunk[2],
+                }
+            )
+        codec_meta, _ = _make_codec(self.compressor, self.compressor_kwargs)
+        _write_all_metadata(
+            geo, self.root, self.voxel, self.factors, self.chunk,
+            n_lvls, codec_meta,
+        )
+
+    def abort(self, messages) -> None:
+        # metadata-last: nothing was finalized, the target never parses
+        # as a zarr store.  Chunk files from succeeded tasks remain for
+        # a rerun to overwrite (fixed keys, deterministic compressor);
+        # mode("overwrite") clears them wholesale.
+        pass

@@ -317,3 +317,163 @@ def test_stream_reader_crash_replay_fresh_instance(tmp_path):
     r5 = SmartspimStreamReader({"path": str(root)})
     with pytest.raises(RuntimeError, match="no longer exists"):
         list(r5.readBetweenOffsets(off1, off2))
+
+
+# ---------------------------------------------------------------------------
+# Writer: chunk table → OME-Zarr via the DataSource commit protocol
+# ---------------------------------------------------------------------------
+
+def _chunk_rows(channel, stack, vol, chunk, levels):
+    """Cut a numpy volume's pyramid into WRITE_SCHEMA rows."""
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        windowed_mean,
+    )
+
+    rows = []
+    arr = vol
+    for lvl in range(levels):
+        cz, cy, cx = chunk
+        for iz in range(-(-arr.shape[0] // cz)):
+            for iy in range(-(-arr.shape[1] // cy)):
+                for ix in range(-(-arr.shape[2] // cx)):
+                    blk = arr[
+                        iz * cz : (iz + 1) * cz,
+                        iy * cy : (iy + 1) * cy,
+                        ix * cx : (ix + 1) * cx,
+                    ]
+                    rows.append(
+                        (
+                            channel, stack, lvl, iz, iy, ix,
+                            blk.shape[0], blk.shape[1], blk.shape[2],
+                            str(blk.dtype),
+                            bytes(np.ascontiguousarray(blk).tobytes()),
+                        )
+                    )
+        chunk = [-(-d // f) for d, f in zip(chunk, (2, 2, 2))]
+        arr = windowed_mean(arr, (2, 2, 2))
+    return rows
+
+
+def test_writer_store_identical_to_driver_sink(spark, tmp_path):
+    """df.write.format("smartspim") must produce a BYTE-identical store
+    to write_ome_zarr_all at extent ≥ chunk geometry (where the
+    unclamped ladder equals the clamped one)."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        write_ome_zarr_all,
+    )
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        WRITE_SCHEMA,
+    )
+
+    rng = np.random.default_rng(5)
+    vol = rng.integers(0, 65535, size=(8, 8, 8)).astype(np.uint16)
+    rows = _chunk_rows("Ex_445_Em_469", "432380_504340", vol, [4, 4, 4], 2)
+    df = spark.createDataFrame(rows, WRITE_SCHEMA)
+
+    spark.dataSource.register(SmartspimDataSource)
+    out_w = tmp_path / "via_writer"
+    (
+        df.write.format("smartspim")
+        .option("voxel_size", "[2.0, 1.8, 1.8]")
+        .option("chunk", "[4, 4, 4]")
+        .option("n_levels", "2")
+        .mode("append")
+        .save(str(out_w))
+    )
+
+    out_d = tmp_path / "via_sink"
+    levels = [
+        spark.createDataFrame(
+            [
+                (c, s, 0, 0, cz, cy, cx, dz, dy, dx, dt, data)
+                for (c, s, lv, cz, cy, cx, dz, dy, dx, dt, data) in rows
+                if lv == lvl
+            ],
+            "channel string, stack string, t int, c int, cz int, cy int,"
+            " cx int, dz int, dy int, dx int, dtype string, data binary",
+        )
+        for lvl in range(2)
+    ]
+    write_ome_zarr_all(
+        levels, str(out_d), [2.0, 1.8, 1.8], [2, 2, 2], [4, 4, 4]
+    )
+    w = {
+        str(p.relative_to(out_w)): p.read_bytes()
+        for p in sorted(out_w.rglob("*")) if p.is_file()
+    }
+    d = {
+        str(p.relative_to(out_d)): p.read_bytes()
+        for p in sorted(out_d.rglob("*")) if p.is_file()
+    }
+    assert w == d
+
+
+def test_writer_small_stack_array_identical_and_overwrite(spark, tmp_path):
+    """Sub-chunk extents: the writer's unclamped chunk declaration must
+    still read back array-identical; mode('overwrite') replaces."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        windowed_mean,
+    )
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        WRITE_SCHEMA,
+    )
+
+    spark.dataSource.register(SmartspimDataSource)
+    out = tmp_path / "store"
+    vols = []
+    for seed in (1, 2):
+        rng = np.random.default_rng(seed)
+        vols.append(rng.integers(0, 65535, size=(2, 3, 5)).astype(np.uint16))
+    for vol, mode in zip(vols, ("append", "overwrite")):
+        df = spark.createDataFrame(
+            _chunk_rows("Ex_488_Em_525", "stk", vol, [4, 4, 4], 2), WRITE_SCHEMA
+        )
+        (
+            df.write.format("smartspim")
+            .option("chunk", "[4, 4, 4]")
+            .option("n_levels", "2")
+            .mode(mode)
+            .save(str(out))
+        )
+    g = str(out / "Ex_488_Em_525" / "stk.ome.zarr")
+    assert np.array_equal(read_zarr_level(g, 0), vols[1])
+    assert np.array_equal(read_zarr_level(g, 1), windowed_mean(vols[1], (2, 2, 2)))
+
+
+def test_writer_refuses_bad_pyramid_metadata_last(spark, tmp_path):
+    """A mis-downsampled input (missing level) must fail at COMMIT —
+    and because metadata is written last, the target must not parse as
+    a store afterwards (no .zattrs/.zarray anywhere)."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+    )
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        WRITE_SCHEMA,
+    )
+
+    spark.dataSource.register(SmartspimDataSource)
+    rng = np.random.default_rng(9)
+    vol = rng.integers(0, 65535, size=(4, 4, 4)).astype(np.uint16)
+    rows = _chunk_rows("Ex_488_Em_525", "stk", vol, [4, 4, 4], 1)  # level 0 only
+    df = spark.createDataFrame(rows, WRITE_SCHEMA)
+    out = tmp_path / "store"
+    with pytest.raises(Exception, match="missing pyramid levels"):
+        (
+            df.write.format("smartspim")
+            .option("chunk", "[4, 4, 4]")
+            .option("n_levels", "2")
+            .mode("append")
+            .save(str(out))
+        )
+    written = [str(p) for p in out.rglob("*") if p.is_file()]
+    assert not [p for p in written if p.endswith((".zattrs", ".zarray", ".zgroup"))]
+    assert written  # chunks landed, but nothing finalized the store
