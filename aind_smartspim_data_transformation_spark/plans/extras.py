@@ -1924,3 +1924,109 @@ FROM cls GROUP BY source ORDER BY source
 
 QUERIES["n12_source_dup_profile"] = n12_source_dup_profile
 ORACLE["n12_source_dup_profile"] = N12_SQL
+
+
+# ---------------------------------------------------------------------------
+# N13 (round 6) — cluster chain-merge QA: transitive closure (d09) can
+# merge docs with NO direct similarity evidence (A~B, B~C ⇒ {A,B,C}
+# even if A and C share nothing — the classic over-merge failure of
+# connected-components dedup).  Per cluster: member count, how many of
+# the C(n,2) member pairs have DIRECT verified evidence (coverage
+# ppm), and the min/mean verified Jaccard (basis points) of the
+# evidence that exists.  Low coverage + low min = a chained cluster a
+# keep-one-per-cluster policy (d06/d13) would over-delete from.
+#
+# Plan: d03's verified pairs (computed once) feed BOTH the star
+# clustering and the evidence join; per-cluster aggregates are
+# |clusters|-sized.  Jaccard enters integer space as
+# floor(j·10⁴ + 0.5) basis points — both engines start from the same
+# round(·, 4) double, so the integer is engine-stable.
+# ---------------------------------------------------------------------------
+def n13_cluster_merge_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        connected_components_star,
+        d03_dedup_minhash_lsh,
+    )
+
+    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc1",
+        "doc2",
+        F.expr("CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)").alias("bps"),
+    )
+    comp = connected_components_star(pairs.select("doc1", "doc2"))
+    sizes = comp.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_members")
+    )
+    evid = (
+        pairs.join(
+            comp.select(
+                F.col("node").alias("doc1"), F.col("label").alias("component")
+            ),
+            "doc1",
+        )
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_direct_pairs"),
+            F.min("bps").alias("min_jaccard_bps"),
+            F.sum("bps").alias("_s"),
+        )
+    )
+    return (
+        sizes.join(evid, "component")
+        .select(
+            "component",
+            "n_members",
+            "n_direct_pairs",
+            F.expr(
+                "n_direct_pairs * 1000000 div "
+                "(n_members * (n_members - 1) div 2)"
+            ).alias("coverage_ppm"),
+            "min_jaccard_bps",
+            F.expr("_s div n_direct_pairs").alias("mean_jaccard_bps"),
+        )
+        .orderBy("component")
+    )
+
+
+def _n13_sql() -> str:
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        D03_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2,
+         CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS bps
+  FROM ({D03_SQL}) _d03
+), und AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+), reach(src, dst) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+), comp AS (
+  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+), sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY component
+), evid AS (
+  SELECT c.component, CAST(count(*) AS BIGINT) AS n_direct_pairs,
+         min(p.bps) AS min_jaccard_bps,
+         CAST(sum(p.bps) AS BIGINT) AS s
+  FROM pairs p JOIN comp c ON c.node = p.doc1
+  GROUP BY c.component
+)
+SELECT s.component, s.n_members, e.n_direct_pairs,
+       e.n_direct_pairs * 1000000
+         // (s.n_members * (s.n_members - 1) // 2) AS coverage_ppm,
+       e.min_jaccard_bps,
+       e.s // e.n_direct_pairs AS mean_jaccard_bps
+FROM sizes s JOIN evid e USING (component)
+ORDER BY s.component
+"""
+
+
+QUERIES["n13_cluster_merge_qa"] = n13_cluster_merge_qa
+ORACLE["n13_cluster_merge_qa"] = _n13_sql()

@@ -54,6 +54,7 @@ _LEADING_R6 = [
     "n10_embedding_dispersion",
     "n11_split_balance",
     "n12_source_dup_profile",
+    "n13_cluster_merge_qa",
 ]
 
 

@@ -139,3 +139,42 @@ def test_n09_planted_shared_shingles(spark, tmp_path):
     assert (r["source_a"], r["source_b"]) == ("s1", "s2")
     assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 2)
     assert r["overlap_ppm"] == 500_000
+
+
+def test_n13_planted_chain_merge(spark, tmp_path):
+    """A planted A~B~C chain where A and C share nothing directly:
+    the cluster audit must report 3 members, 2 direct pairs of the 3
+    possible — coverage 666666 ppm — exposing the transitive merge."""
+    # A and C are B with DIFFERENT 4-token edits (head vs tail):
+    # J(A,B) = J(B,C) = 0.871 ≥ 0.8 threshold, J(A,C) = 0.758 < 0.8 —
+    # so the verify pass keeps exactly the chain edges and the star
+    # clustering transitively merges all three.
+    b_toks = [f"t{i}" for i in range(60)]
+    a_toks = ["x0", "x1", "x2", "x3"] + b_toks[4:]
+    c_toks = b_toks[:56] + ["y0", "y1", "y2", "y3"]
+    mk = " ".join
+    rows = [
+        (1, mk(a_toks), "en", "s", 100),
+        (2, mk(b_toks), "en", "s", 100),
+        (3, mk(c_toks), "en", "s", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    from aind_smartspim_data_transformation_spark.operators.dedup import (
+        d03_dedup_minhash_lsh,
+    )
+
+    pairs = {
+        (r["doc1"], r["doc2"])
+        for r in d03_dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    if pairs != {(1, 2), (2, 3)}:
+        import pytest as _pytest
+
+        _pytest.skip(f"LSH drew {pairs}; chain fixture needs (1,2),(2,3)")
+    out = extras.n13_cluster_merge_qa(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["component"], r["n_members"], r["n_direct_pairs"]) == (1, 3, 2)
+    assert r["coverage_ppm"] == 666_666
