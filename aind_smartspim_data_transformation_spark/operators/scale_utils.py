@@ -332,6 +332,11 @@ def distributed_cumsum(
     for r in sorted(partials, key=lambda r: r["_rpid"]):
         offsets.append((int(r["_rpid"]), running))
         running += r["_psum"] or 0
+    if isinstance(running, float):
+        # a float value_col makes later offsets float while the first
+        # is int 0 — PySpark's schema verifier rejects int for a
+        # DoubleType field, so coerce the whole column
+        offsets = [(pid, float(v)) for pid, v in offsets]
     offsets_df = df.sparkSession.createDataFrame(
         offsets,
         f"_rpid int, _offset {'double' if isinstance(running, float) else 'long'}",

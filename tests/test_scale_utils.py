@@ -350,3 +350,24 @@ def test_distributed_cumsum_matches_global_window(spark):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("_rpid" in s for s in specs), specs
+
+
+def test_distributed_cumsum_float_values(spark):
+    """Float value column: the offset column must coerce to double
+    (the first offset is int 0 — the schema verifier rejects mixing)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_cumsum,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 0.25).alias("v")
+    )
+    got = distributed_cumsum(df, "k", "v", num_partitions=4)
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    want = df.withColumn("running_total", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
