@@ -24,12 +24,17 @@ at every level.
 
 Parallelism: slabs alone can under-fill a cluster (a 64-slice
 acquisition at chunk_z=128 is one slab per stack), so each slab is
-further split into Y-BANDS of whole chunk rows, sized so total tasks
-≈ 2× parallelism.  Every band task re-decodes its slab's slices and
-crops immediately — decode is ~5% of kernel cost (NOTES_r06 profile:
-5 s of 83 core-s for 1.6 GB), so duplicating it buys full core
-utilization AND drops the per-task buffer to band_rows × plane_width
-× chunk_z.
+further split into Y-BANDS of whole chunk rows (band count ≈ 4×
+parallelism), executed FOLDED: task f processes bands f and
+n_bands−1−f.  One decode pass per slice serves both bands — a PNG
+must inflate up to the higher band's end anyway, so the lower band's
+rows are free, per-task decode cost (≈ max band end) is near-constant
+across folds instead of ramping with the band index, and slice-row
+duplication halves; TIFF folds decode each band window separately
+(strips are random-access, so the rows between the fold's bands are
+never read).  Fold count ≈ 2× parallelism keeps full occupancy with
+balanced tasks; the per-task buffer is two band buffers + one decoded
+slice span.
 
 Memory envelope: one task holds its band (≤ chunk_z × band_rows ×
 width bytes, +1 decoded slice).  The ``auto`` ingest picks fused only
@@ -171,11 +176,15 @@ def _band_plan(
     geo: list[dict[str, Any]], chunk_zyx: list[int], parallelism: int
 ) -> dict[tuple[str, str], tuple[int, int]]:
     """Per stack: (n_bands, cy_chunks_per_band) splitting the y chunk
-    rows so total tasks ≈ 2× parallelism (never more bands than chunk
-    rows; at least 1)."""
+    rows into bands (never more bands than chunk rows; at least 1).
+
+    Bands are executed FOLDED — task (fold f) processes bands f and
+    n_bands−1−f (see :func:`run_fused_ingest`) — so the band count
+    targets ≈ 4× parallelism to leave ≈ 2× parallelism tasks after
+    pairing."""
     cz, cy_chunk, _ = chunk_zyx
     slabs = sum(-(-g["z"] // cz) for g in geo)
-    want = max(1, (2 * parallelism) // max(slabs, 1))
+    want = max(1, (4 * parallelism) // max(slabs, 1))
     plan = {}
     for g in geo:
         n_cy = -(-g["y"] // cy_chunk)
@@ -189,7 +198,8 @@ def _band_plan(
 def fused_task_bytes(
     geo: list[dict[str, Any]], chunk_zyx: list[int], parallelism: int
 ) -> int:
-    """Worst-case per-task buffer (band rows × width × slab depth)."""
+    """Worst-case per-task buffer: a folded task holds TWO band
+    buffers (bands f and n_bands−1−f) plus one decoded slice span."""
     plan = _band_plan(geo, chunk_zyx, parallelism)
     worst = 0
     for g in geo:
@@ -198,8 +208,8 @@ def fused_task_bytes(
         item = np.dtype(g["dtype"]).itemsize
         worst = max(
             worst,
-            min(chunk_zyx[0], g["z"]) * band_rows * g["x"] * item
-            + g["y"] * g["x"] * item,  # +1 full decoded slice
+            2 * min(chunk_zyx[0], g["z"]) * band_rows * g["x"] * item
+            + g["y"] * g["x"] * item,  # +1 full decoded slice span
         )
     return worst
 
@@ -273,10 +283,15 @@ def run_fused_ingest(
     plan = _band_plan(geo, chunk_zyx, spark.sparkContext.defaultParallelism)
     heights = {(g["channel"], g["stack"]): g["y"] for g in geo}
 
-    # listing → (slab, band) groups.  The z-rank window moves ~100-byte
+    # listing → (slab, fold) groups.  The z-rank window moves ~100-byte
     # path rows (content never scanned); each slice row is duplicated
-    # once per band (bands re-decode, see module docstring) and the
-    # groupBy shuffle lands each task's ≤chunk_z paths together.
+    # once per FOLD — fold f covers bands f and n_bands−1−f, so one
+    # decode of the slice's row span serves both bands (a PNG must
+    # inflate up to the higher band's end anyway; the lower band's
+    # rows come out of the same pass free), the per-task decode cost
+    # max(ends) is near-constant across folds instead of ramping with
+    # the band index, and slice-row duplication halves.  The groupBy
+    # shuffle lands each task's ≤chunk_z paths together.
     files = scan_stack_files(spark, root).select("path", "channel", "stack")
     if stack_filter is not None:
         keys = spark.createDataFrame(
@@ -284,9 +299,13 @@ def run_fused_ingest(
         )
         files = files.join(F.broadcast(keys), ["channel", "stack"])
     w = W.partitionBy("channel", "stack").orderBy("path")
-    bands_df = spark.createDataFrame(
-        [(c, s, b) for (c, s), (nb, _) in plan.items() for b in range(nb)],
-        "channel string, stack string, band int",
+    folds_df = spark.createDataFrame(
+        [
+            (c, s, f)
+            for (c, s), (nb, _) in plan.items()
+            for f in range((nb + 1) // 2)
+        ],
+        "channel string, stack string, fold int",
     )
     # EXPLICIT numPartitions on the group key: the group rows are tiny
     # (paths), so AQE would coalesce the groupBy shuffle into ONE
@@ -298,7 +317,8 @@ def run_fused_ingest(
     # runs one task per hash bucket; 4× groups over-partitioning keeps
     # hash collisions from doubling a straggler's work.
     n_groups = sum(
-        -(-g["z"] // cz_chunk) * plan[(g["channel"], g["stack"])][0]
+        -(-g["z"] // cz_chunk)
+        * ((plan[(g["channel"], g["stack"])][0] + 1) // 2)
         for g in geo
     )
     # Cap the partition count: a petabyte acquisition can have 10⁶
@@ -313,8 +333,8 @@ def run_fused_ingest(
     slabs = (
         files.withColumn("z", (F.row_number().over(w) - 1).cast("int"))
         .withColumn("slab", (F.col("z") / cz_chunk).cast("int"))
-        .join(F.broadcast(bands_df), ["channel", "stack"])
-        .repartition(n_parts, "channel", "stack", "slab", "band")
+        .join(F.broadcast(folds_df), ["channel", "stack"])
+        .repartition(n_parts, "channel", "stack", "slab", "fold")
     )
 
     def _write_band(pdf):
@@ -336,83 +356,106 @@ def run_fused_ingest(
         channel = pdf["channel"].iloc[0]
         stack = pdf["stack"].iloc[0]
         cz = int(pdf["slab"].iloc[0])
-        band = int(pdf["band"].iloc[0])
-        _, per_band = plan[(channel, stack)]
-        cy0 = band * per_band
-        y0 = cy0 * cy_chunk
-        y1 = min(y0 + per_band * cy_chunk, heights[(channel, stack)])
-        stack_ladder = ladder[(channel, stack)]
-        buf = None
-        for i, path in enumerate(pdf["path"]):
-            # windowed decode: a band needs rows [y0, y1) only.  TIFF
-            # skips strips on both sides of the window; PNG inflates
-            # only up to y1 (sequential zlib) and slices — so the
-            # re-decode cost the band split pays scales with the
-            # band's extent (TIFF) or its END row (PNG), never the
-            # full plane height
-            band_rows = decode_image_gray(
-                _open_bytes(path), row_stop=y1, row_start=y0
+        fold = int(pdf["fold"].iloc[0])
+        nb, per_band = plan[(channel, stack)]
+        height = heights[(channel, stack)]
+        # the fold's band windows: (cy0, y0, y1) for bands f and
+        # nb−1−f (one window when they coincide)
+        wins = []
+        for b in sorted({fold, nb - 1 - fold}):
+            cy0 = b * per_band
+            y0 = cy0 * cy_chunk
+            wins.append(
+                (cy0, y0, min(y0 + per_band * cy_chunk, height))
             )
-            if buf is None:
-                buf = np.empty(
-                    (len(pdf), y1 - y0, band_rows.shape[1]),
-                    dtype=band_rows.dtype,
-                )
-            buf[i] = band_rows
+        lo, hi = wins[0][1], wins[-1][2]
+        stack_ladder = ladder[(channel, stack)]
+
+        def _decode_bands(data):
+            # PNG inflates sequentially, so ONE pass to the higher
+            # band's end serves both windows (the lower band is free);
+            # TIFF strips are random-access, so per-window decodes
+            # skip the rows BETWEEN the fold's bands too.
+            if len(wins) == 1 or data[:8] == b"\x89PNG\r\n\x1a\n":
+                span = decode_image_gray(data, row_stop=hi, row_start=lo)
+                return [span[y0 - lo : y1 - lo] for (_, y0, y1) in wins]
+            return [
+                decode_image_gray(data, row_stop=y1, row_start=y0)
+                for (_, y0, y1) in wins
+            ]
+
+        bufs = None
+        for i, path in enumerate(pdf["path"]):
+            parts = _decode_bands(_open_bytes(path))
+            if bufs is None:
+                bufs = [
+                    np.empty(
+                        (len(pdf), p.shape[0], p.shape[1]), dtype=p.dtype
+                    )
+                    for p in parts
+                ]
+            for buf, p in zip(bufs, parts):
+                buf[i] = p
         fs, base = _fs_for(output_root)
         made: set[str] = set()
         n_chunks = 0
         raw_bytes = 0
-        bh, bw = buf.shape[1], buf.shape[2]
-        for cyy in range(-(-bh // cy_chunk)):
-            for cx in range(-(-bw // cx_chunk)):
-                arr = buf[
-                    :,
-                    cyy * cy_chunk : (cyy + 1) * cy_chunk,
-                    cx * cx_chunk : (cx + 1) * cx_chunk,
-                ]
-                n_chunks += 1
-                raw_bytes += arr.nbytes
-                for lvl in range(n_levels):
-                    pad_shape = stack_ladder[lvl]
-                    out = arr
-                    if out.shape != pad_shape:  # edge chunk → zero-pad
-                        full = np.zeros(pad_shape, dtype=out.dtype)
-                        full[
-                            : out.shape[0], : out.shape[1], : out.shape[2]
-                        ] = out
-                        out = full
-                    key = "/".join(
-                        [
-                            base,
-                            channel,
-                            f"{stack}.ome.zarr",
-                            str(lvl),
-                            "0",
-                            "0",
-                            str(cz),
-                            str(cy0 + cyy),
-                            str(cx),
-                        ]
-                    )
-                    parent = key.rsplit("/", 1)[0]
-                    if parent not in made:
-                        fs.create_dir(parent, recursive=True)
-                        made.add(parent)
-                    with fs.open_output_stream(key) as f:
-                        f.write(
-                            compress(np.ascontiguousarray(out).tobytes())
+        for buf, (cy0, _y0, _y1) in zip(bufs, wins):
+            bh, bw = buf.shape[1], buf.shape[2]
+            for cyy in range(-(-bh // cy_chunk)):
+                for cx in range(-(-bw // cx_chunk)):
+                    arr = buf[
+                        :,
+                        cyy * cy_chunk : (cyy + 1) * cy_chunk,
+                        cx * cx_chunk : (cx + 1) * cx_chunk,
+                    ]
+                    n_chunks += 1
+                    raw_bytes += arr.nbytes
+                    for lvl in range(n_levels):
+                        pad_shape = stack_ladder[lvl]
+                        out = arr
+                        if out.shape != pad_shape:  # edge chunk → pad
+                            full = np.zeros(pad_shape, dtype=out.dtype)
+                            full[
+                                : out.shape[0],
+                                : out.shape[1],
+                                : out.shape[2],
+                            ] = out
+                            out = full
+                        key = "/".join(
+                            [
+                                base,
+                                channel,
+                                f"{stack}.ome.zarr",
+                                str(lvl),
+                                "0",
+                                "0",
+                                str(cz),
+                                str(cy0 + cyy),
+                                str(cx),
+                            ]
                         )
-                    if lvl < n_levels - 1:
-                        # downsample the UNPADDED data: zero padding
-                        # before the mean would corrupt edge windows
-                        arr = windowed_mean(arr, factors)
+                        parent = key.rsplit("/", 1)[0]
+                        if parent not in made:
+                            fs.create_dir(parent, recursive=True)
+                            made.add(parent)
+                        with fs.open_output_stream(key) as f:
+                            f.write(
+                                compress(
+                                    np.ascontiguousarray(out).tobytes()
+                                )
+                            )
+                        if lvl < n_levels - 1:
+                            # downsample the UNPADDED data: zero
+                            # padding before the mean would corrupt
+                            # edge windows
+                            arr = windowed_mean(arr, factors)
         return pd.DataFrame(
             {"n_chunks": [n_chunks], "chunk_bytes": [raw_bytes]}
         )
 
     summaries = (
-        slabs.groupBy("channel", "stack", "slab", "band")
+        slabs.groupBy("channel", "stack", "slab", "fold")
         .applyInPandas(_write_band, schema="n_chunks long, chunk_bytes long")
         .agg(
             F.sum("n_chunks").alias("n_chunks"),
