@@ -640,3 +640,73 @@ def test_fused_mixed_png_tiff_stack(spark, tmp_path):
     for lvl in range(2):
         assert np.array_equal(read_zarr_level(g, lvl), expect)
         expect = windowed_mean(expect, (2, 2, 2))
+
+
+def test_fused_even_band_count_folds_pairwise(spark, tmp_path):
+    """16 y-rows at chunk 4 → 4 bands → folds {0,3} and {1,2}: every
+    task is a PAIR (no middle singleton) — covers the two-band decode
+    and buffer routing for even band counts.  Store must equal the
+    chunk-table pipeline's and the numpy oracle."""
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    root = tmp_path / "ds"
+    ch, col, stack = "Ex_445_Em_469", "432380", "432380_504340"
+    d = root / "SmartSPIM" / ch / col / stack
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(13)
+    vol = rng.integers(0, 65535, size=(4, 16, 8)).astype(np.uint16)
+    for z in range(4):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(vol[z]))
+    (root / "derivatives").mkdir()
+    (root / "acquisition.json").write_text(
+        json.dumps(
+            {
+                "tiles": [
+                    {
+                        "channel": {"channel_name": "445"},
+                        "coordinate_transformations": [
+                            {"type": "scale", "scale": [1.8, 1.8, 2.0]}
+                        ],
+                        "file_name": f"{ch}/{col}/{stack}/",
+                    }
+                ]
+            }
+        )
+    )
+    from aind_smartspim_data_transformation_spark.imaging.fused import (
+        _band_plan,
+        probe_stack_geometry,
+    )
+
+    geo = probe_stack_geometry(spark, str(root))
+    nb, per_band = _band_plan(geo, [4, 4, 4], 32)[(ch, f"{col}_504340")]
+    assert nb == 4 and per_band == 1  # the even-fold shape this pins
+
+    def run(ingest):
+        out = tmp_path / f"out_{ingest}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[4, 4, 4],
+                downsample_levels=2,
+                ingest=ingest,
+            ),
+        )
+        assert resp["status_code"] == 200
+        return out, {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }
+
+    (out_f, fused), (_, ds) = run("fused"), run("datasource")
+    assert fused == ds
+    g = f"{out_f}/{ch}/{stack}.ome.zarr"
+    expect = vol
+    for lvl in range(2):
+        assert np.array_equal(read_zarr_level(g, lvl), expect)
+        expect = windowed_mean(expect, (2, 2, 2))
