@@ -64,9 +64,10 @@ from pyspark.sql import functions as F
 FUSED_MAX_TASK_BYTES = 256 << 20
 
 
-def _open_bytes(path: str) -> bytes:
-    """Read a file by Spark-listing path: ``file:/x`` / ``file:///x``
-    URIs (what binaryFile listings produce) or any pyarrow.fs URI."""
+def _open_bytes(path: str, n: int | None = None) -> bytes:
+    """Read a file (or its first ``n`` bytes — a ranged header probe)
+    by Spark-listing path: ``file:/x`` / ``file:///x`` URIs (what
+    binaryFile listings produce) or any pyarrow.fs URI."""
     from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
         _fs_for,
     )
@@ -76,10 +77,10 @@ def _open_bytes(path: str) -> bytes:
         while p.startswith("//"):
             p = p[1:]
         with open(p, "rb") as f:
-            return f.read()
+            return f.read() if n is None else f.read(n)
     fs, p = _fs_for(path)
     with fs.open_input_stream(p) as f:
-        return f.read()
+        return f.read() if n is None else f.read(n)
 
 
 def probe_stack_geometry(
@@ -111,28 +112,13 @@ def probe_stack_geometry(
             probe_image_header,
         )
 
-        def _head(path: str, n: int = 64) -> bytes:
-            # ranged read: a PNG header probe needs 29 bytes, not the
-            # whole multi-MB slice — at 10⁴ stacks the probe stage
-            # reads KBs instead of the acquisition's first-slice GBs
-            if path.startswith("file:"):
-                p = path[5:]
-                while p.startswith("//"):
-                    p = p[1:]
-                with open(p, "rb") as f:
-                    return f.read(n)
-            from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
-                _fs_for,
-            )
-
-            fs, p = _fs_for(path)
-            with fs.open_input_stream(p) as f:
-                return f.read(n)
-
         for pdf in batches:
             ys, xs, dts = [], [], []
             for p in pdf["first_path"]:
-                head = _head(p)
+                # ranged read: a PNG header probe needs 29 bytes, not
+                # the whole multi-MB slice — at 10⁴ stacks the probe
+                # stage reads KBs instead of the first-slice GBs
+                head = _open_bytes(p, 64)
                 if head[:8] == _PNG_SIG:
                     w, h, bits = probe_png_header(head)
                 else:

@@ -304,25 +304,37 @@ def distributed_cumsum(
     key.  approxQuantile's 0.001 relative error likewise bounds
     imbalance, not correctness.
     """
+    for reserved in ("_rpid", "_offset", out_col):
+        if reserved in df.columns:
+            raise ValueError(
+                f"distributed_cumsum: input already has a column named "
+                f"{reserved!r} — rename it (the construction would "
+                f"silently overwrite and drop it)"
+            )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     qs = [i / n for i in range(1, n)]
     bounds = df.stat.approxQuantile(order_col, qs, 0.001)
     # strictly increasing boundaries (duplicates collapse buckets)
     uniq: list[float] = []
     for b in bounds:
-        if not uniq or b > uniq[-1]:
+        if b == b and (not uniq or b > uniq[-1]):  # skip NaN bounds too
             uniq.append(b)
-    if uniq:
-        # plain literal comparisons, not a higher-order filter(): a
-        # lambda capturing the outer key column trips Catalyst's
-        # attribute binding when the expression crosses the offset
-        # join (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, pyspark 4.1)
-        key_d = F.col(order_col).cast("double")
-        bucket = sum(
-            ((key_d > F.lit(b)).cast("int") for b in uniq), F.lit(0)
-        )
-    else:
-        bucket = F.lit(0)
+    # plain literal comparisons, not a higher-order filter(): a lambda
+    # capturing the outer key column trips Catalyst's attribute binding
+    # when the expression crosses the offset join
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, pyspark 4.1).  NULL keys
+    # sort FIRST under Spark's ascending order and NaN doubles sort
+    # LAST — pin them to sentinel buckets so the construction stays
+    # row-identical to the global window for those rows too (a null
+    # key would otherwise produce a null bucket and crash the driver
+    # sort; a NaN would land in bucket 0 but sort last globally).
+    key_d = F.col(order_col).cast("double")
+    mid = sum(((key_d > F.lit(b)).cast("int") for b in uniq), F.lit(0))
+    bucket = (
+        F.when(F.col(order_col).isNull(), F.lit(-1))
+        .when(F.isnan(key_d), F.lit(2_147_483_647))
+        .otherwise(mid)
+    )
     parts = df.withColumn("_rpid", bucket)
     partials = (
         parts.groupBy("_rpid").agg(F.sum(value_col).alias("_psum")).collect()

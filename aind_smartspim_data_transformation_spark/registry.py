@@ -29,7 +29,7 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # their r5 rows were hash-red on oracle HUGEINT typing (fixed this
 # round with CAST ... AS BIGINT); green r6 rows retire that finding.
 # With those rows the driver-row union covers all previously-registered
-# queries.  The n01–n12 keys are round-6's new queries (invariant (b)).
+# queries.  The n01–n13 keys are round-6's new queries (invariant (b)).
 _LEADING_R6 = [
     "c13_mixture_rebalance",
     "s11_ivf_pq_search",

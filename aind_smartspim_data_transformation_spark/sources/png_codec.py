@@ -241,11 +241,17 @@ def decode_png_gray(
     bpp = bitdepth // 8
     stride = w * bpp
     need = row_stop * (stride + 1)
-    # inflate IDAT payloads streaming, stopping once the prefix is in
+    # inflate IDAT payloads streaming, stopping once the prefix is in.
+    # A FULL decode keeps inflating through the stream end instead: the
+    # zlib finalization verifies the adler32 checksum, and an exact
+    # length check below refuses a pixel stream longer than the IHDR
+    # height claims (silently cropping a corrupt oversized stream would
+    # feed truncated data into the store instead of dead-lettering).
+    full = row_stop == h
     dec = zlib.decompressobj()
     raw = bytearray()
     off = 8
-    while off < len(data) and len(raw) < need:
+    while off < len(data) and (full or len(raw) < need):
         (length,) = struct.unpack(">I", data[off : off + 4])
         tag = data[off + 4 : off + 8]
         if tag == b"IDAT":
@@ -257,6 +263,11 @@ def decode_png_gray(
         raise ValueError(
             f"PNG pixel stream truncated: {len(raw)} bytes for "
             f"{row_stop} rows ({need} needed)"
+        )
+    if full and len(raw) != need:
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes but the IHDR "
+            f"{w}x{h} implies exactly {need}"
         )
     h = row_stop
     rows = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(

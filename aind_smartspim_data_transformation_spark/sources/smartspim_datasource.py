@@ -388,6 +388,8 @@ class SmartspimWriter(DataSourceWriter):
         self.n_levels = (
             int(options["n_levels"]) if "n_levels" in options else None
         )
+        if self.n_levels is not None and self.n_levels < 1:
+            raise ValueError(f"n_levels must be >= 1, got {self.n_levels}")
         self.compressor = options.get("compressor", "zlib")
         self.compressor_kwargs = _json.loads(
             options.get("compressor_kwargs", "null")
@@ -433,6 +435,16 @@ class SmartspimWriter(DataSourceWriter):
         stats: dict = {}
         for r in iterator:
             lvl = int(r["level"])
+            if lvl < 0 or (
+                self.n_levels is not None and lvl >= self.n_levels
+            ):
+                # an out-of-range level would land chunk files commit()
+                # never validates — junk directories inside a store
+                # that finalizes green
+                raise ValueError(
+                    f"row level {lvl} outside [0, {self.n_levels}) "
+                    f"({r['channel']}/{r['stack']})"
+                )
             while lvl >= len(ladder):
                 ladder = self._ladder(len(ladder))
             dims = ladder[lvl]

@@ -185,6 +185,11 @@ def probe_tiff_header(data: bytes) -> tuple[int, int, int]:
         h = tags[257][0]
     except (KeyError, IndexError):
         raise ValueError("TIFF missing ImageWidth/ImageLength") from None
+    # zero/garbage extents must fail HERE with a dead-letterable error
+    # (the PNG probe's contract); they also guarantee the strip-window
+    # arithmetic below never sees rows_per_strip == 0
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid TIFF extents: {w}x{h}")
     bits = tags.get(258, [8])[0]
     spp = tags.get(277, [1])[0]
     photo = tags.get(262, [1])[0]

@@ -460,3 +460,40 @@ def test_tiff_window_never_reads_outside_strips():
     )
     with pytest.raises(Exception):
         decode_tiff_gray(bytes(enc))
+
+
+def test_tiff_zero_extent_rejected():
+    """h=0 / w=0 IHDR-equivalents must dead-letter at the probe (the
+    strip-window arithmetic would otherwise divide by RowsPerStrip=0)."""
+    arr = np.zeros((2, 3), np.uint8)
+    enc = bytearray(encode_tiff_gray(arr))
+    # ImageLength tag (257) value → 0 inside the IFD
+    import struct as _s
+
+    (ifd_off,) = _s.unpack("<I", enc[4:8])
+    (n,) = _s.unpack("<H", enc[ifd_off : ifd_off + 2])
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = _s.unpack("<HHI", enc[off : off + 8])
+        if tag == 257:
+            enc[off + 8 : off + 12] = _s.pack("<I", 0)
+    with pytest.raises(ValueError, match="invalid TIFF extents"):
+        decode_tiff_gray(bytes(enc))
+
+
+def test_png_oversized_stream_rejected():
+    """An IHDR claiming fewer rows than the zlib stream holds must
+    refuse on FULL decode (silently cropping would feed truncated data
+    into the store); a prefix decode may legitimately stop early."""
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 255, size=(10, 8)).astype(np.uint8)
+    enc = bytearray(encode_png_gray(arr))
+    import struct as _s
+    import zlib as _z
+
+    enc[16:24] = _s.pack(">II", 8, 6)  # claim h=6, stream holds 10 rows
+    crc = _z.crc32(bytes(enc[12:29]))
+    enc[29:33] = _s.pack(">I", crc)
+    with pytest.raises(ValueError, match="implies exactly"):
+        decode_png_gray(bytes(enc))
+    assert decode_png_gray(bytes(enc), row_stop=3).shape == (3, 8)

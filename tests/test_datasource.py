@@ -477,3 +477,31 @@ def test_writer_refuses_bad_pyramid_metadata_last(spark, tmp_path):
     written = [str(p) for p in out.rglob("*") if p.is_file()]
     assert not [p for p in written if p.endswith((".zattrs", ".zarray", ".zgroup"))]
     assert written  # chunks landed, but nothing finalized the store
+
+
+def test_writer_rejects_out_of_range_level(spark, tmp_path):
+    """A row whose level >= n_levels must fail in write() — otherwise
+    its chunk files land in directories commit() never validates and
+    the store finalizes with undeclared junk inside."""
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+        WRITE_SCHEMA,
+    )
+
+    spark.dataSource.register(SmartspimDataSource)
+    rng = np.random.default_rng(17)
+    vol = rng.integers(0, 65535, size=(4, 4, 4)).astype(np.uint16)
+    rows = _chunk_rows("Ex_488_Em_525", "stk", vol, [4, 4, 4], 1)
+    rows += [
+        (c, s, 5, cz, cy, cx, dz, dy, dx, dt, data)
+        for (c, s, _lv, cz, cy, cx, dz, dy, dx, dt, data) in rows[:1]
+    ]
+    df = spark.createDataFrame(rows, WRITE_SCHEMA)
+    with pytest.raises(Exception, match="outside"):
+        (
+            df.write.format("smartspim")
+            .option("chunk", "[4, 4, 4]")
+            .option("n_levels", "1")
+            .mode("append")
+            .save(str(tmp_path / "store"))
+        )

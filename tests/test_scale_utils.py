@@ -371,3 +371,51 @@ def test_distributed_cumsum_float_values(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_distributed_cumsum_null_and_nan_keys(spark):
+    """NULL order keys sort first, NaN doubles last (Spark's global
+    ordering) — the bucket sentinels must reproduce that instead of
+    crashing the driver sort (null bucket) or mis-bucketing NaN."""
+    import math
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_cumsum,
+    )
+
+    rows = [(float(i), i % 7) for i in range(200)]
+    rows += [(None, 5), (None, 3), (float("nan"), 11), (float("nan"), 2)]
+    df = spark.createDataFrame(rows, "k double, v long")
+    got = distributed_cumsum(df, "k", "v", num_partitions=4)
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    want = df.withColumn("running_total", F.sum("v").over(w))
+
+    def norm(rows):
+        def key(r):
+            if r[0] is None:
+                return (0, 0.0, r[1], r[2])
+            if math.isnan(r[0]):
+                return (2, 0.0, r[1], r[2])
+            return (1, r[0], r[1], r[2])
+
+        return sorted((key(r) for r in rows))
+
+    # ties among the two NULLs (and the two NaNs) make their individual
+    # running values order-dependent in BOTH constructions; compare the
+    # per-group SETS, which a total ordering makes identical
+    assert norm(got.collect()) == norm(want.collect())
+
+
+def test_distributed_cumsum_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_cumsum,
+    )
+
+    df = spark.range(5).selectExpr("id AS k", "id AS v", "id AS _rpid")
+    with _pytest.raises(ValueError, match="_rpid"):
+        distributed_cumsum(df, "k", "v")
