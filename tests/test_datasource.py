@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pytest
 
@@ -505,3 +507,54 @@ def test_writer_rejects_out_of_range_level(spark, tmp_path):
             .mode("append")
             .save(str(tmp_path / "store"))
         )
+
+
+@pytest.mark.parametrize(
+    "shape,chunk,levels",
+    [
+        ((5, 7, 9), [4, 4, 4], 2),    # edge chunks on every axis
+        ((8, 4, 12), [2, 4, 4], 3),   # non-cubic chunk, 3 levels
+        ((1, 1, 1), [4, 4, 4], 1),    # degenerate single voxel
+        ((6, 10, 3), [2, 2, 2], 2),   # sub-chunk x extent
+        ((9, 9, 9), [3, 3, 3], 2),    # factor-3-incompatible? no: 3%2!=0
+    ],
+)
+def test_writer_geometry_sweep_array_identity(spark, tmp_path, shape, chunk, levels):
+    """Random-geometry sweep: whatever the extents/chunking, the
+    writer's store must read back array-identical to the numpy pyramid
+    at every level (the unclamped-ladder divergence from the driver
+    sink is metadata-shape only, never data)."""
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        validate_pyramid_geometry,
+        windowed_mean,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        SmartspimDataSource,
+        WRITE_SCHEMA,
+    )
+
+    try:
+        validate_pyramid_geometry(chunk, [2, 2, 2], levels)
+    except ValueError:
+        pytest.skip("geometry rejected by the shared guard (by design)")
+    spark.dataSource.register(SmartspimDataSource)
+    rng = np.random.default_rng(sum(shape))
+    vol = rng.integers(0, 65535, size=shape).astype(np.uint16)
+    rows = _chunk_rows("Ex_488_Em_525", "stk", vol, list(chunk), levels)
+    df = spark.createDataFrame(rows, WRITE_SCHEMA)
+    out = tmp_path / "store"
+    (
+        df.write.format("smartspim")
+        .option("chunk", json.dumps(chunk))
+        .option("n_levels", str(levels))
+        .mode("append")
+        .save(str(out))
+    )
+    g = str(out / "Ex_488_Em_525" / "stk.ome.zarr")
+    expect = vol
+    for lvl in range(levels):
+        assert np.array_equal(read_zarr_level(g, lvl), expect), (shape, chunk, lvl)
+        expect = windowed_mean(expect, (2, 2, 2))
