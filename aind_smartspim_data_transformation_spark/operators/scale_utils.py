@@ -262,12 +262,61 @@ def plan_partition_count(total_bytes: int, target_partition_bytes: int) -> int:
     return max(1, -(-total_bytes // target_partition_bytes))
 
 
+def _quantile_bounds(df: DataFrame, order_col: str, n: int) -> list[float]:
+    """Strictly-increasing approxQuantile boundaries for ``order_col``.
+
+    Baked in as LITERALS, not ``repartitionByRange``: the range
+    partitioner re-samples per job, so two passes could disagree on
+    which bucket a row belongs to (observed: silently wrong totals).
+    Literal boundaries make bucket membership a pure function of the
+    key — identical in every pass by construction.  Duplicates and NaN
+    bounds are dropped (duplicates collapse buckets; NaN rows get a
+    sentinel bucket from :func:`_bucket_expr`).
+    """
+    qs = [i / n for i in range(1, n)]
+    bounds = df.stat.approxQuantile(order_col, qs, 0.001)
+    uniq: list[float] = []
+    for b in bounds:
+        if b == b and (not uniq or b > uniq[-1]):  # skip NaN bounds too
+            uniq.append(b)
+    return uniq
+
+
+def _bucket_expr(order_col: str, uniq: list[float], descending: bool = False):
+    """Pure-function range-bucket id aligned with Spark's global sort.
+
+    Ascending: NULL keys sort FIRST (sentinel -1) and NaN doubles sort
+    LAST (sentinel 2^31-1); descending mirrors that (NaN first, NULL
+    last).  Plain literal comparisons, not a higher-order filter(): a
+    lambda capturing the outer key column trips Catalyst's attribute
+    binding when the expression crosses the offset join
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, pyspark 4.1).  Equal keys
+    always share a bucket (comparisons are strict), so range buckets
+    never split a tie group.
+    """
+    key_d = F.col(order_col).cast("double")
+    if descending:
+        mid = sum(((key_d < F.lit(b)).cast("int") for b in uniq), F.lit(0))
+        return (
+            F.when(F.col(order_col).isNull(), F.lit(2_147_483_647))
+            .when(F.isnan(key_d), F.lit(-1))
+            .otherwise(mid)
+        )
+    mid = sum(((key_d > F.lit(b)).cast("int") for b in uniq), F.lit(0))
+    return (
+        F.when(F.col(order_col).isNull(), F.lit(-1))
+        .when(F.isnan(key_d), F.lit(2_147_483_647))
+        .otherwise(mid)
+    )
+
+
 def distributed_cumsum(
     df: DataFrame,
     order_col: str,
     value_col: str,
     out_col: str = "running_total",
     num_partitions: int | None = None,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Global running sum WITHOUT the single-task global window.
 
@@ -292,50 +341,78 @@ def distributed_cumsum(
     if it is expensive to recompute.
 
     The range buckets come from EXPLICIT approxQuantile boundaries
-    baked in as literals, not ``repartitionByRange``: the range
-    partitioner re-SAMPLES per job, so the offset pass and the cumsum
-    pass could disagree on which partition a row belongs to (observed:
-    silently wrong totals).  Literal boundaries make bucket membership
-    a pure function of the key — identical in every pass by
-    construction.  Boundary comparison happens in DOUBLE (what
-    approxQuantile returns): integer keys beyond 2^53 can land on
-    either side of a boundary, which only skews bucket BALANCE, never
-    the total — the within-bucket window still orders by the original
-    key.  approxQuantile's 0.001 relative error likewise bounds
-    imbalance, not correctness.
+    baked in as literals (:func:`_quantile_bounds` — see its docstring
+    for why ``repartitionByRange`` would be silently wrong).  Boundary
+    comparison happens in DOUBLE (what approxQuantile returns): integer
+    keys beyond 2^53 can land on either side of a boundary, which only
+    skews bucket BALANCE, never the total — the within-bucket window
+    still orders by the original key.  approxQuantile's 0.001 relative
+    error likewise bounds imbalance, not correctness.
+
+    ``partition_cols`` generalizes the construction to per-group
+    running sums (``sum(v) OVER (PARTITION BY g ORDER BY k)``): the
+    bucket boundaries stay GLOBAL (one quantile pass), partial sums
+    group by (group, bucket), and — because each group's offsets derive
+    only from its own ≤ #buckets partial rows — the offsets are
+    computed with a window PARTITIONED by the group over that tiny
+    aggregate, never on the driver and never through a single task.
+    Every shuffle is keyed; no partition-less window exists at any
+    group size.
     """
-    for reserved in ("_rpid", "_offset", out_col):
+    for reserved in ("_rpid", "_offset", "_psum", out_col):
         if reserved in df.columns:
             raise ValueError(
                 f"distributed_cumsum: input already has a column named "
                 f"{reserved!r} — rename it (the construction would "
                 f"silently overwrite and drop it)"
             )
+    import decimal
+
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(df.schema[value_col].dataType, DecimalType):
+        # the driver-side offset pass would hand decimal.Decimal
+        # partial sums to createDataFrame against a long/double schema
+        # (opaque failure); refuse up front with the fix in the message
+        raise ValueError(
+            f"distributed_cumsum: value column {value_col!r} is DECIMAL — "
+            f"cast it to bigint or double first (decimal partial sums "
+            f"are not representable in the offset table's schema)"
+        )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    qs = [i / n for i in range(1, n)]
-    bounds = df.stat.approxQuantile(order_col, qs, 0.001)
-    # strictly increasing boundaries (duplicates collapse buckets)
-    uniq: list[float] = []
-    for b in bounds:
-        if b == b and (not uniq or b > uniq[-1]):  # skip NaN bounds too
-            uniq.append(b)
-    # plain literal comparisons, not a higher-order filter(): a lambda
-    # capturing the outer key column trips Catalyst's attribute binding
-    # when the expression crosses the offset join
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, pyspark 4.1).  NULL keys
-    # sort FIRST under Spark's ascending order and NaN doubles sort
-    # LAST — pin them to sentinel buckets so the construction stays
-    # row-identical to the global window for those rows too (a null
-    # key would otherwise produce a null bucket and crash the driver
-    # sort; a NaN would land in bucket 0 but sort last globally).
-    key_d = F.col(order_col).cast("double")
-    mid = sum(((key_d > F.lit(b)).cast("int") for b in uniq), F.lit(0))
-    bucket = (
-        F.when(F.col(order_col).isNull(), F.lit(-1))
-        .when(F.isnan(key_d), F.lit(2_147_483_647))
-        .otherwise(mid)
-    )
-    parts = df.withColumn("_rpid", bucket)
+    uniq = _quantile_bounds(df, order_col, n)
+    parts = df.withColumn("_rpid", _bucket_expr(order_col, uniq))
+
+    from pyspark.sql.window import Window as W
+
+    if partition_cols:
+        # per-group offsets: a window over the (group, bucket) partial-
+        # sum AGGREGATE (≤ #buckets rows per group), partitioned by the
+        # group — bounded per task, fully distributed, no collect()
+        partials = parts.groupBy(*partition_cols, "_rpid").agg(
+            F.sum(value_col).alias("_psum")
+        )
+        w_off = (
+            W.partitionBy(*partition_cols)
+            .orderBy("_rpid")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offsets_df = partials.select(
+            *partition_cols,
+            "_rpid",
+            F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_offset"),
+        )
+        w = (
+            W.partitionBy(*partition_cols, "_rpid")
+            .orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return (
+            parts.join(offsets_df, [*partition_cols, "_rpid"])
+            .withColumn(out_col, F.col("_offset") + F.sum(value_col).over(w))
+            .drop("_rpid", "_offset")
+        )
+
     partials = (
         parts.groupBy("_rpid").agg(F.sum(value_col).alias("_psum")).collect()
     )
@@ -344,17 +421,16 @@ def distributed_cumsum(
     for r in sorted(partials, key=lambda r: r["_rpid"]):
         offsets.append((int(r["_rpid"]), running))
         running += r["_psum"] or 0
-    if isinstance(running, float):
+    if isinstance(running, (float, decimal.Decimal)):
         # a float value_col makes later offsets float while the first
         # is int 0 — PySpark's schema verifier rejects int for a
-        # DoubleType field, so coerce the whole column
+        # DoubleType field, so coerce the whole column (Decimal sums
+        # are refused above; the isinstance keeps this total anyway)
         offsets = [(pid, float(v)) for pid, v in offsets]
     offsets_df = df.sparkSession.createDataFrame(
         offsets,
         f"_rpid int, _offset {'double' if isinstance(running, float) else 'long'}",
     )
-    from pyspark.sql.window import Window as W
-
     w = (
         W.partitionBy("_rpid")
         .orderBy(order_col)
@@ -364,4 +440,91 @@ def distributed_cumsum(
         parts.join(F.broadcast(offsets_df), "_rpid")
         .withColumn(out_col, F.col("_offset") + F.sum(value_col).over(w))
         .drop("_rpid", "_offset")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_col: str,
+    n_tiles: int,
+    tie_cols: tuple[str, ...] = (),
+    out_col: str = "tile",
+    ascending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ``ntile(n) OVER (ORDER BY ...)`` without the single-task
+    global window.
+
+    A partition-less ``Window.orderBy`` moves the ENTIRE input through
+    one reducer — the last plan shape in this repo that could not
+    survive 100× (VERDICT r6).  This is the distributed construction:
+
+    1. approxQuantile boundaries on ``order_col`` → literal range
+       buckets (:func:`_bucket_expr`; ties never split across buckets);
+    2. per-bucket COUNTS to the driver (≤ #buckets rows, not data) →
+       per-bucket row-number offsets and the global total N;
+    3. within-bucket ``row_number`` windowed BY bucket (every task
+       sorts only its own key range) + broadcast offset = exact global
+       0-based position p;
+    4. the tile is pure arithmetic on p — SQL-standard ntile: with
+       q = N div n, r = N mod n, the first r tiles take q+1 rows:
+       ``p < r*(q+1) ? p div (q+1) : r + (p - r*(q+1)) div q`` (+1).
+
+    Row-identical to the global-window ntile whenever
+    (order_col, *tie_cols) is a total order — the same determinism
+    contract the global form needs for a stable oracle.  ``ascending=
+    False`` buckets and sorts descending (NaN first, NULLs last,
+    matching Spark's DESC ordering).  The input is scanned three times
+    (quantile pass, count pass, tile pass) — persist upstream if it is
+    expensive to recompute.
+
+    The tile column is INT (like ``F.ntile``).  Output columns = input
+    columns + ``out_col``.
+    """
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    for reserved in ("_rpid", "_rnoff", "_gpos", out_col):
+        if reserved in df.columns:
+            raise ValueError(
+                f"distributed_ntile: input already has a column named "
+                f"{reserved!r} — rename it (the construction would "
+                f"silently overwrite and drop it)"
+            )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    uniq = _quantile_bounds(df, order_col, n)
+    parts = df.withColumn(
+        "_rpid", _bucket_expr(order_col, uniq, descending=not ascending)
+    )
+    counts = parts.groupBy("_rpid").count().collect()
+    running = 0
+    offsets: list[tuple[int, int]] = []
+    for r in sorted(counts, key=lambda r: r["_rpid"]):
+        offsets.append((int(r["_rpid"]), running))
+        running += r["count"]
+    total = running
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, "_rpid int, _rnoff long"
+    )
+
+    from pyspark.sql.window import Window as W
+
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    ] + [F.col(c).asc() for c in tie_cols]
+    w = W.partitionBy("_rpid").orderBy(*order)
+    pos = parts.join(F.broadcast(offsets_df), "_rpid").withColumn(
+        "_gpos", F.col("_rnoff") + F.row_number().over(w) - F.lit(1)
+    )
+    q, rem = divmod(total, n_tiles)
+    if q == 0:
+        # fewer rows than tiles: row i (1-based) IS tile i
+        tile = F.col("_gpos") + F.lit(1)
+    else:
+        cut = rem * (q + 1)
+        tile = F.expr(
+            f"CASE WHEN _gpos < {cut} THEN _gpos div {q + 1} "
+            f"ELSE {rem} + (_gpos - {cut}) div {q} END + 1"
+        )
+    return pos.withColumn(out_col, tile.cast("int")).drop(
+        "_rpid", "_rnoff", "_gpos"
     )

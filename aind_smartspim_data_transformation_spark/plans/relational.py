@@ -285,13 +285,29 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 
 
 # ---------------------------------------------------------------------------
-# Q9 — ntile bucketing.
+# Q9 — ntile bucketing.  Round 7: the global-window F.ntile (a single
+# total sort through one reducer — customer SCALES with SF, ~15 M rows
+# at sf100) is replaced by the exact distributed construction
+# (operators/scale_utils.py::distributed_ntile — range buckets +
+# per-bucket windows + tile arithmetic; descending buckets for the
+# DESC order).  Row-identical, so the ntile oracle is unchanged;
+# test_plan_fingerprints asserts no Exchange SinglePartition remains.
 # ---------------------------------------------------------------------------
 def q09_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_ntile,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return (
-        c.select("c_custkey", F.ntile(4).over(w).alias("balance_quartile"))
+        distributed_ntile(
+            c,
+            "c_acctbal",
+            4,
+            tie_cols=("c_custkey",),
+            out_col="balance_quartile",
+            ascending=False,
+        )
         .groupBy("balance_quartile")
         .agg(F.count("*").alias("n"), F.min("c_custkey").alias("min_key"))
         .orderBy("balance_quartile")

@@ -43,8 +43,9 @@ MAX_WIDE_EXCHANGES = {
     "n02_source_pair_tvd": 8,       # observed 7: shared-vocab join chain
     "n03_source_gini": 4,           # observed 3 (+legit tiny-agg BNLJ)
     "n04_event_burstiness": 3,      # observed 2 (+legit dense-grid BNLJ)
-    "n05_sequence_packing": 2,      # observed 1: one source window shuffle
-    "n06_quality_deciles": 1,       # observed 0: global-sort window, no hash
+    "q09_ntile": 3,                 # observed 2 (r7): bucket count agg + tile window
+    "n05_sequence_packing": 3,      # observed 2 (r7): distributed per-source cumsum
+    "n06_quality_deciles": 3,       # observed 2 (r7): distributed_ntile + tier agg
     "n07_semantic_dedup": 2,        # observed 1: cell pair join (AQE bcast)
     "n09_cross_source_contamination": 7,  # observed 6: h window feeds pair join
     "n10_embedding_dispersion": 3,  # observed 2: (label,dim) agg + label agg
@@ -64,6 +65,18 @@ REQUIRE_REUSED_EXCHANGE = {
     # recomputed per consumer (observed r6: 3 reuse nodes, 1 scan,
     # 1 explode)
     "n09_cross_source_contamination",
+}
+
+# Queries whose r6 plans funneled the whole input through ONE task via
+# a partition-less Window (Exchange SinglePartition) — rewired onto the
+# distributed constructions in r7 (scale_utils.distributed_ntile /
+# distributed_cumsum(partition_cols=...)).  The single-partition
+# exchange must never come back; it is the one plan shape that cannot
+# survive 100×.
+NO_SINGLE_PARTITION_EXCHANGE = {
+    "q09_ntile",
+    "n05_sequence_packing",
+    "n06_quality_deciles",
 }
 
 # BNLJ is legitimate in exactly two shapes: a non-equi join with no
@@ -102,6 +115,11 @@ def test_wide_shuffle_ceiling(spark, sf_dir, name):
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} fell back to nested-loop"
+        )
+    if name in NO_SINGLE_PARTITION_EXCHANGE:
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: Exchange SinglePartition — a partition-less window "
+            f"(single-reducer global sort) crept back into the plan"
         )
     if name in REQUIRE_REUSED_EXCHANGE:
         assert "ReusedExchange" in plan, (

@@ -419,3 +419,151 @@ def test_distributed_cumsum_rejects_reserved_columns(spark):
     df = spark.range(5).selectExpr("id AS k", "id AS v", "id AS _rpid")
     with _pytest.raises(ValueError, match="_rpid"):
         distributed_cumsum(df, "k", "v")
+
+
+def test_distributed_cumsum_rejects_decimal_values(spark):
+    """DECIMAL value columns would hand decimal.Decimal partial sums to
+    the long/double offset schema (opaque failure) — refused up front
+    with the cast fix in the message (ADVICE r6)."""
+    import pytest as _pytest
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_cumsum,
+    )
+
+    df = spark.range(10).selectExpr("id AS k", "CAST(id AS DECIMAL(10,2)) AS v")
+    with _pytest.raises(ValueError, match="DECIMAL"):
+        distributed_cumsum(df, "k", "v")
+
+
+def test_distributed_cumsum_partitioned_matches_group_window(spark):
+    """partition_cols: the per-group two-pass cumsum == the per-group
+    window, with NO driver collect and NO partition-less window — the
+    offsets themselves come from a window over the (group, bucket)
+    aggregate partitioned by the group."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_cumsum,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        F.col("id").alias("k"),  # unique within group: total order
+        (F.col("id") % 31).alias("v"),
+    )
+    got = distributed_cumsum(
+        df, "k", "v", num_partitions=8, partition_cols=("g",)
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = df.withColumn("running_total", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # every window carries a partition key (g for the offset window,
+    # g+_rpid for the cumsum window) — nothing global
+    assert specs and all("g#" in s for s in specs), specs
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_distributed_ntile_matches_global_window(spark):
+    """distributed_ntile == F.ntile over the global window, for both
+    sort directions, with ties on the order key, at an N not divisible
+    by n_tiles — and the plan has no single-partition exchange."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_ntile,
+    )
+
+    # 10_007 rows (prime: exercises the uneven first-r-tiles arithmetic),
+    # heavy ties on k (only 500 distinct values), doc_id tie-break
+    df = spark.range(10_007).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2654435761 % 500).alias("k"),
+    )
+    for ascending in (True, False):
+        got = distributed_ntile(
+            df, "k", 10, tie_cols=("doc_id",), out_col="tier",
+            ascending=ascending, num_partitions=8,
+        )
+        order = [F.col("k").asc() if ascending else F.col("k").desc(),
+                 F.col("doc_id").asc()]
+        want = df.withColumn("tier", F.ntile(10).over(W.orderBy(*order)))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"ascending={ascending}"
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs and all("_rpid" in s for s in specs), specs
+    # schema parity with F.ntile: INT tile column
+    assert dict(got.dtypes)["tier"] == "int"
+
+
+def test_distributed_ntile_edge_cases(spark):
+    """Fewer rows than tiles (tile i = row i); single-tile; null and
+    NaN keys reproduce Spark's asc ordering (nulls first, NaN last)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_ntile,
+    )
+
+    small = spark.range(3).selectExpr("id AS doc_id", "id * 10 AS k")
+    got = distributed_ntile(small, "k", 7, tie_cols=("doc_id",), num_partitions=4)
+    want = small.withColumn(
+        "tile", F.ntile(7).over(W.orderBy("k", "doc_id"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    one = distributed_ntile(small, "k", 1, tie_cols=("doc_id",), num_partitions=4)
+    assert all(r["tile"] == 1 for r in one.collect())
+
+    rows = [(i, float(i % 13)) for i in range(100)]
+    rows += [(1000, None), (1001, None), (1002, float("nan"))]
+    df = spark.createDataFrame(rows, "doc_id long, k double")
+    got = distributed_ntile(df, "k", 4, tie_cols=("doc_id",), num_partitions=4)
+    want = df.withColumn(
+        "tile", F.ntile(4).over(W.orderBy(F.col("k").asc(), F.col("doc_id")))
+    )
+    def norm(rs):
+        import math
+
+        def key(r):
+            k = r[1]
+            cls = 0 if k is None else (2 if math.isnan(k) else 1)
+            return (r[0], cls, 0.0 if cls != 1 else k, r[2])
+
+        return sorted(key(r) for r in rs)
+
+    assert norm(got.collect()) == norm(want.collect())
+
+
+def test_distributed_ntile_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_ntile,
+    )
+
+    df = spark.range(5).selectExpr("id AS k", "id AS _gpos")
+    with _pytest.raises(ValueError, match="_gpos"):
+        distributed_ntile(df, "k", 4)
+    with _pytest.raises(ValueError, match="n_tiles"):
+        distributed_ntile(spark.range(5).selectExpr("id AS k"), "k", 0)
