@@ -55,9 +55,24 @@ class ImagingJobSettings(BaseModel):
     # one Python task per z-slab/y-band; imaging/fused.py) when the
     # probed per-task buffer fits memory, DataSource scan when it
     # doesn't, UDF path when the DataSource API is unavailable;
-    # "fused"/"datasource"/"udf" force one path (udf is the only path
-    # with a quarantine mode).
+    # "fused"/"datasource"/"udf" force one path.
     ingest: Literal["auto", "fused", "datasource", "udf"] = "auto"
+    # "quarantine": a corrupt slice becomes a zero-filled plane at its
+    # z position plus a dead-letter triage row instead of failing the
+    # job (fused + udf paths; the DataSource scan has no dead-letter
+    # channel, so "auto" routes around it and forcing
+    # ingest="datasource" with quarantine is refused).
+    on_error: Literal["fail", "quarantine"] = "fail"
+
+    @model_validator(mode="after")
+    def _check_on_error_ingest(self) -> "ImagingJobSettings":
+        if self.on_error == "quarantine" and self.ingest == "datasource":
+            raise ValueError(
+                "on_error='quarantine' is not available on the "
+                "DataSource scan (no dead-letter channel) — use "
+                "ingest='auto', 'fused', or 'udf'"
+            )
+        return self
 
     @model_validator(mode="after")
     def _check_partitioning(self) -> "ImagingJobSettings":

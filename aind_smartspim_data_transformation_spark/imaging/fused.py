@@ -40,8 +40,18 @@ Memory envelope: one task holds its band (≤ chunk_z × band_rows ×
 width bytes, +1 decoded slice).  The ``auto`` ingest picks fused only
 when the probed per-task buffer fits ``FUSED_MAX_TASK_BYTES``;
 giant-plane acquisitions keep the tile-first shuffle pipeline, whose
-peak per-group memory is chunk-sized.  Corrupt slices fail the job
-(like the DataSource path) — quarantine ingest remains UDF-only.
+peak per-group memory is chunk-sized.
+
+Error handling (round 7): band buffers are allocated from the PROBED
+stack geometry and every decoded window is validated against it before
+copying — a slice whose decoded shape or dtype disagrees with the
+probe fails loudly naming the path (it used to be silently cropped /
+written outside the declared extents).  ``on_error="quarantine"``
+ports the UDF path's dead-letter semantics into the band task: a
+corrupt (or mis-shaped) slice zero-fills its rows AT POSITION in every
+band that covers it, and one dead-letter row per (stack, z) rides the
+existing per-task summary channel back — at 100 TB one bad slice costs
+one triage row, not a full-job rerun.
 
 Reference parity: the reference writes each stack via a dask graph and
 re-reads every written level to compute the next
@@ -84,21 +94,33 @@ def _open_bytes(path: str, n: int | None = None) -> bytes:
 
 
 def probe_stack_geometry(
-    spark: SparkSession, root: str
+    spark: SparkSession, root: str, on_error: str = "fail"
 ) -> list[dict[str, Any]]:
     """One geometry row per stack: (channel, stack, z, y, x, dtype) —
     z from the listing count (no content read), y/x/dtype from decoding
     each stack's FIRST slice.  The decode runs DISTRIBUTED (mapInPandas
     over the #stacks first-paths): at acquisition scale (10⁴ stacks)
     a driver-side loop of small reads + decodes is minutes of serial
-    latency before any work starts; here it is one tiny Spark stage."""
+    latency before any work starts; here it is one tiny Spark stage.
+
+    With ``on_error="quarantine"`` the probe tries each stack's first
+    EIGHT slices in path order and uses the first that probes cleanly —
+    a corrupt leading slice must not kill the job before the band tasks
+    can quarantine it.  Eight consecutive corrupt leading slices still
+    fail loudly (geometry cannot be invented).  The candidate list is a
+    bounded ``slice(sort_array(collect_list))`` — eight ~100-byte paths
+    per stack row, not the listing."""
     from aind_smartspim_data_transformation_spark.sources.stack_reader import (
         scan_stack_files,
     )
 
+    quarantine = on_error == "quarantine"
+    n_cand = 8 if quarantine else 1
     firsts = scan_stack_files(spark, root).groupBy("channel", "stack").agg(
         F.count("*").alias("n_slices"),
-        F.min("path").alias("first_path"),
+        F.slice(F.sort_array(F.collect_list("path")), 1, n_cand).alias(
+            "probe_paths"
+        ),
     )
 
     def _probe(batches):
@@ -114,18 +136,38 @@ def probe_stack_geometry(
 
         for pdf in batches:
             ys, xs, dts = [], [], []
-            for p in pdf["first_path"]:
-                # ranged read: a PNG header probe needs 29 bytes, not
-                # the whole multi-MB slice — at 10⁴ stacks the probe
-                # stage reads KBs instead of the first-slice GBs
-                head = _open_bytes(p, 64)
-                if head[:8] == _PNG_SIG:
-                    w, h, bits = probe_png_header(head)
-                else:
-                    # TIFF IFDs sit at an arbitrary offset (often the
-                    # tail), so fall back to the full read — the probe
-                    # still skips pixel decompression entirely
-                    w, h, bits = probe_image_header(_open_bytes(p))
+            for paths, ch, st in zip(
+                pdf["probe_paths"], pdf["channel"], pdf["stack"]
+            ):
+                got = None
+                err: Exception | None = None
+                for p in paths:
+                    try:
+                        # ranged read: a PNG header probe needs 29
+                        # bytes, not the whole multi-MB slice — at 10⁴
+                        # stacks the probe stage reads KBs instead of
+                        # the first-slice GBs
+                        head = _open_bytes(p, 64)
+                        if head[:8] == _PNG_SIG:
+                            got = probe_png_header(head)
+                        else:
+                            # TIFF IFDs sit at an arbitrary offset
+                            # (often the tail), so fall back to the
+                            # full read — the probe still skips pixel
+                            # decompression entirely
+                            got = probe_image_header(_open_bytes(p))
+                        break
+                    except Exception as exc:  # noqa: BLE001
+                        if not quarantine:
+                            raise
+                        err = exc
+                if got is None:
+                    raise RuntimeError(
+                        f"geometry probe failed for stack {ch}/{st}: "
+                        f"none of the first {len(paths)} slices probed "
+                        f"cleanly (last error: {err})"
+                    ) from err
+                w, h, bits = got
                 ys.append(h)
                 xs.append(w)
                 dts.append("uint16" if bits == 16 else "uint8")
@@ -212,13 +254,26 @@ def run_fused_ingest(
     compressor_kwargs: dict[str, Any] | None = None,
     stack_filter: list[tuple[str, str]] | None = None,
     geo: list[dict[str, Any]] | None = None,
-) -> tuple[list[str], dict[str, int]]:
+    on_error: str = "fail",
+) -> tuple[list[str], dict[str, Any]]:
     """Write every stack's full multiscale store via fused band tasks.
 
     Returns (sorted group paths, {"n_chunks": level-0 chunks written,
     "chunk_bytes": raw level-0 bytes}) — the same metrics contract as
-    the chunk-table job's Observation.
+    the chunk-table job's Observation.  With ``on_error="quarantine"``
+    the metrics dict also carries ``"dead_letters"``: one
+    {channel, stack, z, error} dict per corrupt slice (deduped across
+    the folds that each decode it), and the store holds ZERO planes at
+    the quarantined z positions — byte-identical to the UDF quarantine
+    pipeline's store (asserted in tests/test_quarantine.py).  The list
+    is driver-side because dead letters are rare by construction; an
+    operator at 100 TB persists it to the triage table of their choice.
     """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'fail' or 'quarantine', got {on_error!r}"
+        )
+    quarantine = on_error == "quarantine"
     from pyspark.sql.window import Window as W
 
     from aind_smartspim_data_transformation_spark.imaging.pyramid import (
@@ -236,7 +291,7 @@ def run_fused_ingest(
     validate_pyramid_geometry(chunk_zyx, scale_factor_zyx, n_levels)
     codec_meta, _ = _make_codec(compressor_name, compressor_kwargs)
     if geo is None:
-        geo = probe_stack_geometry(spark, root)
+        geo = probe_stack_geometry(spark, root, on_error=on_error)
     if stack_filter is not None:
         keep = set(stack_filter)
         geo = [g for g in geo if (g["channel"], g["stack"]) in keep]
@@ -267,7 +322,13 @@ def run_fused_ingest(
     cz_chunk, cy_chunk, cx_chunk = chunk_zyx
     factors = tuple(scale_factor_zyx)
     plan = _band_plan(geo, chunk_zyx, spark.sparkContext.defaultParallelism)
-    heights = {(g["channel"], g["stack"]): g["y"] for g in geo}
+    # probed (height, width, dtype) per stack: band buffers are sized
+    # from THIS, never from the first decoded slice, and every decoded
+    # window is validated against it (a rogue-geometry slice must fail
+    # or quarantine, not silently crop)
+    geom = {
+        (g["channel"], g["stack"]): (g["y"], g["x"], g["dtype"]) for g in geo
+    }
 
     # listing → (slab, fold) groups.  The z-rank window moves ~100-byte
     # path rows (content never scanned); each slice row is duplicated
@@ -344,7 +405,8 @@ def run_fused_ingest(
         cz = int(pdf["slab"].iloc[0])
         fold = int(pdf["fold"].iloc[0])
         nb, per_band = plan[(channel, stack)]
-        height = heights[(channel, stack)]
+        height, width, dtype_name = geom[(channel, stack)]
+        exp_dtype = np.dtype(dtype_name)
         # the fold's band windows: (cy0, y0, y1) for bands f and
         # nb−1−f (one window when they coincide)
         wins = []
@@ -370,16 +432,31 @@ def run_fused_ingest(
                 for (_, y0, y1) in wins
             ]
 
-        bufs = None
-        for i, path in enumerate(pdf["path"]):
-            parts = _decode_bands(_open_bytes(path))
-            if bufs is None:
-                bufs = [
-                    np.empty(
-                        (len(pdf), p.shape[0], p.shape[1]), dtype=p.dtype
-                    )
-                    for p in parts
-                ]
+        # zeros, not empty: a quarantined slice's rows must come out
+        # zero-filled AT POSITION (memset cost is noise next to the
+        # decode+compress kernels this task runs)
+        bufs = [
+            np.zeros((len(pdf), y1 - y0, width), dtype=exp_dtype)
+            for (_, y0, y1) in wins
+        ]
+        dead: list[tuple[int, str]] = []
+        for i, (path, zz) in enumerate(zip(pdf["path"], pdf["z"])):
+            try:
+                parts = _decode_bands(_open_bytes(path))
+                for p, (_, y0, y1) in zip(parts, wins):
+                    if p.shape != (y1 - y0, width) or p.dtype != exp_dtype:
+                        raise ValueError(
+                            f"slice geometry mismatch in {path}: decoded "
+                            f"window {p.shape} {p.dtype} != probed "
+                            f"{(y1 - y0, width)} {exp_dtype}"
+                        )
+            except Exception as exc:  # noqa: BLE001 — dead-letter boundary
+                if not quarantine:
+                    raise
+                dead.append(
+                    (int(zz), f"{path}: {type(exc).__name__}: {exc}")
+                )
+                continue  # band rows stay zero-filled
             for buf, p in zip(bufs, parts):
                 buf[i] = p
         fs, base = _fs_for(output_root)
@@ -436,20 +513,67 @@ def run_fused_ingest(
                             # padding before the mean would corrupt
                             # edge windows
                             arr = windowed_mean(arr, factors)
+        rows = [(channel, stack, n_chunks, raw_bytes, None, None)]
+        rows += [(channel, stack, 0, 0, z, err) for z, err in dead]
         return pd.DataFrame(
-            {"n_chunks": [n_chunks], "chunk_bytes": [raw_bytes]}
+            rows,
+            columns=[
+                "channel",
+                "stack",
+                "n_chunks",
+                "chunk_bytes",
+                "dead_z",
+                "dead_error",
+            ],
         )
 
-    summaries = (
-        slabs.groupBy("channel", "stack", "slab", "fold")
-        .applyInPandas(_write_band, schema="n_chunks long, chunk_bytes long")
-        .agg(
-            F.sum("n_chunks").alias("n_chunks"),
-            F.sum("chunk_bytes").alias("chunk_bytes"),
-        )
-        .first()
+    out = slabs.groupBy("channel", "stack", "slab", "fold").applyInPandas(
+        _write_band,
+        schema="channel string, stack string, n_chunks long, "
+        "chunk_bytes long, dead_z long, dead_error string",
     )
-    return sorted(groups), {
-        "n_chunks": int(summaries["n_chunks"]),
-        "chunk_bytes": int(summaries["chunk_bytes"]),
-    }
+    agg_cols = [
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("chunk_bytes").alias("chunk_bytes"),
+    ]
+    metrics: dict[str, Any]
+    if quarantine:
+        # the summary frame is tiny (one row per task + one per dead
+        # letter) — persist so the expensive write stage runs ONCE for
+        # both the totals and the dead-letter pull
+        out = out.persist()
+        summaries = out.agg(*agg_cols).first()
+        # a corrupt slice is decoded by EVERY fold of its slab — dedup
+        # to one triage row per (stack, z)
+        dead_rows = (
+            out.filter(F.col("dead_error").isNotNull())
+            .select(
+                "channel",
+                "stack",
+                F.col("dead_z").alias("z"),
+                F.col("dead_error").alias("error"),
+            )
+            .dropDuplicates(["channel", "stack", "z"])
+            .collect()
+        )
+        out.unpersist()
+        metrics = {
+            "dead_letters": sorted(
+                (
+                    {
+                        "channel": r["channel"],
+                        "stack": r["stack"],
+                        "z": int(r["z"]),
+                        "error": r["error"],
+                    }
+                    for r in dead_rows
+                ),
+                key=lambda d: (d["channel"], d["stack"], d["z"]),
+            )
+        }
+    else:
+        summaries = out.agg(*agg_cols).first()
+        metrics = {}
+    metrics["n_chunks"] = int(summaries["n_chunks"])
+    metrics["chunk_bytes"] = int(summaries["chunk_bytes"])
+    return sorted(groups), metrics

@@ -44,8 +44,10 @@ def _ingest_chunks(spark: SparkSession, settings: ImagingJobSettings, root: str)
     """Choose the scan path: DataSource (one partition per stack, no
     z-map — the default at scale) when the Python DataSource API is
     available, the binaryFile+UDF pipeline otherwise.  Both are
-    bit-identical on clean trees (tests/test_datasource.py); only the
-    UDF path has a quarantine mode."""
+    bit-identical on clean trees (tests/test_datasource.py); the
+    DataSource scan has no dead-letter channel, so quarantine jobs
+    route to the UDF pipeline (settings validation already refused a
+    forced datasource+quarantine combination)."""
     cz, cy, cx = settings.chunk_size
     # Probe the capabilities the DataSource path actually uses, not
     # just the public attribute: on Spark Connect `spark.dataSource`
@@ -56,13 +58,20 @@ def _ingest_chunks(spark: SparkSession, settings: ImagingJobSettings, root: str)
         spark, "_jsparkSession", None
     ) is not None
     if settings.ingest == "datasource" or (
-        settings.ingest == "auto" and ds_capable
+        settings.ingest == "auto"
+        and ds_capable
+        and settings.on_error == "fail"
     ):
         return read_stack_tree_datasource(
             spark, f"{root}/SmartSPIM", chunk_z=cz, chunk_y=cy, chunk_x=cx
         )
     return read_stack_tree(
-        spark, f"{root}/SmartSPIM", chunk_z=cz, chunk_y=cy, chunk_x=cx
+        spark,
+        f"{root}/SmartSPIM",
+        chunk_z=cz,
+        chunk_y=cy,
+        chunk_x=cx,
+        on_error=settings.on_error,
     )
 
 
@@ -137,7 +146,9 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
             run_fused_ingest,
         )
 
-        geo = probe_stack_geometry(spark, f"{root}/SmartSPIM")
+        geo = probe_stack_geometry(
+            spark, f"{root}/SmartSPIM", on_error=settings.on_error
+        )
         task_bytes = fused_task_bytes(
             geo, list(settings.chunk_size),
             spark.sparkContext.defaultParallelism,
@@ -155,6 +166,7 @@ def run_imaging_job(spark: SparkSession, settings: ImagingJobSettings) -> dict:
                 compressor_kwargs=settings.compressor_kwargs,
                 stack_filter=mine,
                 geo=geo,
+                on_error=settings.on_error,
             )
             return {
                 "status_code": 200,

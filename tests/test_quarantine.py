@@ -118,3 +118,136 @@ def test_quarantine_ingest_reaches_zarr_sink(spark, tmp_path):
     expect = vols[f"{CHANNELS[0]}/{bad_stack}"].copy()
     expect[0] = 0  # the quarantined plane, zero-filled in place
     assert np.array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# Fused-path quarantine (round 7): the zero-shuffle default ingest must
+# survive a corrupt slice exactly like the UDF pipeline — zero plane at
+# position, dead-letter triage row, store identical.
+# ---------------------------------------------------------------------------
+def _run_job(spark, root, out, ingest, on_error, chunk=(64, 64, 64)):
+    from aind_smartspim_data_transformation_spark.config.settings import (
+        ImagingJobSettings,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.job import (
+        run_imaging_job,
+    )
+
+    resp = run_imaging_job(
+        spark,
+        ImagingJobSettings(
+            input_source=str(root),
+            output_directory=str(out),
+            chunk_size=list(chunk),
+            downsample_levels=2,
+            ingest=ingest,
+            on_error=on_error,
+        ),
+    )
+    assert resp["status_code"] == 200
+    tree = {
+        str(p.relative_to(out)): p.read_bytes()
+        for p in sorted(out.rglob("*"))
+        if p.is_file()
+    }
+    return tree, resp
+
+
+def test_fused_quarantine_store_matches_udf_store(spark, tmp_path):
+    """Corrupt slice (the FIRST of its stack — the probe must fall back
+    to the next slice), ingest='fused' with quarantine: store is
+    byte-identical to the UDF-quarantine store, and the dead-letter
+    metric names the slice."""
+    root = tmp_path / "ds"
+    make_dataset(root, height=16, width=20)
+    bad_stack = _corrupt_first_slice(root)
+
+    fused, fused_resp = _run_job(
+        spark, root, tmp_path / "out_fused", "fused", "quarantine"
+    )
+    udf, _ = _run_job(spark, root, tmp_path / "out_udf", "udf", "quarantine")
+    assert fused == udf
+
+    dead = fused_resp["metrics"]["dead_letters"]
+    assert len(dead) == 1
+    assert dead[0]["channel"] == CHANNELS[0]
+    assert dead[0]["stack"] == bad_stack
+    assert dead[0]["z"] == 0
+    assert f"{SLICES[0]}.png" in dead[0]["error"]
+
+    # the quarantined plane is ZERO at its position; neighbors intact
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+
+    group = str(
+        tmp_path / "out_fused" / CHANNELS[0] / f"{bad_stack}.ome.zarr"
+    )
+    got = read_zarr_level(group, 0)
+    assert not got[0].any()
+    assert got[1].any()
+
+
+def test_fused_fail_mode_propagates_codec_error(spark, tmp_path):
+    root = tmp_path / "ds"
+    make_dataset(root, height=16, width=20)
+    _corrupt_first_slice(root)
+    with pytest.raises(Exception, match="(?i)png|probe|decode"):
+        _run_job(spark, root, tmp_path / "out", "fused", "fail")
+
+
+def test_fused_geometry_mismatch_fails_loudly(spark, tmp_path):
+    """A structurally-valid slice whose decoded geometry disagrees with
+    the probed stack geometry must FAIL NAMING THE PATH (it used to be
+    silently cropped into the band buffer), and must quarantine into a
+    zero plane when asked."""
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    root = tmp_path / "ds"
+    make_dataset(root, height=16, width=20)
+    ch_dir = root / "SmartSPIM" / CHANNELS[0]
+    col = sorted(p for p in ch_dir.iterdir() if p.is_dir())[0]
+    stack_dir = sorted(p for p in col.iterdir() if p.is_dir())[0]
+    # SECOND slice: the probe reads the first, so the mismatch is a
+    # data-plane discovery, not a probe-time one
+    target = stack_dir / f"{SLICES[1]}.png"
+    rogue = np.arange(8 * 20, dtype=np.uint16).reshape(8, 20)  # too short
+    target.write_bytes(encode_png_gray(rogue))
+
+    with pytest.raises(Exception, match="geometry mismatch"):
+        _run_job(spark, root, tmp_path / "out_f", "fused", "fail")
+
+    _, resp = _run_job(
+        spark, root, tmp_path / "out_q", "fused", "quarantine"
+    )
+    dead = resp["metrics"]["dead_letters"]
+    assert len(dead) == 1 and dead[0]["z"] == 1
+    assert "geometry mismatch" in dead[0]["error"]
+    assert f"{SLICES[1]}.png" in dead[0]["error"]
+
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+
+    group = str(
+        tmp_path / "out_q" / CHANNELS[0] / f"{stack_dir.name}.ome.zarr"
+    )
+    got = read_zarr_level(group, 0)
+    assert not got[1].any()
+    assert got[0].any()
+
+
+def test_datasource_quarantine_refused_at_settings(spark):
+    from aind_smartspim_data_transformation_spark.config.settings import (
+        ImagingJobSettings,
+    )
+
+    with pytest.raises(Exception, match="(?i)quarantine"):
+        ImagingJobSettings(
+            input_source="/x",
+            output_directory="/y",
+            ingest="datasource",
+            on_error="quarantine",
+        )
