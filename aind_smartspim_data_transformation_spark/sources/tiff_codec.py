@@ -10,12 +10,12 @@ plane needs:
 
 - decode: single-IFD grayscale (PhotometricInterpretation 0/1),
   1 sample/pixel, 8/16-bit, strip-organized, compression none (1),
-  Deflate (8 / legacy 32946) or LZW (5; TIFF 6.0 §13 — MSB-first
-  variable-width codes with early change), optional
-  horizontal-differencing predictor (tag 317 = 2), both byte orders
-  (II/MM);
-- encode: uint8/uint16 grayscale, none/Deflate/LZW, single strip, II
-  order (for fixtures and round-trip tests);
+  Deflate (8 / legacy 32946), LZW (5; TIFF 6.0 §13 — MSB-first
+  variable-width codes with early change) or PackBits (32773; TIFF 6.0
+  §9 run-length), optional horizontal-differencing predictor
+  (tag 317 = 2), both byte orders (II/MM);
+- encode: uint8/uint16 grayscale, none/Deflate/LZW/PackBits, single
+  strip, II order (for fixtures and round-trip tests);
 - header probe: width/height/bitdepth from the IFD without touching
   strip data (same contract as ``probe_png_header``).
 
@@ -177,6 +177,59 @@ def _lzw_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decompress(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: control byte b → b<128 copy b+1 literals;
+    b>128 repeat the next byte 257−b times; b==128 no-op.  Pure byte-
+    stream RLE — row boundaries are an ENCODER discipline (rows packed
+    separately), invisible to the decoder."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b == 128:  # no-op filler
+            continue
+        if b < 128:
+            cnt = b + 1
+            if i + cnt > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + cnt]
+            i += cnt
+        else:
+            if i >= n:
+                raise ValueError("truncated PackBits replicate run")
+            out += data[i : i + 1] * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_compress(data: bytes) -> bytes:
+    """PackBits encoder for one row (TIFF 6.0 §9: rows pack
+    separately).  Replicate runs ≥2 (up to 128); literals break when a
+    ≥3-byte run starts (the spec's recommended heuristic)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j + 1
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
 def probe_tiff_header(data: bytes) -> tuple[int, int, int]:
     """(width, height, bitdepth) from the IFD without reading strips."""
     tags, _ = _read_ifd(data)
@@ -231,9 +284,10 @@ def decode_tiff_gray(
         raise ValueError("TIFF missing StripOffsets")
     if not counts:
         raise ValueError("TIFF missing StripByteCounts")
-    if compression not in (1, 5, 8, 32946):
+    if compression not in (1, 5, 8, 32946, 32773):
         raise ValueError(
-            f"unsupported TIFF compression {compression} (none/lzw/deflate only)"
+            f"unsupported TIFF compression {compression} "
+            f"(none/lzw/deflate/packbits only)"
         )
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -251,6 +305,8 @@ def decode_tiff_gray(
             raw += strip
         elif compression == 5:
             raw += _lzw_decompress(strip)
+        elif compression == 32773:
+            raw += _packbits_decompress(strip)
         else:
             raw += zlib.decompress(strip)
     if len(raw) < need:
@@ -276,7 +332,8 @@ def encode_tiff_gray(
 ) -> bytes:
     """Encode a 2-D uint8/uint16 array as an II strip TIFF.
 
-    ``compression``: 1 (none), 5 (LZW) or 8 (Deflate).
+    ``compression``: 1 (none), 5 (LZW), 8 (Deflate) or 32773 (PackBits
+    — each row packed separately per TIFF 6.0 §9).
     ``rows_per_strip``: ``None`` = one strip (historical layout);
     otherwise the plane splits into independently-compressed strips of
     that many rows — the layout that lets ``decode_tiff_gray`` read a
@@ -290,11 +347,12 @@ def encode_tiff_gray(
         bits = 16
     else:
         raise ValueError(f"unsupported dtype {arr.dtype} (uint8/uint16 only)")
-    if compression not in (1, 5, 8):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     h, w = arr.shape
     rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
     native = np.ascontiguousarray(arr.astype("<u2" if bits == 16 else "u1"))
+    row_bytes = w * (2 if bits == 16 else 1)
     strips: list[bytes] = []
     for r0 in range(0, h, rps) or [0]:
         seg = native[r0 : r0 + rps].tobytes()
@@ -302,6 +360,11 @@ def encode_tiff_gray(
             seg = zlib.compress(seg, 1)
         elif compression == 5:
             seg = _lzw_compress(seg)
+        elif compression == 32773:
+            seg = b"".join(
+                _packbits_compress(seg[p : p + row_bytes])
+                for p in range(0, len(seg), row_bytes)
+            )
         strips.append(seg)
     if not strips:  # h == 0 is rejected upstream, but stay total
         strips = [b""]

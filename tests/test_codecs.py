@@ -126,7 +126,7 @@ def test_png_paeth_decode_throughput():
 # ---------------------------------------------------------------------------
 # TIFF
 # ---------------------------------------------------------------------------
-@given(_images(), st.sampled_from([1, 5, 8]))
+@given(_images(), st.sampled_from([1, 5, 8, 32773]))
 @settings(max_examples=80, deadline=None)
 def test_tiff_roundtrip_property(arr, compression):
     data = encode_tiff_gray(arr, compression=compression)
@@ -358,7 +358,7 @@ def test_png_prefix_decode_equals_full(arr, ft, data):
     )
 
 
-@given(_images(), st.sampled_from([1, 5, 8]), st.data())
+@given(_images(), st.sampled_from([1, 5, 8, 32773]), st.data())
 @settings(max_examples=40, deadline=None)
 def test_tiff_prefix_decode_equals_full(arr, compression, data):
     stop = data.draw(st.integers(1, arr.shape[0] + 2))
@@ -410,7 +410,7 @@ def test_png_interlaced_rejected():
         decode_png_gray(bytes(enc))
 
 
-@given(_images(), st.sampled_from([1, 5, 8]), st.integers(1, 9), st.data())
+@given(_images(), st.sampled_from([1, 5, 8, 32773]), st.integers(1, 9), st.data())
 @settings(max_examples=50, deadline=None)
 def test_tiff_multistrip_roundtrip_and_window(arr, compression, rps, data):
     """Multi-strip encode round-trips, and a [start, stop) window
@@ -497,3 +497,117 @@ def test_png_oversized_stream_rejected():
     with pytest.raises(ValueError, match="implies exactly"):
         decode_png_gray(bytes(enc))
     assert decode_png_gray(bytes(enc), row_stop=3).shape == (3, 8)
+
+
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9, compression 32773) — round 7
+# ---------------------------------------------------------------------------
+def test_packbits_spec_vector():
+    """The worked example from the TIFF 6.0 spec §9 (Apple PackBits)."""
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _packbits_decompress,
+    )
+
+    # spec: FE AA | 02 80 00 2A | FD AA | 03 80 00 2A 22 | F7 AA
+    #  → AA×3 | 80 00 2A | AA×4 | 80 00 2A 22 | AA×10
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = (
+        b"\xaa" * 3 + b"\x80\x00\x2a" + b"\xaa" * 4
+        + b"\x80\x00\x2a\x22" + b"\xaa" * 10
+    )
+    assert _packbits_decompress(packed) == want
+
+
+def test_packbits_noop_and_truncation():
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _packbits_decompress,
+    )
+
+    # 0x80 is a no-op filler byte
+    assert _packbits_decompress(b"\x80\x00A\x80\xfeB") == b"A" + b"B" * 3
+    with pytest.raises(ValueError, match="truncated"):
+        _packbits_decompress(b"\x05AB")  # literal run cut short
+    with pytest.raises(ValueError, match="truncated"):
+        _packbits_decompress(b"\xfe")  # replicate with no byte
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_packbits_roundtrip_arbitrary_bytes(data):
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _packbits_compress,
+        _packbits_decompress,
+    )
+
+    assert _packbits_decompress(_packbits_compress(data)) == data
+
+
+def test_tiff_packbits_with_predictor():
+    """PackBits composes with horizontal differencing: RLE shines on
+    the flat gradients differencing produces — decode must invert both."""
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _packbits_compress,
+    )
+    import struct as _s
+
+    # hand-build: predictor 2 + packbits (our encoder doesn't emit
+    # predictor, so splice the tag in over a known pixel block)
+    arr = np.tile(np.arange(40, dtype=np.uint16) * 7, (6, 1))
+    diff = np.empty_like(arr)
+    diff[:, 0] = arr[:, 0]
+    diff[:, 1:] = (arr[:, 1:].astype(np.int64) - arr[:, :-1]).astype(np.uint16)
+    seg = b"".join(
+        _packbits_compress(diff[y].astype("<u2").tobytes()) for y in range(6)
+    )
+    entries = [
+        (256, 4, 1, 40), (257, 4, 1, 6), (258, 3, 1, 16),
+        (259, 3, 1, 32773), (262, 3, 1, 1), (273, 4, 1, 8),
+        (277, 3, 1, 1), (278, 4, 1, 6), (279, 4, 1, len(seg)),
+        (317, 3, 1, 2),
+    ]
+    out = bytearray(b"II" + _s.pack("<HI", 42, 8 + len(seg)))
+    out += seg
+    out += _s.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += _s.pack("<HHII", tag, typ, count, value)
+    out += _s.pack("<I", 0)
+    assert np.array_equal(decode_tiff_gray(bytes(out)), arr)
+
+
+def test_packbits_stack_e2e(spark, tmp_path):
+    """A whole acquisition of PackBits TIFF slices flows through the
+    fused job into a store identical to the plain-TIFF acquisition's."""
+    from aind_smartspim_data_transformation_spark.config.settings import (
+        ImagingJobSettings,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.job import (
+        run_imaging_job,
+    )
+    from tests.imaging_fixtures import make_dataset
+
+    roots = {}
+    for comp, name in ((1, "plain"), (32773, "pb")):
+        root = tmp_path / name
+        vols = make_dataset(root, height=16, width=20, fmt="tif")
+        if comp != 1:  # re-encode every slice as PackBits
+            for p in sorted((root / "SmartSPIM").rglob("*.tif")):
+                plane = decode_tiff_gray(p.read_bytes())
+                p.write_bytes(encode_tiff_gray(plane, compression=comp))
+        out = tmp_path / f"out_{name}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[64, 8, 64],  # multi-band y to hit windows
+                downsample_levels=2,
+                ingest="fused",
+            ),
+        )
+        assert resp["status_code"] == 200
+        roots[name] = {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }
+    assert roots["plain"] == roots["pb"]
