@@ -258,6 +258,22 @@ def finalized_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # Arrow hands the kernel tz-NAIVE timestamps in the SESSION zone;
+    # setTimeoutTimestamp wants true epoch millis.  Localize with the
+    # session zone captured at plan time — treating the naive value as
+    # UTC (the old code) shifted every timeout by the zone offset under
+    # a non-UTC spark.sql.session.timeZone (ADVICE r6).  ambiguous/
+    # nonexistent handling keeps the kernel total through DST folds.
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def _epoch_ms(naive_ts: "pd.Timestamp") -> int:
+        return (
+            naive_ts.tz_localize(
+                tz, ambiguous=True, nonexistent="shift_forward"
+            ).value
+            // 1_000_000
+        )
+
     out_schema = (
         "user_id long, n_events long, session_start timestamp, "
         "session_end timestamp, session_value double"
@@ -314,9 +330,11 @@ def finalized_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
             cur[2] += 1
             cur[3] += float(value)
         state.update(tuple(cur))
-        # deadline in wall-clock ms of event time: fires when the
-        # WATERMARK passes session_end + gap
-        state.setTimeoutTimestamp(cur[1] // 1000 + gap_sec * 1000)
+        # deadline in true epoch ms: fires when the WATERMARK passes
+        # session_end + gap (session_end is session-tz naive µs)
+        state.setTimeoutTimestamp(
+            _epoch_ms(pd.Timestamp(cur[1], unit="us")) + gap_sec * 1000
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
@@ -362,6 +380,10 @@ def windowed_hll_distinct(events: DataFrame) -> DataFrame:
     out_schema = "w_start timestamp, n_regs long, est long"
     state_schema = "regs binary"
 
+    # group keys arrive tz-naive in the SESSION zone; the event-time
+    # timeout needs true epoch ms (see finalized_sessions — same fix)
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+
     def _estimate(regs: bytes) -> tuple[int, int]:
         s = 0
         n_regs = 0
@@ -399,8 +421,15 @@ def windowed_hll_distinct(events: DataFrame) -> DataFrame:
                 regs[bucket] = rho
         state.update((bytes(regs),))
         # fire when the watermark passes the window end (1-hour windows,
-        # matching the date_trunc("hour") key below)
-        state.setTimeoutTimestamp(w_start.value // 1_000_000 + 3_600_000)
+        # matching the date_trunc("hour") key below); localize the
+        # session-tz-naive key before taking the epoch
+        state.setTimeoutTimestamp(
+            w_start.tz_localize(
+                tz, ambiguous=True, nonexistent="shift_forward"
+            ).value
+            // 1_000_000
+            + 3_600_000
+        )
 
     def pdfs_users(pdfs):
         for pdf in pdfs:

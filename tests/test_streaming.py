@@ -629,3 +629,60 @@ def test_windowed_hll_stream_matches_batch_n08(spark, sf_dir, tmp_path):
     }
     assert len(got) > 1
     assert got == want
+
+
+def test_windowed_hll_timeout_respects_session_timezone(spark, tmp_path):
+    """Event-time timeouts under a NON-UTC session timezone (ADVICE r6):
+    the group key arrives session-tz-naive, and treating it as UTC
+    shifted every window's timeout by the zone offset — under
+    America/New_York the hour-2 batch set a timeout 5 h BEHIND the
+    already-advanced watermark (IllegalArgumentException) or emitted
+    windows early/partial.  With the localize fix, per-window results
+    are identical in any session zone."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    tz_saved = spark.conf.get("spark.sql.session.timeZone")
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows_h0 = [(u, base + datetime.timedelta(minutes=u % 60)) for u in range(40)]
+    rows_h1 = [
+        (u, base + datetime.timedelta(hours=1, minutes=u % 60))
+        for u in range(40, 80)
+    ]
+    sentinel = [(999_999_999, datetime.datetime(2035, 1, 1))]
+
+    def run(tzname: str, subdir: str):
+        spark.conf.set("spark.sql.session.timeZone", tzname)
+        try:
+            src = tmp_path / subdir
+            src.mkdir()
+            for wave in (rows_h0, rows_h1, sentinel):
+                spark.createDataFrame(
+                    wave, "user_id long, ts timestamp"
+                ).select("ts", "user_id").coalesce(1).write.mode(
+                    "append"
+                ).parquet(str(src))
+            stream = (
+                spark.readStream.schema("ts timestamp, user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+                .withWatermark("ts", "1 second")
+            )
+            out = es.run_to_completion(
+                es.windowed_hll_distinct(stream),
+                f"t_hll_tz_{subdir}",
+                mode="append",
+            ).collect()
+            return sorted(
+                (str(r["w_start"]), r["n_regs"], r["est"])
+                for r in out
+                if r["w_start"].year < 2035
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz_saved)
+
+    got_ny = run("America/New_York", "hll_ny")
+    got_utc = run("UTC", "hll_utc")
+    assert len(got_ny) == 2  # one row per window, no early/partial dupes
+    assert got_ny == got_utc
