@@ -593,8 +593,71 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
     Metadata: only ``shape`` (per level) and ``omero.rdefs.defaultZ``
     change; NGFF transforms are depth-independent.
     """
-    fs, gpath = _fs_for(group)
     geo = [_level_geometry(df) for df in levels]
+    from pyspark.sql import functions as F
+
+    chunk_info = []
+    for level_df in levels:
+        head = level_df.filter(
+            (F.col("cz") == 0) & (F.col("cy") == 0) & (F.col("cx") == 0)
+        ).select("dz").first()
+        n_cz = int(level_df.agg(F.max("cz")).first()[0]) + 1
+        chunk_info.append((int(head["dz"]), n_cz))
+
+    def _write_level(lvl: int, off: int, meta: dict) -> None:
+        compress = _compress_from_meta(meta["compressor"])
+        chunk_shape = tuple(meta["chunks"][2:])
+        lvl_dir = f"{group}/{lvl}"
+
+        def _write_partition(
+            rows, lvl_dir=lvl_dir, chunk_shape=chunk_shape,
+            compress=compress, off=off,
+        ):
+            fs2, base = _fs_for(lvl_dir)
+            made: set[str] = set()
+            for r in rows:
+                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
+                    r["dz"], r["dy"], r["dx"]
+                )
+                if arr.shape != chunk_shape:
+                    full = np.zeros(chunk_shape, dtype=arr.dtype)
+                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
+                    arr = full
+                key = "/".join(
+                    [base, "0", "0", str(r["cz"] + off), str(r["cy"]), str(r["cx"])]
+                )
+                parent = key.rsplit("/", 1)[0]
+                if parent not in made:
+                    fs2.create_dir(parent, recursive=True)
+                    made.add(parent)
+                with fs2.open_output_stream(key) as f:
+                    f.write(compress(np.ascontiguousarray(arr).tobytes()))
+
+        _arrow_foreach(levels[lvl], _write_partition)
+
+    return append_slab_transaction(group, geo, chunk_info, _write_level)
+
+
+def append_slab_transaction(
+    group: str,
+    geo: list[tuple[tuple[int, int, int], str]],
+    chunk_info: list[tuple[int, int]],
+    write_level,
+) -> str:
+    """The append's VALIDATION + FENCE + COMMIT core, shared by the
+    batch path (:func:`append_ome_zarr_z` — chunk writes are a Spark
+    job) and the streaming DataSource writer (chunk writes are staged-
+    file promotions).  One implementation so the two paths can never
+    disagree on crash semantics.
+
+    ``geo[lvl]`` = ((z, y, x), dtype) of the slab's level-lvl extent;
+    ``chunk_info[lvl]`` = (first-chunk dz, number of z-chunks);
+    ``write_level(lvl, off, meta)`` must (re-)write level lvl's chunks
+    shifted by ``off`` store z-chunks — it MUST be idempotent
+    (fixed keys, deterministic bytes), because the roll-forward path
+    re-invokes it for uncommitted levels.
+    """
+    fs, gpath = _fs_for(group)
     # A slab whose level-i z extent is not an exact multiple of the
     # i→i+1 reduction factor would FINALIZE a truncated edge window at
     # the slab boundary — the one-shot pyramid instead combines those
@@ -606,9 +669,9 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
     with fs.open_input_stream(f"{gpath}/.zattrs") as f:
         attrs = json.loads(f.read().decode())
     datasets = attrs["multiscales"][0]["datasets"]
-    if len(datasets) != len(levels):
+    if len(datasets) != len(geo):
         raise ValueError(
-            f"append: slab has {len(levels)} levels, store has "
+            f"append: slab has {len(geo)} levels, store has "
             f"{len(datasets)} — rebuild the slab pyramid with the "
             f"store's level count"
         )
@@ -625,11 +688,11 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
                 f"factor**(n_levels-1)-plane multiples"
             )
     metas = []
-    for lvl in range(len(levels)):
+    for lvl in range(len(geo)):
         with fs.open_input_stream(f"{gpath}/{lvl}/.zarray") as f:
             metas.append(json.loads(f.read().decode()))
     cur_z = [m["shape"][2] for m in metas]
-    slab_z = [geo[lvl][0][0] for lvl in range(len(levels))]
+    slab_z = [geo[lvl][0][0] for lvl in range(len(geo))]
 
     fence = attrs.get("append_in_progress")
     if fence is not None:
@@ -644,7 +707,7 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
             )
         bad = [
             lvl
-            for lvl in range(len(levels))
+            for lvl in range(len(geo))
             if cur_z[lvl] not in (pre_z[lvl], post_z[lvl])
         ]
         if bad:
@@ -659,7 +722,7 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
     else:
         base_z = cur_z
 
-    for lvl, level_df in enumerate(levels):
+    for lvl in range(len(geo)):
         meta = metas[lvl]
         (z_new, y_new, x_new), dtype = geo[lvl]
         shape = meta["shape"]
@@ -688,18 +751,13 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
         # zero-padded part-chunks one store-chunk apart — silent data
         # loss.  Valid: slab chunk z == store chunk z (trailing partial
         # allowed), or the whole slab fits one store chunk.
-        from pyspark.sql import functions as F
-
-        head = level_df.filter(
-            (F.col("cz") == 0) & (F.col("cy") == 0) & (F.col("cx") == 0)
-        ).select("dz").first()
-        n_cz = int(level_df.agg(F.max("cz")).first()[0]) + 1
-        if (z_new > chunks[2] and int(head["dz"]) != chunks[2]) or (
+        head_dz, n_cz = chunk_info[lvl]
+        if (z_new > chunks[2] and head_dz != chunks[2]) or (
             z_new <= chunks[2] and n_cz != 1
         ):
             raise ValueError(
                 f"append: slab level-{lvl} z-chunking (first chunk dz="
-                f"{int(head['dz'])}, {n_cz} z-chunks for extent {z_new}) "
+                f"{head_dz}, {n_cz} z-chunks for extent {z_new}) "
                 f"does not match the store's z-chunk {chunks[2]} — "
                 f"assemble the slab with chunk_z={chunks[2]}"
             )
@@ -714,43 +772,15 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
         }
         _write_json(f"{gpath}/.zattrs", attrs)
 
-    for lvl, level_df in enumerate(levels):
+    for lvl in range(len(geo)):
         meta = metas[lvl]
-        lvl_dir = f"{gpath}/{lvl}"
         (z_new, _y_new, _x_new), _dtype = geo[lvl]
         shape = meta["shape"]
         chunks = meta["chunks"]
         if fence is not None and cur_z[lvl] == base_z[lvl] + z_new:
             continue  # this level's append already committed
         off = base_z[lvl] // chunks[2]
-        compress = _compress_from_meta(meta["compressor"])
-        chunk_shape = tuple(chunks[2:])
-
-        def _write_partition(
-            rows, lvl_dir=lvl_dir, chunk_shape=chunk_shape,
-            compress=compress, off=off,
-        ):
-            fs2, base = _fs_for(lvl_dir)
-            made: set[str] = set()
-            for r in rows:
-                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
-                    r["dz"], r["dy"], r["dx"]
-                )
-                if arr.shape != chunk_shape:
-                    full = np.zeros(chunk_shape, dtype=arr.dtype)
-                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
-                    arr = full
-                key = "/".join(
-                    [base, "0", "0", str(r["cz"] + off), str(r["cy"]), str(r["cx"])]
-                )
-                parent = key.rsplit("/", 1)[0]
-                if parent not in made:
-                    fs2.create_dir(parent, recursive=True)
-                    made.add(parent)
-                with fs2.open_output_stream(key) as f:
-                    f.write(compress(np.ascontiguousarray(arr).tobytes()))
-
-        _arrow_foreach(level_df, _write_partition)
+        write_level(lvl, off, meta)
         # the level's COMMIT point: chunks are all on disk (idempotent
         # keys, so a redo overwrote byte-identical data), now the shape
         meta["shape"] = [1, 1, base_z[lvl] + z_new, shape[3], shape[4]]

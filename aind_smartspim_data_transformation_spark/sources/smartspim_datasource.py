@@ -37,6 +37,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -49,6 +50,41 @@ SLICE_SCHEMA = (
 )
 
 _EXTS = (".png", ".tif", ".tiff")
+
+
+def ensure_registered(sess) -> None:
+    """Register the ``smartspim`` format into ``sess``'s SESSION-LOCAL
+    DataSourceManager, idempotently.
+
+    Python DataSource registration is per-session (each session
+    resolves formats from its OWN manager), but the duplicate-name
+    check is shared — if a sibling session already registered
+    "smartspim", the public ``register()`` raises while THIS session
+    still cannot resolve the format.  On that conflict, register into
+    the session-local manager directly.  Leans on private internals
+    (sessionState().dataSourceManager(), _wrap_function,
+    UserDefinedPythonDataSource) that move across Spark versions —
+    callers with a public-API fallback (the batch UDF ingest) should
+    wrap this in their own try/except; streaming callers have no
+    fallback and let a failure propagate.
+    """
+    from pyspark.errors import AnalysisException
+
+    dsm = sess._jsparkSession.sessionState().dataSourceManager()
+    if dsm.dataSourceExists("smartspim"):
+        return
+    try:
+        sess.dataSource.register(SmartspimDataSource)
+    except AnalysisException:
+        from pyspark.sql.udf import _wrap_function
+
+        wrapped = _wrap_function(sess.sparkContext, SmartspimDataSource)
+        jds = getattr(
+            sess.sparkContext._jvm,
+            "org.apache.spark.sql.execution.datasources.v2.python."
+            "UserDefinedPythonDataSource",
+        )(wrapped)
+        dsm.registerDataSource("smartspim", jds)
 
 
 class StackPartition(InputPartition):
@@ -79,6 +115,9 @@ class SmartspimDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "SmartspimWriter":
         return SmartspimWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "SmartspimStreamWriter":
+        return SmartspimStreamWriter(self.options)
 
 
 class SmartspimReader(DataSourceReader):
@@ -575,3 +614,376 @@ class SmartspimWriter(DataSourceWriter):
         # a rerun to overwrite (fixed keys, deterministic compressor);
         # mode("overwrite") clears them wholesale.
         pass
+
+
+class SlabStage(WriterCommitMessage):
+    """Per-task staging manifest: the staging root this task wrote under
+    and, per (channel, stack), the slab geometry + staged chunk index
+    lists per level.  Plain picklable payload."""
+
+    def __init__(self, staging: str, stacks: dict):
+        self.staging = staging
+        self.stacks = stacks
+
+
+class SmartspimStreamWriter(DataSourceStreamWriter):
+    """``decoded_slices.writeStream.format("smartspim").start()`` — the
+    incremental OME-Zarr store expressed through the STREAMING commit
+    protocol, replacing the foreachBatch + driver-glue flow
+    (``streaming/stack_stream.run_incremental_ingest`` + manual
+    ``append_ome_zarr_z`` per wave).
+
+    Input rows: the decoded slice table
+    (``stack_stream.STREAM_SLICE_SCHEMA`` — channel, stack, slice_key,
+    height, width, dtype, data), partitioned so each stack's microbatch
+    rows share ONE partition (``run_streaming_store_ingest`` does the
+    ``repartition("channel", "stack")``; a split stack is detected at
+    commit and refused loudly).
+
+    Per microbatch:
+
+    - :meth:`write` (executors): each task assembles its stacks' wave
+      slices into a z-slab (slice_key ascending), computes EVERY
+      pyramid level locally (whole-slab windowed mean — identical to
+      the batch ``build_pyramid`` semantics), and stages compressed
+      chunks under ``<root>/.staging/<uuid>/`` — slab-LOCAL cz, final
+      keys unknown until commit.  Pixel bytes never cross to the JVM.
+    - :meth:`commit` (driver): per stack, either CREATES the store
+      (chunks promoted first, metadata written last — a crash leaves no
+      store) or APPENDS through
+      ``imaging.zarr_sink.append_slab_transaction`` — the SAME
+      validation + fence + roll-forward core the batch append uses, so
+      the two paths cannot disagree on crash semantics; promotion is a
+      per-chunk filesystem move.  A batch marker
+      (``.zattrs["smartspim_stream_last_batch"]``) makes commit
+      idempotent per (stack, batchId): Spark may replay a committed
+      epoch after a restart, and the marker turns the replay into a
+      no-op instead of a double-append.
+
+    Acquisition contract (same as ``landed_slab_chunks``): slices
+    arrive in ascending slice_key order per stack across waves, and
+    every wave except a stack's last spans the SAME z extent (the
+    store's z-chunk is clamped to the first wave's slab depth, and the
+    append transaction refuses mismatched grids).
+
+    Options: ``chunk`` (json [z,y,x], default [128,128,128]),
+    ``scale_factor`` (json, default [2,2,2]), ``n_levels`` (default 1),
+    ``voxel_size`` (json µm, default [1,1,1]), ``compressor`` /
+    ``compressor_kwargs`` (must match the store across waves —
+    validated against on-disk metadata before any promotion).
+    """
+
+    def __init__(self, options):
+        import json as _json
+
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("smartspim stream writer requires .start(<root>)")
+        self.voxel = _json.loads(options.get("voxel_size", "[1.0, 1.0, 1.0]"))
+        self.factors = _json.loads(options.get("scale_factor", "[2, 2, 2]"))
+        self.chunk = _json.loads(options.get("chunk", "[128, 128, 128]"))
+        self.n_levels = int(options.get("n_levels", "1"))
+        self.compressor = options.get("compressor", "zlib")
+        self.compressor_kwargs = _json.loads(
+            options.get("compressor_kwargs", "null")
+        )
+        # fault injection for the crash-fence tests: commit() runs in a
+        # detached Python sink worker the test process cannot
+        # monkeypatch, so the crash point is an explicit option — raise
+        # just before promoting level N's chunks (i.e. after level
+        # N-1's shape commit: fence up, level N unpromoted)
+        self.failpoint_before_level = (
+            int(options["failpoint_before_level"])
+            if "failpoint_before_level" in options
+            else None
+        )
+        from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+            validate_pyramid_geometry,
+        )
+
+        validate_pyramid_geometry(self.chunk, self.factors, self.n_levels)
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> SlabStage:
+        import uuid
+
+        import numpy as np
+
+        from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+            windowed_mean,
+        )
+        from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+            _fs_for,
+            _make_codec,
+        )
+
+        _, compress = _make_codec(self.compressor, self.compressor_kwargs)
+        staging = f"{self.root}/.staging/{uuid.uuid4().hex}"
+        fs, base = _fs_for(staging)
+        by_stack: dict = {}
+        for r in iterator:
+            by_stack.setdefault((r["channel"], r["stack"]), []).append(
+                (
+                    int(r["slice_key"]),
+                    int(r["height"]),
+                    int(r["width"]),
+                    r["dtype"],
+                    bytes(r["data"]),
+                )
+            )
+        stacks: dict = {}
+        factors = tuple(self.factors)
+        for (channel, stack), rows in by_stack.items():
+            rows.sort(key=lambda t: t[0])
+            h, w, dt = rows[0][1], rows[0][2], rows[0][3]
+            for k, hh, ww, dd, _ in rows:
+                if (hh, ww, dd) != (h, w, dt):
+                    raise ValueError(
+                        f"{channel}/{stack}: slice {k} geometry "
+                        f"{hh}x{ww}/{dd} != wave's {h}x{w}/{dt}"
+                    )
+            vol = np.stack(
+                [
+                    np.frombuffer(r[4], dtype=np.dtype(dt)).reshape(h, w)
+                    for r in rows
+                ]
+            )
+            dims = (
+                min(self.chunk[0], vol.shape[0]),
+                min(self.chunk[1], vol.shape[1]),
+                min(self.chunk[2], vol.shape[2]),
+            )
+            levels = []
+            arr = vol
+            made: set[str] = set()
+            for lvl in range(self.n_levels):
+                chunks = []
+                for cz in range(-(-arr.shape[0] // dims[0])):
+                    for cy in range(-(-arr.shape[1] // dims[1])):
+                        for cx in range(-(-arr.shape[2] // dims[2])):
+                            block = arr[
+                                cz * dims[0] : (cz + 1) * dims[0],
+                                cy * dims[1] : (cy + 1) * dims[1],
+                                cx * dims[2] : (cx + 1) * dims[2],
+                            ]
+                            if block.shape != dims:  # edge → zero-pad
+                                full = np.zeros(dims, dtype=block.dtype)
+                                full[
+                                    : block.shape[0],
+                                    : block.shape[1],
+                                    : block.shape[2],
+                                ] = block
+                                block = full
+                            key = "/".join(
+                                [
+                                    base, channel, stack, str(lvl),
+                                    str(cz), str(cy), str(cx),
+                                ]
+                            )
+                            parent = key.rsplit("/", 1)[0]
+                            if parent not in made:
+                                fs.create_dir(parent, recursive=True)
+                                made.add(parent)
+                            with fs.open_output_stream(key) as f:
+                                f.write(
+                                    compress(
+                                        np.ascontiguousarray(block).tobytes()
+                                    )
+                                )
+                            chunks.append((cz, cy, cx))
+                levels.append(
+                    {
+                        "z": arr.shape[0],
+                        "y": arr.shape[1],
+                        "x": arr.shape[2],
+                        "dims": list(dims),
+                        "chunks": chunks,
+                    }
+                )
+                if lvl < self.n_levels - 1:
+                    arr = windowed_mean(arr, factors)
+                    dims = tuple(
+                        -(-d // f) for d, f in zip(dims, factors)
+                    )
+            stacks[(channel, stack)] = {
+                "dtype": dt,
+                "min_key": rows[0][0],
+                "max_key": rows[-1][0],
+                "levels": levels,
+            }
+        return SlabStage(staging, stacks)
+
+    # -- driver side -------------------------------------------------------
+    def _promote(self, fs, stage_base: str, group_base: str,
+                 channel: str, stack: str, info: dict, lvl: int, off: int):
+        """Move level ``lvl``'s staged chunks to final keys shifted by
+        ``off`` store z-chunks.  Tolerates an already-moved source (the
+        roll-forward path re-invokes for uncommitted levels after a
+        crash that lost the staging dir's earlier moves mid-level —
+        the destination then already holds the byte-identical chunk)."""
+        from pyarrow import fs as pafs
+
+        if self.failpoint_before_level == lvl:
+            raise RuntimeError(
+                f"simulated crash before level-{lvl} promotion "
+                f"(failpoint_before_level)"
+            )
+        made: set[str] = set()
+        for cz, cy, cx in info["levels"][lvl]["chunks"]:
+            src = "/".join(
+                [stage_base, channel, stack, str(lvl), str(cz), str(cy), str(cx)]
+            )
+            dst = "/".join(
+                [group_base, str(lvl), "0", "0", str(cz + off), str(cy), str(cx)]
+            )
+            parent = dst.rsplit("/", 1)[0]
+            if parent not in made:
+                fs.create_dir(parent, recursive=True)
+                made.add(parent)
+            if fs.get_file_info(src).type == pafs.FileType.NotFound:
+                if fs.get_file_info(dst).type == pafs.FileType.NotFound:
+                    raise FileNotFoundError(
+                        f"staged chunk missing and not yet promoted: {src}"
+                    )
+                continue  # already promoted by an interrupted pass
+            # move is atomic rename on a local fs; on object stores it
+            # is copy+delete of an immutable staged object.  Clear a
+            # pre-existing destination first (an interrupted redo left
+            # the byte-identical chunk) — pyarrow's move does not
+            # guarantee overwrite on every filesystem.
+            if fs.get_file_info(dst).type != pafs.FileType.NotFound:
+                fs.delete_file(dst)
+            fs.move(src, dst)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+
+        from pyarrow import fs as pafs
+
+        from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+            _fs_for,
+            _make_codec,
+            _write_all_metadata,
+            _write_json,
+            append_slab_transaction,
+        )
+
+        codec_meta, _ = _make_codec(self.compressor, self.compressor_kwargs)
+        fs, root_base = _fs_for(self.root)
+        # merge manifests; a stack split across tasks cannot be
+        # assembled into one slab — the upstream repartition contract
+        # was violated, refuse before touching the store
+        per_stack: dict = {}
+        stagings: list[str] = []
+        for m in messages:
+            if m is None:
+                continue
+            stagings.append(m.staging)
+            for key, info in m.stacks.items():
+                if key in per_stack:
+                    raise ValueError(
+                        f"stack {key[0]}/{key[1]} arrived in more than one "
+                        f"write task — repartition the stream by "
+                        f"(channel, stack) before writeStream"
+                    )
+                per_stack[key] = (m.staging, info)
+
+        try:
+            for (channel, stack), (staging, info) in sorted(per_stack.items()):
+                _, stage_base = _fs_for(staging)
+                group = f"{self.root}/{channel}/{stack}.ome.zarr"
+                _, group_base = _fs_for(group)
+                geo = [
+                    ((lv["z"], lv["y"], lv["x"]), info["dtype"])
+                    for lv in info["levels"]
+                ]
+                chunk_info = [
+                    (lv["dims"][0], -(-lv["z"] // lv["dims"][0]))
+                    for lv in info["levels"]
+                ]
+                attrs_path = f"{group_base}/.zattrs"
+                exists = (
+                    fs.get_file_info(attrs_path).type != pafs.FileType.NotFound
+                )
+                if exists:
+                    with fs.open_input_stream(attrs_path) as f:
+                        attrs = _json.loads(f.read().decode())
+                    if attrs.get("smartspim_stream_last_batch") == batchId:
+                        continue  # epoch replay: already committed
+                    with fs.open_input_stream(
+                        f"{group_base}/0/.zarray"
+                    ) as f:
+                        disk_codec = _json.loads(f.read().decode())[
+                            "compressor"
+                        ]
+                    if disk_codec != codec_meta:
+                        raise ValueError(
+                            f"{channel}/{stack}: stream codec {codec_meta} "
+                            f"!= store codec {disk_codec} — staged chunks "
+                            f"would be byte-incompatible"
+                        )
+                    append_slab_transaction(
+                        group,
+                        geo,
+                        chunk_info,
+                        lambda lvl, off, meta, sb=stage_base, gb=group_base,
+                        ch=channel, st=stack, inf=info: self._promote(
+                            fs, sb, gb, ch, st, inf, lvl, off
+                        ),
+                    )
+                else:
+                    # CREATE: chunks first, metadata last (metadata-only
+                    # readers never see a half-made store)
+                    for lvl in range(len(info["levels"])):
+                        self._promote(
+                            fs, stage_base, group_base, channel, stack,
+                            info, lvl, 0,
+                        )
+                    lv0 = info["levels"][0]
+                    _write_all_metadata(
+                        [
+                            {
+                                "channel": channel,
+                                "stack": stack,
+                                "z": lv0["z"],
+                                "y": lv0["y"],
+                                "x": lv0["x"],
+                                "dtype": info["dtype"],
+                                "cdz": lv0["dims"][0],
+                                "cdy": lv0["dims"][1],
+                                "cdx": lv0["dims"][2],
+                            }
+                        ],
+                        self.root,
+                        self.voxel,
+                        self.factors,
+                        self.chunk,
+                        self.n_levels,
+                        codec_meta,
+                    )
+                # stamp the epoch marker (idempotent replay guard)
+                with fs.open_input_stream(attrs_path) as f:
+                    attrs = _json.loads(f.read().decode())
+                attrs["smartspim_stream_last_batch"] = batchId
+                _write_json(f"{group}/.zattrs", attrs)
+        finally:
+            for staging in stagings:
+                _, sb = _fs_for(staging)
+                try:
+                    fs.delete_dir(sb)
+                except FileNotFoundError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+            _fs_for,
+        )
+
+        for m in messages:
+            if m is None:
+                continue
+            fs, sb = _fs_for(m.staging)
+            try:
+                fs.delete_dir(sb)
+            except FileNotFoundError:
+                pass

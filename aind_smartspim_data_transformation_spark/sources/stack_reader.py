@@ -551,42 +551,19 @@ def read_stack_tree_datasource(
     `run_imaging_job` falls back to the UDF path when the Python
     DataSource API is unavailable or dead-letter handling is required.
     """
-    from pyspark.errors import AnalysisException
-
     from aind_smartspim_data_transformation_spark.session import imaging_session
     from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
-        SmartspimDataSource,
+        ensure_registered,
     )
 
     sess = imaging_session(spark)
-    # Python DataSource registration is per-session (the imaging child
-    # resolves formats from its OWN dataSourceManager), but the
-    # duplicate-name check is shared — so if a sibling session already
-    # registered "smartspim", the normal register() raises while this
-    # session still cannot resolve the format.  Check the session-local
-    # manager and, on that conflict, register into it directly.
-    #
-    # The whole registration dance below leans on PRIVATE PySpark
-    # internals (_jsparkSession.sessionState().dataSourceManager(),
-    # _wrap_function, UserDefinedPythonDataSource) that move across
-    # Spark versions.  Since "auto" makes this the DEFAULT ingest, any
-    # breakage here (advisor r5) must DEGRADE to the public-API UDF
-    # path, not fail ingestion — hence the broad except + fallback.
+    # Registration (ensure_registered) leans on PRIVATE PySpark
+    # internals that move across Spark versions.  Since "auto" makes
+    # this the DEFAULT ingest, any breakage there (advisor r5) must
+    # DEGRADE to the public-API UDF path, not fail ingestion — hence
+    # the broad except + fallback.
     try:
-        dsm = sess._jsparkSession.sessionState().dataSourceManager()
-        if not dsm.dataSourceExists("smartspim"):
-            try:
-                sess.dataSource.register(SmartspimDataSource)
-            except AnalysisException:
-                from pyspark.sql.udf import _wrap_function
-
-                wrapped = _wrap_function(sess.sparkContext, SmartspimDataSource)
-                jds = getattr(
-                    sess.sparkContext._jvm,
-                    "org.apache.spark.sql.execution.datasources.v2.python."
-                    "UserDefinedPythonDataSource",
-                )(wrapped)
-                dsm.registerDataSource("smartspim", jds)
+        ensure_registered(sess)
         slices = (
             sess.read.format("smartspim")
             # chunk_z-aligned z-slabs: every tile of a slab comes from

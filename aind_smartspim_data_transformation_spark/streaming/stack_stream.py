@@ -209,3 +209,64 @@ def landed_slab_chunks(
         spark.read.parquet(slice_dir).filter(F.col("slice_key") > after_key),
         chunk_z,
     )
+
+
+def run_streaming_store_ingest(
+    spark: SparkSession,
+    root: str,
+    store_root: str,
+    checkpoint_dir: str,
+    chunk_zyx: list[int] | None = None,
+    scale_factor_zyx: list[int] | None = None,
+    n_levels: int = 1,
+    voxel_size_zyx: list[float] | None = None,
+    timeout_sec: int = 120,
+    extra_options: dict | None = None,
+) -> None:
+    """Stream arriving slices STRAIGHT into a multiscale OME-Zarr store
+    through the DataSource streaming commit protocol — no landed
+    parquet, no driver glue:
+
+        decoded slices → repartition(channel, stack)
+                       → writeStream.format("smartspim")
+
+    Each ``availableNow`` run drains the new waves; every microbatch
+    becomes one fenced z-slab append per stack
+    (``SmartspimStreamWriter`` → ``append_slab_transaction``), so a
+    mid-stream kill leaves either no trace (staging only), a detectable
+    fence (rolled forward on restart), or a committed epoch (replay is
+    a marker-guarded no-op).  Semantics and constraints are the
+    writer's (slices ascend per stack; uniform wave depth except the
+    last).
+    """
+    import json
+
+    from aind_smartspim_data_transformation_spark.sources.smartspim_datasource import (
+        ensure_registered,
+    )
+
+    slices = decode_stream_slices(
+        stream_stack_files(spark, root)
+    ).repartition("channel", "stack")
+    # streaming format resolution is SPLIT across sessions (observed,
+    # pyspark 4.1): .start() resolves from the ACTIVE session while the
+    # microbatch execution resolves from the DataFrame's own (imaging
+    # child) session — register in BOTH.  No fallback exists for a
+    # streaming sink, so a registration failure propagates.
+    ensure_registered(spark)
+    ensure_registered(slices.sparkSession)
+    writer = (
+        slices.writeStream.format("smartspim")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("chunk", json.dumps(chunk_zyx or [128, 128, 128]))
+        .option("scale_factor", json.dumps(scale_factor_zyx or [2, 2, 2]))
+        .option("n_levels", str(n_levels))
+        .option("voxel_size", json.dumps(voxel_size_zyx or [1.0, 1.0, 1.0]))
+    )
+    for k, v in (extra_options or {}).items():
+        writer = writer.option(k, v)
+    q = writer.trigger(availableNow=True).start(store_root)
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()

@@ -10,6 +10,7 @@ and stem-z differ and so exercise the slice_key design).
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from aind_smartspim_data_transformation_spark.sources.png_codec import encode_png_gray
 from aind_smartspim_data_transformation_spark.sources.stack_reader import (
@@ -145,3 +146,136 @@ def test_streamed_waves_append_into_one_zarr(spark, tmp_path):
     np.testing.assert_array_equal(
         read_zarr_level(group, 1), windowed_mean(full, (2, 2, 2))
     )
+
+
+def test_writestream_smartspim_waves_equal_one_shot(spark, tmp_path):
+    """writeStream.format('smartspim'): two waves through the streaming
+    DataSource writer end ARRAY-identical at every level to a one-shot
+    batch build of the finished acquisition — no foreachBatch glue, no
+    landed table."""
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        build_pyramid,
+        windowed_mean,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    full = {
+        "400000_500000": rng.integers(0, 65535, size=(8, 16, 20), dtype=np.uint16),
+        "400000_530000": rng.integers(0, 65535, size=(8, 16, 20), dtype=np.uint16),
+    }
+    root = tmp_path / "acq"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    dirs = {}
+    for stack in full:
+        d = root / "SmartSPIM" / "Ex_488_Em_525" / "400000" / stack
+        d.mkdir(parents=True)
+        dirs[stack] = d
+
+    # wave 1: planes 0-3 of both stacks; wave 2: planes 4-7
+    for lo, hi in ((0, 4), (4, 8)):
+        for stack, vol in full.items():
+            for z in range(lo, hi):
+                (dirs[stack] / f"{z:06d}.png").write_bytes(
+                    encode_png_gray(vol[z])
+                )
+        ss.run_streaming_store_ingest(
+            spark,
+            str(root / "SmartSPIM"),
+            store,
+            ckpt,
+            chunk_zyx=[64, 64, 64],
+            n_levels=2,
+        )
+
+    for stack, vol in full.items():
+        group = f"{store}/Ex_488_Em_525/{stack}.ome.zarr"
+        np.testing.assert_array_equal(read_zarr_level(group, 0), vol)
+        np.testing.assert_array_equal(
+            read_zarr_level(group, 1), windowed_mean(vol, (2, 2, 2))
+        )
+    # stores parse cleanly: no fence, no staging leftovers
+    import json
+
+    for stack in full:
+        attrs = json.loads(
+            (tmp_path / "store" / "Ex_488_Em_525" / f"{stack}.ome.zarr" / ".zattrs").read_text()
+        )
+        assert "append_in_progress" not in attrs
+    assert not (tmp_path / "store" / ".staging").exists() or not any(
+        (tmp_path / "store" / ".staging").iterdir()
+    )
+
+
+def test_writestream_smartspim_crash_fence_roll_forward(spark, tmp_path):
+    """Mid-stream kill: the SECOND wave's commit dies after level 0's
+    shape commit (fence present, level 1 unpromoted — the
+    ``failpoint_before_level`` fault injection; the streaming sink's
+    commit runs in a detached Python worker a monkeypatch cannot
+    reach).  Restarting the stream with the same checkpoint must ROLL
+    FORWARD through the shared append transaction and end identical to
+    an uninterrupted run."""
+    import json
+
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.imaging.pyramid import (
+        windowed_mean,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    vol = rng.integers(0, 65535, size=(8, 16, 20), dtype=np.uint16)
+    root = tmp_path / "acq"
+    d = root / "SmartSPIM" / "Ex_488_Em_525" / "400000" / "400000_500000"
+    d.mkdir(parents=True)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    group = f"{store}/Ex_488_Em_525/400000_500000.ome.zarr"
+
+    def ingest(**extra):
+        ss.run_streaming_store_ingest(
+            spark, str(root / "SmartSPIM"), store, ckpt,
+            chunk_zyx=[64, 64, 64], n_levels=2,
+            extra_options=extra or None,
+        )
+
+    for z in range(4):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(vol[z]))
+    ingest()
+
+    # wave 2 arrives; kill the commit right before level 1's promotion
+    # (level 0's .zarray shape is committed, the fence is up)
+    for z in range(4, 8):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(vol[z]))
+    with pytest.raises(Exception, match="simulated crash"):
+        ingest(failpoint_before_level="1")
+
+    # detectable crash state: fence present, level-0 shape grown
+    attrs = json.loads((tmp_path / "store" / "Ex_488_Em_525" /
+                        "400000_500000.ome.zarr" / ".zattrs").read_text())
+    assert attrs["append_in_progress"]["post_z"][0] == 8
+
+    # restart with the SAME checkpoint: Spark replays the epoch, the
+    # fence rolls forward, the store finishes identical to one-shot
+    ingest()
+    np.testing.assert_array_equal(read_zarr_level(group, 0), vol)
+    np.testing.assert_array_equal(
+        read_zarr_level(group, 1), windowed_mean(vol, (2, 2, 2))
+    )
+    attrs = json.loads((tmp_path / "store" / "Ex_488_Em_525" /
+                        "400000_500000.ome.zarr" / ".zattrs").read_text())
+    assert "append_in_progress" not in attrs
