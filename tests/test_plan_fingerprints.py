@@ -51,6 +51,10 @@ MAX_WIDE_EXCHANGES = {
     "n10_embedding_dispersion": 3,  # observed 2: (label,dim) agg + label agg
     "n11_split_balance": 7,         # observed 6: cell agg + tiny totals
     "n12_source_dup_profile": 5,    # observed 4: one scan, digest-only aggs
+    "n14_token_volume_deciles": 3,  # observed 2 (r7): distributed_ntile + tier agg
+    "n15_vocab_coverage": 2,        # observed 1 (r7): vocab agg feeds dist. cumsum
+    "n16_retention_cohorts": 3,     # observed 2 (r7): weeks distinct + cohort agg
+    "n17_event_heavy_hitters": 5,   # observed 4 (r7): per-user agg + type window
 }
 
 # Queries whose plan MUST share the d03 candidate-pair subtree instead
@@ -77,6 +81,11 @@ NO_SINGLE_PARTITION_EXCHANGE = {
     "q09_ntile",
     "n05_sequence_packing",
     "n06_quality_deciles",
+    # per-lang distributed cumsum + bounded aggregates only (n14 is NOT
+    # here: its one SinglePartition is the legitimate 1-row grand-total
+    # scalar aggregate, not a window)
+    "n15_vocab_coverage",
+    "n17_event_heavy_hitters",
 }
 
 # BNLJ is legitimate in exactly two shapes: a non-equi join with no
@@ -91,6 +100,7 @@ BNLJ_ALLOWED = {
     "n03_source_gini",        # |sources|-row aggregate cross product
     "n04_event_burstiness",   # dense day grid × tiny type list
     "n11_split_balance",      # broadcast 1-row grand total
+    "n14_token_volume_deciles",  # broadcast 1-row corpus token total
 }
 
 

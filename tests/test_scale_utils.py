@@ -567,3 +567,47 @@ def test_distributed_ntile_rejects_bad_args(spark):
         distributed_ntile(df, "k", 4)
     with _pytest.raises(ValueError, match="n_tiles"):
         distributed_ntile(spark.range(5).selectExpr("id AS k"), "k", 0)
+
+
+def test_distributed_cumsum_descending_with_ties(spark):
+    """ascending=False + tie_cols: running sum over a DESC non-unique
+    key (the vocab-coverage shape: cumulate counts from the most
+    frequent token down) matches the global window, per group."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_cumsum,
+    )
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 40).alias("cnt"),  # heavy ties
+        F.col("id").alias("tok"),  # tie-break: total order
+        (F.col("id") % 11).alias("v"),
+    )
+    got = distributed_cumsum(
+        df, "cnt", "v", num_partitions=6,
+        partition_cols=("g",), ascending=False, tie_cols=("tok",),
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = df.withColumn("running_total", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # global (no partition_cols) desc form too
+    got_g = distributed_cumsum(
+        df.drop("g"), "cnt", "v", num_partitions=6,
+        ascending=False, tie_cols=("tok",),
+    )
+    w_g = W.orderBy(F.col("cnt").desc(), F.col("tok").asc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    want_g = df.drop("g").withColumn("running_total", F.sum("v").over(w_g))
+    assert sorted(map(tuple, got_g.collect())) == sorted(
+        map(tuple, want_g.collect())
+    )
