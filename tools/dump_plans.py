@@ -476,18 +476,55 @@ ANNOTATIONS = {
         "wide exchanges: 2 (ceiling 3)."
     ),
     "n05_sequence_packing": (
-        "Concat-and-chunk training-shard audit. Look for: ONE window "
-        "cumsum partitioned by source (the only exchange) feeding the "
-        "per-source agg — the packed stream is never materialized. At "
-        "100 TB the per-source window becomes a two-pass distributed "
-        "prefix sum (docstring). Observed wide exchanges: 1 (ceiling 2)."
+        "Concat-and-chunk training-shard audit, riding the two-pass "
+        "distributed prefix sum since r7 (distributed_cumsum with "
+        "partition_cols=source). Look for: every window PARTITIONED by "
+        "(source, _rpid) or source — NO partition-less window, no "
+        "Exchange SinglePartition (guarded); the offsets come from a "
+        "window over the (source, bucket) partial-sum AGGREGATE. "
+        "Observed wide exchanges: 2 (ceiling 3)."
     ),
     "n06_quality_deciles": (
-        "Curriculum deciles via global ntile(10). Look for: a single "
-        "total-sort window (the WindowExec single-partition warning is "
-        "the EXPECTED exact-contract shape; the 100 TB variant swaps in "
-        "approx-quantile boundaries + map-side bucketing); zero hash "
-        "exchanges. Observed wide exchanges: 0 (ceiling 1)."
+        "Curriculum deciles via distributed_ntile since r7 — the r6 "
+        "single-reducer global ntile is GONE. Look for: literal "
+        "quantile-boundary bucket ids in the projection; the "
+        "row_number window partitioned by _rpid; tile assignment as "
+        "pure CASE arithmetic on the reconstructed global position; NO "
+        "Exchange SinglePartition (guarded in "
+        "test_plan_fingerprints). Observed wide exchanges: 2 "
+        "(ceiling 3)."
+    ),
+    "n14_token_volume_deciles": (
+        "Token-budget share per length decile (r7). Look for: the same "
+        "distributed_ntile shape as n06 over the heavy-tie tok key "
+        "(ties never split a range bucket); the corpus total attached "
+        "as a broadcast 1-row scalar (BNLJ-allowed). Observed wide "
+        "exchanges: 2 (ceiling 3)."
+    ),
+    "n15_vocab_coverage": (
+        "Per-language k50/k90/k99 vocabulary head sizes (r7). Look "
+        "for: ONE (lang, token) count aggregate over the exploded "
+        "stream (map-side combined — the only pass over text); the "
+        "running coverage via distributed_cumsum(partition_cols=lang, "
+        "DESC, tie=tok) — windows partitioned by (lang, _rpid), no "
+        "single-task per-language sort; threshold ranks as integer "
+        "comparison counts, no rank window at all. Observed wide "
+        "exchanges: 1 (ceiling 2)."
+    ),
+    "n16_retention_cohorts": (
+        "Weekly cohort retention matrix (r7). Look for: distinct "
+        "(user, week) activity as a partial-agg'd aggregate; cohorts "
+        "as a per-user min (no window); ONE user_id-keyed join back; "
+        "cohort sizes broadcast. Integer week arithmetic — no "
+        "date_trunc semantics to align across engines. Observed wide "
+        "exchanges: 2 (ceiling 3)."
+    ),
+    "n17_event_heavy_hitters": (
+        "Per-type top-3 user share (r7). Look for: the rank window "
+        "PARTITIONED by event_type with the rnk<=3 filter planned as "
+        "WindowGroupLimit (each partition retains only its top rows "
+        "before the full sort); per-type totals broadcast; ppm is "
+        "integer math. Observed wide exchanges: 4 (ceiling 5)."
     ),
     "n07_semantic_dedup": (
         "SemDeDup composition (round 6): shared Lloyd trainer → "
