@@ -9,13 +9,15 @@ this minimal codec built on ``struct`` + ``zlib`` + ``numpy`` only
 plane needs:
 
 - decode: single-IFD grayscale (PhotometricInterpretation 0/1),
-  1 sample/pixel, 8/16-bit, strip-organized, compression none (1),
-  Deflate (8 / legacy 32946), LZW (5; TIFF 6.0 §13 — MSB-first
-  variable-width codes with early change) or PackBits (32773; TIFF 6.0
-  §9 run-length), optional horizontal-differencing predictor
-  (tag 317 = 2), both byte orders (II/MM);
-- encode: uint8/uint16 grayscale, none/Deflate/LZW/PackBits, single
-  strip, II order (for fixtures and round-trip tests);
+  1 sample/pixel, 8/16-bit, STRIP- or TILE-organized (TIFF 6.0 §15 —
+  tiles decompress independently, edge tiles padded to full tile
+  size), compression none (1), Deflate (8 / legacy 32946), LZW (5;
+  TIFF 6.0 §13 — MSB-first variable-width codes with early change) or
+  PackBits (32773; TIFF 6.0 §9 run-length), optional
+  horizontal-differencing predictor (tag 317 = 2, applied per tile row
+  in tiled layouts), both byte orders (II/MM);
+- encode: uint8/uint16 grayscale, none/Deflate/LZW/PackBits, single-
+  or multi-strip OR tiled, II order (for fixtures and round-trips);
 - header probe: width/height/bitdepth from the IFD without touching
   strip data (same contract as ``probe_png_header``).
 
@@ -251,8 +253,8 @@ def probe_tiff_header(data: bytes) -> tuple[int, int, int]:
             f"only 1-sample grayscale TIFF supported "
             f"(samples={spp}, photometric={photo})"
         )
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF unsupported (strip-organized only)")
+    if (322 in tags) != (323 in tags):
+        raise ValueError("tiled TIFF needs both TileWidth and TileLength")
     if bits not in (8, 16):
         raise ValueError(f"unsupported TIFF bit depth {bits}")
     return w, h, bits
@@ -268,8 +270,11 @@ def decode_tiff_gray(
     ``row_start`` are never read (RowsPerStrip locates the first
     needed strip) and decompression stops at the first strip past
     ``row_stop`` — a middle band of a multi-strip plane costs only its
-    own strips.  The horizontal predictor is per-row and unaffected.
-    Full decode (defaults) is byte-identical to the historical path."""
+    own strips.  Tiled layouts (TIFF 6.0 §15) decode only the tile
+    ROWS intersecting the window (all tile columns of those rows).
+    The horizontal predictor is per-row (per tile row when tiled) and
+    unaffected.  Full decode (defaults) is byte-identical to the
+    historical path."""
     w, h, bits = probe_tiff_header(data)
     if row_stop is None or row_stop > h:
         row_stop = h
@@ -278,12 +283,6 @@ def decode_tiff_gray(
     tags, en = _read_ifd(data)
     compression = tags.get(259, [1])[0]
     predictor = tags.get(317, [1])[0]
-    offsets = tags.get(273, [])
-    counts = tags.get(279, [])
-    if not offsets:
-        raise ValueError("TIFF missing StripOffsets")
-    if not counts:
-        raise ValueError("TIFF missing StripByteCounts")
     if compression not in (1, 5, 8, 32946, 32773):
         raise ValueError(
             f"unsupported TIFF compression {compression} "
@@ -291,6 +290,17 @@ def decode_tiff_gray(
         )
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if 322 in tags:
+        return _decode_tiled(
+            data, tags, en, w, h, bits, compression, predictor,
+            row_start, row_stop,
+        )
+    offsets = tags.get(273, [])
+    counts = tags.get(279, [])
+    if not offsets:
+        raise ValueError("TIFF missing StripOffsets")
+    if not counts:
+        raise ValueError("TIFF missing StripByteCounts")
     rps = tags.get(278, [h])[0] or h
     s0 = row_start // rps  # first strip overlapping the window
     base_row = s0 * rps
@@ -301,14 +311,7 @@ def decode_tiff_gray(
         if len(raw) >= need:
             break
         strip = data[off : off + cnt]
-        if compression == 1:
-            raw += strip
-        elif compression == 5:
-            raw += _lzw_decompress(strip)
-        elif compression == 32773:
-            raw += _packbits_decompress(strip)
-        else:
-            raw += zlib.decompress(strip)
+        raw += _decompress_segment(strip, compression)
     if len(raw) < need:
         raise ValueError(
             f"TIFF pixel stream truncated: {len(raw)} bytes for rows "
@@ -325,12 +328,91 @@ def decode_tiff_gray(
     return out[row_start - base_row :]
 
 
+def _decompress_segment(seg: bytes, compression: int) -> bytes:
+    """One strip's or tile's byte stream → raw pixel bytes."""
+    if compression == 1:
+        return seg
+    if compression == 5:
+        return _lzw_decompress(seg)
+    if compression == 32773:
+        return _packbits_decompress(seg)
+    return zlib.decompress(seg)
+
+
+def _decode_tiled(
+    data: bytes,
+    tags: dict[int, list[int]],
+    en: str,
+    w: int,
+    h: int,
+    bits: int,
+    compression: int,
+    predictor: int,
+    row_start: int,
+    row_stop: int,
+) -> np.ndarray:
+    """Tile-organized decode (TIFF 6.0 §15): tiles are laid out
+    left-to-right, top-to-bottom, each compressed independently and
+    PADDED in the file to the full tile size at image edges.  Only the
+    tile rows intersecting ``[row_start, row_stop)`` are read."""
+    tw = tags[322][0]
+    tl = tags[323][0]
+    if tw <= 0 or tl <= 0:
+        raise ValueError(f"invalid TIFF tile size {tw}x{tl}")
+    offsets = tags.get(324, [])
+    counts = tags.get(325, [])
+    if not offsets or not counts:
+        raise ValueError("tiled TIFF missing TileOffsets/TileByteCounts")
+    across = -(-w // tw)
+    down = -(-h // tl)
+    if len(offsets) < across * down or len(counts) < across * down:
+        raise ValueError(
+            f"tiled TIFF has {len(offsets)} tiles for a "
+            f"{across}x{down} grid"
+        )
+    dtype = np.dtype(en + ("u2" if bits == 16 else "u1"))
+    out_dtype = np.uint16 if bits == 16 else np.uint8
+    out = np.zeros((row_stop - row_start, w), dtype=out_dtype)
+    tile_px = tl * tw
+    for ty in range(row_start // tl, -(-row_stop // tl)):
+        y0 = ty * tl
+        for tx in range(across):
+            idx = ty * across + tx
+            seg = data[offsets[idx] : offsets[idx] + counts[idx]]
+            raw = _decompress_segment(seg, compression)
+            if len(raw) < tile_px * dtype.itemsize:
+                raise ValueError(
+                    f"TIFF tile ({ty},{tx}) truncated: {len(raw)} bytes "
+                    f"for {tile_px} px"
+                )
+            tile = np.frombuffer(raw, dtype=dtype, count=tile_px).reshape(
+                tl, tw
+            )
+            if predictor == 2:  # horizontal differencing per tile row
+                native = tile.astype(np.int64)
+                tile = (np.cumsum(native, axis=1) & ((1 << bits) - 1)).astype(
+                    dtype
+                )
+            # crop the file-side padding to image bounds, then to the
+            # requested row window
+            ylo = max(y0, row_start)
+            yhi = min(y0 + tl, min(h, row_stop))
+            xhi = min(tw, w - tx * tw)
+            if yhi <= ylo:
+                continue
+            out[ylo - row_start : yhi - row_start, tx * tw : tx * tw + xhi] = (
+                tile[ylo - y0 : yhi - y0, :xhi].astype(out_dtype)
+            )
+    return out
+
+
 def encode_tiff_gray(
     arr: np.ndarray,
     compression: int = 1,
     rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Encode a 2-D uint8/uint16 array as an II strip TIFF.
+    """Encode a 2-D uint8/uint16 array as an II strip or tiled TIFF.
 
     ``compression``: 1 (none), 5 (LZW), 8 (Deflate) or 32773 (PackBits
     — each row packed separately per TIFF 6.0 §9).
@@ -338,6 +420,10 @@ def encode_tiff_gray(
     otherwise the plane splits into independently-compressed strips of
     that many rows — the layout that lets ``decode_tiff_gray`` read a
     row window without touching other strips.
+    ``tile``: (tile_length, tile_width) — TIFF 6.0 §15 tiled layout
+    instead of strips (dims must be multiples of 16 per spec; edge
+    tiles are zero-padded to full tile size in the file).  Mutually
+    exclusive with ``rows_per_strip``.
     """
     if arr.ndim != 2:
         raise ValueError(f"expected 2-D array, got shape {arr.shape}")
@@ -349,34 +435,76 @@ def encode_tiff_gray(
         raise ValueError(f"unsupported dtype {arr.dtype} (uint8/uint16 only)")
     if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
+    if tile is not None and rows_per_strip is not None:
+        raise ValueError("tile and rows_per_strip are mutually exclusive")
     h, w = arr.shape
-    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
     native = np.ascontiguousarray(arr.astype("<u2" if bits == 16 else "u1"))
     row_bytes = w * (2 if bits == 16 else 1)
+
+    def _compress_seg(seg: bytes, seg_row_bytes: int) -> bytes:
+        if compression == 8:
+            return zlib.compress(seg, 1)
+        if compression == 5:
+            return _lzw_compress(seg)
+        if compression == 32773:
+            return b"".join(
+                _packbits_compress(seg[p : p + seg_row_bytes])
+                for p in range(0, len(seg), seg_row_bytes)
+            )
+        return seg
+
+    if tile is not None:
+        tl, tw = int(tile[0]), int(tile[1])
+        if tl <= 0 or tw <= 0 or tl % 16 or tw % 16:
+            raise ValueError(
+                f"tile dims must be positive multiples of 16, got {tile}"
+            )
+        tile_row_bytes = tw * (2 if bits == 16 else 1)
+        tiles: list[bytes] = []
+        for ty in range(-(-h // tl)):
+            for tx in range(-(-w // tw)):
+                block = native[
+                    ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+                ]
+                if block.shape != (tl, tw):  # edge tile → zero-pad
+                    full = np.zeros((tl, tw), dtype=native.dtype)
+                    full[: block.shape[0], : block.shape[1]] = block
+                    block = full
+                tiles.append(
+                    _compress_seg(
+                        np.ascontiguousarray(block).tobytes(), tile_row_bytes
+                    )
+                )
+        return _assemble_tiff(tiles, w, h, bits, compression, tiled=(tl, tw))
+
+    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
     strips: list[bytes] = []
     for r0 in range(0, h, rps) or [0]:
-        seg = native[r0 : r0 + rps].tobytes()
-        if compression == 8:
-            seg = zlib.compress(seg, 1)
-        elif compression == 5:
-            seg = _lzw_compress(seg)
-        elif compression == 32773:
-            seg = b"".join(
-                _packbits_compress(seg[p : p + row_bytes])
-                for p in range(0, len(seg), row_bytes)
-            )
-        strips.append(seg)
+        strips.append(_compress_seg(native[r0 : r0 + rps].tobytes(), row_bytes))
     if not strips:  # h == 0 is rejected upstream, but stay total
         strips = [b""]
-    n = len(strips)
-    # layout: header(8) | strip data | [offsets array | counts array] | IFD
+    return _assemble_tiff(strips, w, h, bits, compression, rps=rps)
+
+
+def _assemble_tiff(
+    segments: list[bytes],
+    w: int,
+    h: int,
+    bits: int,
+    compression: int,
+    rps: int | None = None,
+    tiled: tuple[int, int] | None = None,
+) -> bytes:
+    """Lay out header | segment data | [offset/count LONG arrays] | IFD
+    for a strip (``rps``) or tiled (``tiled=(tl, tw)``) file."""
+    n = len(segments)
     offs: list[int] = []
     cur = 8
-    for seg in strips:
+    for seg in segments:
         offs.append(cur)
         cur += len(seg)
     if n == 1:
-        off_val, cnt_val = offs[0], len(strips[0])
+        off_val, cnt_val = offs[0], len(segments[0])
         ifd_off = cur
     else:  # count > 1 LONG arrays live out-of-line, pointed to by the IFD
         off_val = cur
@@ -388,18 +516,30 @@ def encode_tiff_gray(
         (258, 3, 1, bits),  # BitsPerSample
         (259, 3, 1, compression),
         (262, 3, 1, 1),  # PhotometricInterpretation: BlackIsZero
-        (273, 4, n, off_val),  # StripOffsets
         (277, 3, 1, 1),  # SamplesPerPixel
-        (278, 4, 1, rps),  # RowsPerStrip
-        (279, 4, n, cnt_val),  # StripByteCounts
     ]
+    if tiled is not None:
+        tl, tw = tiled
+        entries += [
+            (322, 4, 1, tw),  # TileWidth
+            (323, 4, 1, tl),  # TileLength
+            (324, 4, n, off_val),  # TileOffsets
+            (325, 4, n, cnt_val),  # TileByteCounts
+        ]
+    else:
+        entries += [
+            (273, 4, n, off_val),  # StripOffsets
+            (278, 4, 1, rps),  # RowsPerStrip
+            (279, 4, n, cnt_val),  # StripByteCounts
+        ]
+    entries.sort()  # IFD entries must be tag-ascending (TIFF 6.0)
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
-    for seg in strips:
+    for seg in segments:
         out += seg
     if n > 1:
         out += struct.pack(f"<{n}I", *offs)
-        out += struct.pack(f"<{n}I", *(len(s) for s in strips))
+        out += struct.pack(f"<{n}I", *(len(s) for s in segments))
     out += struct.pack("<H", len(entries))
     for tag, typ, count, value in entries:
         out += struct.pack("<HHII", tag, typ, count, value)

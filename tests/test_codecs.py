@@ -392,9 +392,28 @@ def test_png_prefix_decode_truncated_stream_raises():
     assert decode_png_gray(broken, row_stop=1).shape == (1, 16)
 
 
-def test_png_interlaced_rejected():
-    """Adam7 interlace reorders rows — the sequential unfilter must
-    refuse, not return garbage (IHDR methods validated at the probe)."""
+@given(_images(), st.integers(0, 4))
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_roundtrip(arr, ft):
+    """Adam7 interlace (r7): every pass unfilters like a standalone
+    image — interlaced encode → decode is the identity for every
+    filter type, and a row window on an interlaced stream slices the
+    full decode."""
+    enc = encode_png_gray(arr, filter_type=ft, interlace=True)
+    assert np.array_equal(decode_png_gray(enc), arr)
+    stop = min(3, arr.shape[0])
+    assert np.array_equal(
+        decode_png_gray(enc, row_stop=stop, row_start=1)
+        if arr.shape[0] > 1
+        else decode_png_gray(enc, row_stop=stop),
+        arr[1:stop] if arr.shape[0] > 1 else arr[:stop],
+    )
+
+
+def test_png_interlace_flag_mismatch_fails_loudly():
+    """A SEQUENTIAL pixel stream whose IHDR claims Adam7 (or vice
+    versa) has a different serialized size — the decoder must fail on
+    the length mismatch, never return silently rearranged pixels."""
     rng = np.random.default_rng(4)
     arr = rng.integers(0, 255, size=(8, 8)).astype(np.uint8)
     enc = bytearray(encode_png_gray(arr))
@@ -406,7 +425,7 @@ def test_png_interlaced_rejected():
 
     crc = _z.crc32(bytes(enc[12:29]))
     enc[29:33] = _s.pack(">I", crc)
-    with __import__("pytest").raises(ValueError, match="interlace"):
+    with __import__("pytest").raises(ValueError, match="(?i)truncated|implies|filter type"):
         decode_png_gray(bytes(enc))
 
 
@@ -611,3 +630,147 @@ def test_packbits_stack_e2e(spark, tmp_path):
             if p.is_file()
         }
     assert roots["plain"] == roots["pb"]
+
+
+# ---------------------------------------------------------------------------
+# Tiled TIFF (TIFF 6.0 §15, tags 322-325) — round 7
+# ---------------------------------------------------------------------------
+@given(_images(), st.sampled_from([1, 5, 8, 32773]), st.data())
+@settings(max_examples=50, deadline=None)
+def test_tiff_tiled_roundtrip_and_window(arr, compression, data):
+    enc = encode_tiff_gray(arr, compression=compression, tile=(16, 16))
+    assert np.array_equal(decode_tiff_gray(enc), arr)
+    stop = data.draw(st.integers(1, arr.shape[0]))
+    start = data.draw(st.integers(0, stop))
+    assert np.array_equal(
+        decode_tiff_gray(enc, row_stop=stop, row_start=start),
+        arr[start:stop],
+    )
+
+
+def test_tiff_tiled_window_never_reads_outside_tile_rows():
+    """Destructive proof of the tile-window contract: corrupt every
+    tile whose row range is OUTSIDE the requested window — the window
+    must still decode exactly (those tiles are never decompressed)."""
+    import struct as _s
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 65535, size=(48, 40)).astype(np.uint16)
+    enc = bytearray(encode_tiff_gray(arr, compression=8, tile=(16, 16)))
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _read_ifd,
+    )
+
+    tags, _ = _read_ifd(bytes(enc))
+    offsets, counts = tags[324], tags[325]
+    across = -(-40 // 16)
+    # window = rows [16, 32) → tile row 1; corrupt tile rows 0 and 2
+    for ty in (0, 2):
+        for tx in range(across):
+            idx = ty * across + tx
+            enc[offsets[idx] : offsets[idx] + counts[idx]] = b"\xff" * counts[idx]
+    got = decode_tiff_gray(bytes(enc), row_start=16, row_stop=32)
+    assert np.array_equal(got, arr[16:32])
+    with pytest.raises(Exception):
+        decode_tiff_gray(bytes(enc))  # full decode must hit the damage
+
+
+def test_tiff_tiled_with_predictor_and_big_endian():
+    """Hand-built MM tiled file with predictor 2: per-tile-row
+    differencing inverted, big-endian samples swapped."""
+    import struct as _s
+
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        _packbits_compress,
+    )
+
+    arr = np.tile(np.arange(32, dtype=np.uint16) * 3, (20, 1))  # 20x32
+    tl, tw = 16, 16
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            block = arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            full = np.zeros((tl, tw), dtype=np.uint16)
+            full[: block.shape[0], : block.shape[1]] = block
+            diff = np.empty_like(full)
+            diff[:, 0] = full[:, 0]
+            diff[:, 1:] = (
+                full[:, 1:].astype(np.int64) - full[:, :-1]
+            ).astype(np.uint16)
+            tiles.append(diff.astype(">u2").tobytes())
+    offs, cur = [], 8
+    for t in tiles:
+        offs.append(cur)
+        cur += len(t)
+    off_arr, cnt_arr, ifd_off = cur, cur + 16, cur + 32
+    entries = [
+        (256, 4, 1, 32), (257, 4, 1, 20), (258, 3, 1, 16),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+        (317, 3, 1, 2),
+        (322, 4, 1, tw), (323, 4, 1, tl),
+        (324, 4, 4, off_arr), (325, 4, 4, cnt_arr),
+    ]
+    out = bytearray(b"MM" + _s.pack(">HI", 42, ifd_off))
+    for t in tiles:
+        out += t
+    out += _s.pack(">4I", *offs)
+    out += _s.pack(">4I", *(len(t) for t in tiles))
+    out += _s.pack(">H", len(entries))
+    for tag, typ, count, value in sorted(entries):
+        out += _s.pack(">HHI", tag, typ, count)
+        if typ == 3:  # SHORT: LEFT-justified in the big-endian field
+            out += _s.pack(">HH", value, 0)
+        else:
+            out += _s.pack(">I", value)
+    out += _s.pack(">I", 0)
+    assert np.array_equal(decode_tiff_gray(bytes(out)), arr)
+
+
+def test_tiled_and_interlaced_stack_e2e(spark, tmp_path):
+    """An acquisition mixing tiled TIFF and Adam7 PNG slices flows
+    through the fused job into a store identical to the plain
+    acquisition's — the full envelope closes end-to-end."""
+    from aind_smartspim_data_transformation_spark.config.settings import (
+        ImagingJobSettings,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.job import (
+        run_imaging_job,
+    )
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+    from tests.imaging_fixtures import make_dataset
+
+    trees = {}
+    for exotic in (False, True):
+        name = "exotic" if exotic else "plain"
+        root = tmp_path / name
+        make_dataset(root, height=32, width=32, fmt="mixed")
+        if exotic:  # re-encode: TIFFs tiled, PNGs interlaced
+            for p in sorted((root / "SmartSPIM").rglob("*")):
+                if p.suffix == ".tif":
+                    plane = decode_tiff_gray(p.read_bytes())
+                    p.write_bytes(
+                        encode_tiff_gray(plane, compression=8, tile=(16, 16))
+                    )
+                elif p.suffix == ".png":
+                    plane = decode_png_gray(p.read_bytes())
+                    p.write_bytes(encode_png_gray(plane, interlace=True))
+        out = tmp_path / f"out_{name}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[64, 16, 64],  # multi-band y
+                downsample_levels=2,
+                ingest="fused",
+            ),
+        )
+        assert resp["status_code"] == 200
+        trees[name] = {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }
+    assert trees["plain"] == trees["exotic"]
