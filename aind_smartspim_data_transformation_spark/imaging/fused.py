@@ -42,16 +42,21 @@ when the probed per-task buffer fits ``FUSED_MAX_TASK_BYTES``;
 giant-plane acquisitions keep the tile-first shuffle pipeline, whose
 peak per-group memory is chunk-sized.
 
-Error handling (round 7): band buffers are allocated from the PROBED
-stack geometry and every decoded window is validated against it before
-copying — a slice whose decoded shape or dtype disagrees with the
-probe fails loudly naming the path (it used to be silently cropped /
-written outside the declared extents).  ``on_error="quarantine"``
-ports the UDF path's dead-letter semantics into the band task: a
-corrupt (or mis-shaped) slice zero-fills its rows AT POSITION in every
-band that covers it, and one dead-letter row per (stack, z) rides the
-existing per-task summary channel back — at 100 TB one bad slice costs
-one triage row, not a full-job rerun.
+Error handling (round 7): every slice passes a HEADER-ONLY geometry
+gate against the probed stack geometry before decoding (a taller slice
+decodes cleanly inside every band window, so only the header can see
+it — previously its bottom rows were silently dropped), band buffers
+are allocated from the probe, and each decoded window's shape/dtype is
+re-checked before copying.  ``on_error="quarantine"`` ports the UDF
+path's dead-letter semantics into the band task with WHOLE-PLANE
+atomicity: quarantine mode decodes the full slice (strict end-to-end
+validation — PNG adler32 + exact length, every TIFF strip/tile), so a
+slice corrupt ANYWHERE zero-fills at its z position in every band
+(matching the UDF store byte-for-byte, including a trailing corrupt
+slice), and one dead-letter row per (stack, z) rides the per-task
+summary channel back — at 100 TB one bad slice costs one triage row,
+not a full-job rerun.  Quarantine trades the windowed-decode saving
+for that atomicity; fail mode keeps the windowed fast path.
 
 Reference parity: the reference writes each stack via a dask graph and
 re-reads every written level to compute the next
@@ -107,20 +112,36 @@ def probe_stack_geometry(
     EIGHT slices in path order and uses the first that probes cleanly —
     a corrupt leading slice must not kill the job before the band tasks
     can quarantine it.  Eight consecutive corrupt leading slices still
-    fail loudly (geometry cannot be invented).  The candidate list is a
-    bounded ``slice(sort_array(collect_list))`` — eight ~100-byte paths
-    per stack row, not the listing."""
+    fail loudly (geometry cannot be invented).  The candidate list is
+    bounded IN THE AGGREGATION BUFFER, not just the output: paths past
+    the candidate rank are nulled before collect_list (which skips
+    nulls), so the agg state holds ≤ 8 paths per stack — never the
+    10⁴-slice listing."""
     from aind_smartspim_data_transformation_spark.sources.stack_reader import (
         scan_stack_files,
     )
 
+    from pyspark.sql.window import Window as W
+
     quarantine = on_error == "quarantine"
     n_cand = 8 if quarantine else 1
-    firsts = scan_stack_files(spark, root).groupBy("channel", "stack").agg(
-        F.count("*").alias("n_slices"),
-        F.slice(F.sort_array(F.collect_list("path")), 1, n_cand).alias(
-            "probe_paths"
+    # collect_list BOUNDED before aggregation: rank each stack's paths
+    # and null out everything past the candidate count — collect_list
+    # skips nulls, so the agg buffer holds ≤ n_cand paths per stack
+    # instead of the stack's whole listing (10⁴+ slices at acquisition
+    # scale).  The rank window shares the groupBy's partitioning key,
+    # so this adds no exchange.
+    ranked = scan_stack_files(spark, root).withColumn(
+        "_rk",
+        F.row_number().over(
+            W.partitionBy("channel", "stack").orderBy("path")
         ),
+    )
+    firsts = ranked.groupBy("channel", "stack").agg(
+        F.count("*").alias("n_slices"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rk") <= n_cand, F.col("path")))
+        ).alias("probe_paths"),
     )
 
     def _probe(batches):
@@ -393,6 +414,7 @@ def run_fused_ingest(
         from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
             _fs_for,
             _make_codec as make_codec,
+            pad_block,
         )
         from aind_smartspim_data_transformation_spark.sources.stack_reader import (
             decode_image_gray,
@@ -419,7 +441,42 @@ def run_fused_ingest(
         lo, hi = wins[0][1], wins[-1][2]
         stack_ladder = ladder[(channel, stack)]
 
+        def _check_header(path, data):
+            # header-only geometry gate (cheap — no pixel decode): the
+            # WINDOWED decode below cannot see rows past its window, so
+            # a slice TALLER than the probe would otherwise be silently
+            # cropped; the header names every mismatch up front
+            from aind_smartspim_data_transformation_spark.sources.png_codec import (
+                probe_png_header,
+            )
+            from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+                _PNG_SIG,
+                probe_image_header,
+            )
+
+            if data[:8] == _PNG_SIG:
+                wp, hp, bits = probe_png_header(data[:64])
+            else:
+                wp, hp, bits = probe_image_header(data)
+            exp_bits = exp_dtype.itemsize * 8
+            if (hp, wp) != (height, width) or bits != exp_bits:
+                raise ValueError(
+                    f"slice geometry mismatch in {path}: header "
+                    f"{hp}x{wp}/{bits}bit != probed "
+                    f"{height}x{width}/{exp_bits}bit"
+                )
+
         def _decode_bands(data):
+            if quarantine:
+                # quarantine parity with the UDF path: a corrupt slice
+                # must zero the WHOLE plane, not just the bands whose
+                # windows touch the damage — so decode the full slice
+                # (strict end-to-end validation: PNG adler32 + exact
+                # length, every TIFF strip/tile) and slice the windows
+                # from it.  Quarantine trades the windowed-decode
+                # saving for whole-plane failure atomicity.
+                plane = decode_image_gray(data)
+                return [plane[y0:y1] for (_, y0, y1) in wins]
             # PNG inflates sequentially, so ONE pass to the higher
             # band's end serves both windows (the lower band is free);
             # TIFF strips are random-access, so per-window decodes
@@ -442,7 +499,9 @@ def run_fused_ingest(
         dead: list[tuple[int, str]] = []
         for i, (path, zz) in enumerate(zip(pdf["path"], pdf["z"])):
             try:
-                parts = _decode_bands(_open_bytes(path))
+                data = _open_bytes(path)
+                _check_header(path, data)
+                parts = _decode_bands(data)
                 for p, (_, y0, y1) in zip(parts, wins):
                     if p.shape != (y1 - y0, width) or p.dtype != exp_dtype:
                         raise ValueError(
@@ -475,16 +534,7 @@ def run_fused_ingest(
                     n_chunks += 1
                     raw_bytes += arr.nbytes
                     for lvl in range(n_levels):
-                        pad_shape = stack_ladder[lvl]
-                        out = arr
-                        if out.shape != pad_shape:  # edge chunk → pad
-                            full = np.zeros(pad_shape, dtype=out.dtype)
-                            full[
-                                : out.shape[0],
-                                : out.shape[1],
-                                : out.shape[2],
-                            ] = out
-                            out = full
+                        out = pad_block(arr, stack_ladder[lvl])  # edge → pad
                         key = "/".join(
                             [
                                 base,

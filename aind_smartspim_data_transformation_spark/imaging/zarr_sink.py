@@ -103,6 +103,21 @@ def _make_decodec(meta: dict[str, Any] | None):
     raise ValueError(f"unsupported compressor metadata {meta!r}")
 
 
+def pad_block(arr: np.ndarray, dims) -> np.ndarray:
+    """Zero-pad an edge block to the nominal chunk shape (zarr v2
+    stores full-size chunks); returns ``arr`` unchanged when already
+    full.  ONE implementation for every writer (the chunk-table sinks,
+    the append path, both DataSource writers, and the fused ingest) —
+    the padding convention is load-bearing for byte-compatibility
+    across write paths, so it must not be re-derived per site."""
+    dims = tuple(dims)
+    if arr.shape == dims:
+        return arr
+    full = np.zeros(dims, dtype=arr.dtype)
+    full[tuple(slice(0, s) for s in arr.shape)] = arr
+    return full
+
+
 def _fs_for(root: str):
     """(pyarrow filesystem, filesystem-local path) for a plain local
     path or any URI pyarrow.fs resolves (``file://``, ``s3://``,
@@ -294,10 +309,7 @@ def write_ome_zarr(
                 arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
                     r["dz"], r["dy"], r["dx"]
                 )
-                if arr.shape != chunk_shape:  # edge chunk → zero-pad
-                    full = np.zeros(chunk_shape, dtype=arr.dtype)
-                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
-                    arr = full
+                arr = pad_block(arr, chunk_shape)  # edge chunk → zero-pad
                 key = "/".join(
                     [base, "0", "0", str(r["cz"]), str(r["cy"]), str(r["cx"])]
                 )
@@ -393,10 +405,7 @@ def write_ome_zarr_all(
                 arr = np.frombuffer(
                     r["data"], dtype=np.dtype(r["dtype"])
                 ).reshape(r["dz"], r["dy"], r["dx"])
-                if arr.shape != chunk_shape:  # edge chunk → zero-pad
-                    full = np.zeros(chunk_shape, dtype=arr.dtype)
-                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
-                    arr = full
+                arr = pad_block(arr, chunk_shape)  # edge chunk → zero-pad
                 key = "/".join(
                     [
                         base,
@@ -430,6 +439,7 @@ def _write_all_metadata(
     chunk_zyx: list[int],
     n_lvls: int,
     codec_meta: dict[str, Any] | None,
+    extra_attrs: dict[str, Any] | None = None,
 ) -> tuple[list[str], dict[tuple[str, str], list[tuple[int, int, int]]]]:
     """Driver-side metadata writer shared by the chunk-table sink
     (:func:`write_ome_zarr_all`) and the fused ingest
@@ -438,7 +448,9 @@ def _write_all_metadata(
     channel/stack, full extents z/y/x, dtype, and origin-chunk dims
     cdz/cdy/cdx.  Returns (group paths, per-stack chunk-dims ladder) —
     ONE implementation so the two write paths can never disagree on
-    metadata."""
+    metadata.  ``extra_attrs`` entries land inside the stack's single
+    ``.zattrs`` write (the streaming writer's epoch marker must be
+    atomic with store creation — see append_slab_transaction)."""
     fz, fy, fx = scale_factor_zyx
     groups: list[str] = []
     # per (channel, stack): chunk dims ladder for the writer's padding
@@ -455,32 +467,31 @@ def _write_all_metadata(
             os.path.join(output_root, channel, ".zgroup"), {"zarr_format": 2}
         )
         _write_json(os.path.join(group, ".zgroup"), {"zarr_format": 2})
-        _write_json(
-            os.path.join(group, ".zattrs"),
-            {
-                "multiscales": [
-                    {
-                        "axes": axes_5d(),
-                        "datasets": [
-                            {
-                                "path": str(i),
-                                "coordinateTransformations": transforms[i],
-                            }
-                            for i in range(n_lvls)
-                        ],
-                        "name": f"/{stack}.ome.zarr",
-                        "version": "0.4",
-                        "metadata": pyramid_provenance(),
-                    }
-                ],
-                "omero": build_omero(
-                    channel,
-                    shape_5d,
-                    np.dtype(r["dtype"]),
-                    image_name=f"{stack}.ome.zarr",
-                ),
-            },
-        )
+        attrs = {
+            "multiscales": [
+                {
+                    "axes": axes_5d(),
+                    "datasets": [
+                        {
+                            "path": str(i),
+                            "coordinateTransformations": transforms[i],
+                        }
+                        for i in range(n_lvls)
+                    ],
+                    "name": f"/{stack}.ome.zarr",
+                    "version": "0.4",
+                    "metadata": pyramid_provenance(),
+                }
+            ],
+            "omero": build_omero(
+                channel,
+                shape_5d,
+                np.dtype(r["dtype"]),
+                image_name=f"{stack}.ome.zarr",
+            ),
+        }
+        if extra_attrs:
+            attrs.update(extra_attrs)
         shape = list(shape_5d)
         dims = (int(r["cdz"]), int(r["cdy"]), int(r["cdx"]))
         ladder = []
@@ -519,6 +530,12 @@ def _write_all_metadata(
             shape = [1, 1, -(-shape[2] // fz), -(-shape[3] // fy), -(-shape[4] // fx)]
             dims = (-(-dims[0] // fz), -(-dims[1] // fy), -(-dims[2] // fx))
         chunk_ladder[(channel, stack)] = ladder
+        # .zattrs LAST: it is what makes the group parse as a store, so
+        # nothing can observe a stack whose levels are missing — and the
+        # streaming writer's epoch marker inside it becomes atomic with
+        # store creation (a replay never sees marker-without-levels or
+        # levels-without-marker)
+        _write_json(os.path.join(group, ".zattrs"), attrs)
 
     return groups, chunk_ladder
 
@@ -619,10 +636,7 @@ def append_ome_zarr_z(levels: list[DataFrame], group: str) -> str:
                 arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
                     r["dz"], r["dy"], r["dx"]
                 )
-                if arr.shape != chunk_shape:
-                    full = np.zeros(chunk_shape, dtype=arr.dtype)
-                    full[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
-                    arr = full
+                arr = pad_block(arr, chunk_shape)
                 key = "/".join(
                     [base, "0", "0", str(r["cz"] + off), str(r["cy"]), str(r["cx"])]
                 )
@@ -643,6 +657,7 @@ def append_slab_transaction(
     geo: list[tuple[tuple[int, int, int], str]],
     chunk_info: list[tuple[int, int]],
     write_level,
+    extra_attrs: dict[str, Any] | None = None,
 ) -> str:
     """The append's VALIDATION + FENCE + COMMIT core, shared by the
     batch path (:func:`append_ome_zarr_z` — chunk writes are a Spark
@@ -656,6 +671,13 @@ def append_slab_transaction(
     shifted by ``off`` store z-chunks — it MUST be idempotent
     (fixed keys, deterministic bytes), because the roll-forward path
     re-invokes it for uncommitted levels.
+
+    ``extra_attrs`` entries are merged into ``.zattrs`` IN THE SAME
+    WRITE that drops the fence — the append's overall commit point —
+    so a marker (e.g. the streaming writer's epoch guard) can never be
+    observed separately from the commit it guards (a separate write
+    would leave a crash window where the append committed but the
+    marker didn't, and a replay double-appends).
     """
     fs, gpath = _fs_for(group)
     # A slab whose level-i z extent is not an exact multiple of the
@@ -791,6 +813,8 @@ def append_slab_transaction(
     rdefs = attrs.get("omero", {}).get("rdefs")
     if rdefs is not None and "defaultZ" in rdefs:
         rdefs["defaultZ"] = (base_z[0] + slab_z[0]) // 2
+    if extra_attrs:
+        attrs.update(extra_attrs)
     _write_json(f"{gpath}/.zattrs", attrs)
     return group
 

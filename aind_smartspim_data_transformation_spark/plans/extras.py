@@ -2209,6 +2209,12 @@ def n16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(
             "user_id",
+            # TRUNCATING division, deliberately: DuckDB's integer //
+            # truncates toward zero (-3 // 7 = 0, verified in
+            # tests/test_extras.py::test_n16_week_index_parity_pre_epoch),
+            # and cast("long") on the float quotient truncates the same
+            # way — so pre-epoch days agree in both engines.  floor()
+            # here would DIVERGE (-3 days: floor → week -1, // → 0).
             (F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long") / 7)
             .cast("long")
             .alias("week"),

@@ -465,6 +465,7 @@ class SmartspimWriter(DataSourceWriter):
         from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
             _fs_for,
             _make_codec,
+            pad_block,
         )
 
         _, compress = _make_codec(self.compressor, self.compressor_kwargs)
@@ -495,11 +496,7 @@ class SmartspimWriter(DataSourceWriter):
                     f"to option('chunk')'s ladder"
                 )
             arr = np.frombuffer(bytes(r["data"]), dtype=np.dtype(r["dtype"]))
-            arr = arr.reshape(shp)
-            if shp != dims:
-                full = np.zeros(dims, dtype=arr.dtype)
-                full[: shp[0], : shp[1], : shp[2]] = arr
-                arr = full
+            arr = pad_block(arr.reshape(shp), dims)
             key = "/".join(
                 [
                     base,
@@ -715,6 +712,7 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
         from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
             _fs_for,
             _make_codec,
+            pad_block,
         )
 
         _, compress = _make_codec(self.compressor, self.compressor_kwargs)
@@ -766,14 +764,7 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
                                 cy * dims[1] : (cy + 1) * dims[1],
                                 cx * dims[2] : (cx + 1) * dims[2],
                             ]
-                            if block.shape != dims:  # edge → zero-pad
-                                full = np.zeros(dims, dtype=block.dtype)
-                                full[
-                                    : block.shape[0],
-                                    : block.shape[1],
-                                    : block.shape[2],
-                                ] = block
-                                block = full
+                            block = pad_block(block, dims)  # edge → zero-pad
                             key = "/".join(
                                 [
                                     base, channel, stack, str(lvl),
@@ -864,7 +855,6 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
             _fs_for,
             _make_codec,
             _write_all_metadata,
-            _write_json,
             append_slab_transaction,
         )
 
@@ -922,6 +912,11 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
                             f"!= store codec {disk_codec} — staged chunks "
                             f"would be byte-incompatible"
                         )
+                    # the epoch marker rides the SAME .zattrs write that
+                    # drops the fence — the append's commit point — so a
+                    # crash can never separate "appended" from "marked"
+                    # (a separate stamp left a window where a replay
+                    # double-appended the slab)
                     append_slab_transaction(
                         group,
                         geo,
@@ -930,10 +925,12 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
                         ch=channel, st=stack, inf=info: self._promote(
                             fs, sb, gb, ch, st, inf, lvl, off
                         ),
+                        extra_attrs={"smartspim_stream_last_batch": batchId},
                     )
                 else:
-                    # CREATE: chunks first, metadata last (metadata-only
-                    # readers never see a half-made store)
+                    # CREATE: chunks first, then .zarray levels, then
+                    # .zattrs LAST with the epoch marker inside it —
+                    # nothing can observe a created-but-unmarked store
                     for lvl in range(len(info["levels"])):
                         self._promote(
                             fs, stage_base, group_base, channel, stack,
@@ -960,12 +957,8 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
                         self.chunk,
                         self.n_levels,
                         codec_meta,
+                        extra_attrs={"smartspim_stream_last_batch": batchId},
                     )
-                # stamp the epoch marker (idempotent replay guard)
-                with fs.open_input_stream(attrs_path) as f:
-                    attrs = _json.loads(f.read().decode())
-                attrs["smartspim_stream_last_batch"] = batchId
-                _write_json(f"{group}/.zattrs", attrs)
         finally:
             for staging in stagings:
                 _, sb = _fs_for(staging)

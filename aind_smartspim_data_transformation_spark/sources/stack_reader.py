@@ -341,12 +341,13 @@ def assemble_tiles(tiles: DataFrame, chunk_z: int | None = None) -> DataFrame:
     slices_to_chunks for why tile-first keying is the scale shape).
 
     With ``chunk_z`` given, planes land at their TRUE within-chunk
-    index (z − cz·chunk_z) and interior holes — a quarantined corrupt
-    slice — are zero-filled, preserving z alignment for the sink;
-    trailing holes shorten the slab (indistinguishable from a short
-    final slab).  Without it (default), tiles are assumed contiguous
-    in z (fail-mode ingest, where a codec error aborts before any hole
-    can exist)."""
+    index (z − cz·chunk_z) and interior holes are zero-filled,
+    preserving z alignment for the sink (quarantined slices arrive as
+    explicit zero tiles since r7 — read_stack_tree rematerializes dead
+    letters on the stack's tile grid, so trailing holes no longer
+    shorten the slab).  Without it (default), tiles are assumed
+    contiguous in z (fail-mode ingest, where a codec error aborts
+    before any hole can exist)."""
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         channel, stack, cz, cy, cx = key
@@ -520,16 +521,63 @@ def read_stack_tree(
     + tile kernel; see decode_slices_to_tiles).
 
     With ``on_error="quarantine"`` a corrupt slice becomes a ZERO
-    plane at its true z position (alignment preserved for the sink;
-    a trailing corrupt slice shortens the slab) instead of failing the
-    job; use decode_slices_to_tiles + split_quarantine directly to
-    also collect the dead-letter table."""
+    plane at its true z position — INCLUDING a trailing corrupt slice
+    (r7): dead letters are rematerialized as zero tiles on the stack's
+    tile grid (derived from its healthy slices) before assembly, so
+    the slab extent equals the LISTING count exactly like the fused
+    ingest — the two quarantine paths produce identical store shapes
+    at any corruption position.  A stack with NO healthy slice has no
+    derivable geometry and vanishes (the fused path fails its probe
+    loudly instead — both refuse to invent pixels).  Use
+    decode_slices_to_tiles + split_quarantine directly to also collect
+    the dead-letter table."""
     tiles = decode_slices_to_tiles(
         scan_stack_files(spark, root), chunk_z, chunk_y, chunk_x, on_error
     )
     if on_error == "quarantine":
-        tiles, _ = split_quarantine(tiles)
-        return assemble_tiles(tiles, chunk_z=chunk_z)
+        good, dead = split_quarantine(tiles)
+        # zero tiles for every dead (stack, z) over the stack's tile
+        # grid: dead letters are rare and the grid aggregate is tiny
+        # (one row per (stack, cy, cx)), so this join is noise — and it
+        # is what keeps a trailing hole from silently shortening the
+        # slab (the fused ingest sizes extents from the LISTING).
+        grid = (
+            good.select("channel", "stack", "cy", "cx", "dy", "dx", "dtype")
+            .distinct()
+        )
+        dead_pos = dead.select("channel", "stack", "z").withColumn(
+            "cz", (F.col("z") / chunk_z).cast("int")
+        )
+        import pandas as pd  # noqa: F811 — executor-side kernel below
+
+        def _zero_tiles(batches):
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    out.append(
+                        (
+                            r.channel,
+                            r.stack,
+                            int(r.cz),
+                            int(r.z),
+                            int(r.cy),
+                            int(r.cx),
+                            int(r.dy),
+                            int(r.dx),
+                            r.dtype,
+                            bytes(
+                                int(r.dy) * int(r.dx)
+                                * np.dtype(r.dtype).itemsize
+                            ),
+                        )
+                    )
+                yield pd.DataFrame(out, columns=TILE_COLS)
+
+        zeros = (
+            dead_pos.join(grid, ["channel", "stack"])
+            .mapInPandas(_zero_tiles, schema=TILE_SCHEMA)
+        )
+        return assemble_tiles(good.unionByName(zeros), chunk_z=chunk_z)
     return assemble_tiles(tiles)
 
 

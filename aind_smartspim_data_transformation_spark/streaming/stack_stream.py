@@ -153,7 +153,14 @@ def run_incremental_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"incremental ingest did not drain within {timeout_sec}s "
+                f"— the checkpoint resumes where it stopped"
+            )
+    finally:
+        q.stop()
 
 
 def accumulated_slices_to_chunks(
@@ -267,6 +274,15 @@ def run_streaming_store_ingest(
         writer = writer.option(k, v)
     q = writer.trigger(availableNow=True).start(store_root)
     try:
-        q.awaitTermination(timeout_sec)
+        done = q.awaitTermination(timeout_sec)
+        if not done:
+            # an incomplete drain must not return as success: the fence
+            # keeps the store consistent, but the caller believes every
+            # arrived wave landed.  Stop the query (finally) and say so.
+            raise TimeoutError(
+                f"streaming store ingest did not drain within "
+                f"{timeout_sec}s — the checkpoint will resume where it "
+                f"stopped on the next run"
+            )
     finally:
         q.stop()

@@ -178,3 +178,40 @@ def test_n13_planted_chain_merge(spark, tmp_path):
     r = out[0]
     assert (r["component"], r["n_members"], r["n_direct_pairs"]) == (1, 3, 2)
     assert r["coverage_ppm"] == 666_666
+
+
+def test_n16_week_index_parity_pre_epoch(spark):
+    """n16's week index must agree with the oracle even for pre-epoch
+    timestamps.  DuckDB's integer // TRUNCATES toward zero (-3 // 7 =
+    0, -8 // 7 = -1 — measured, not floor), and Spark's cast('long')
+    on the float quotient truncates identically — this pins BOTH
+    engines' behavior so a future 'fix' to floor semantics on either
+    side fails loudly (a review suggested floor() here; it would have
+    silently diverged)."""
+    import datetime
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime.datetime(2023, 12, 29, 12)),   # datediff -3 → week 0
+        (2, datetime.datetime(2023, 12, 25)),       # -7 → -1
+        (3, datetime.datetime(2023, 12, 24, 23)),   # -8 → -1
+        (4, datetime.datetime(2024, 1, 1)),         # 0 → 0
+        (5, datetime.datetime(2024, 1, 8)),         # 7 → 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp").select(
+        "user_id",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long") / 7)
+        .cast("long")
+        .alias("week"),
+    )
+    got = {r["user_id"]: r["week"] for r in df.collect()}
+    con = duckdb.connect()
+    want = {
+        u: con.execute(
+            "SELECT (CAST(? AS DATE) - DATE '2024-01-01') // 7", [ts]
+        ).fetchone()[0]
+        for u, ts in rows
+    }
+    assert got == want == {1: 0, 2: -1, 3: -1, 4: 0, 5: 1}

@@ -251,3 +251,110 @@ def test_datasource_quarantine_refused_at_settings(spark):
             ingest="datasource",
             on_error="quarantine",
         )
+
+
+def test_trailing_corrupt_slice_same_store_both_paths(spark, tmp_path):
+    """A corrupt LAST slice used to shorten the UDF path's slab while
+    the fused path zero-filled it at position (extents from the
+    listing) — path-dependent store shapes under ingest='auto'.  Both
+    paths must now produce the listing-extent store with a zero plane
+    at the end, byte-identical."""
+    root = tmp_path / "ds"
+    vols = make_dataset(root, height=16, width=20)
+    ch_dir = root / "SmartSPIM" / CHANNELS[0]
+    col = sorted(p for p in ch_dir.iterdir() if p.is_dir())[0]
+    stack_dir = sorted(p for p in col.iterdir() if p.is_dir())[0]
+    # corrupt the LAST slice
+    (stack_dir / f"{SLICES[-1]}.png").write_bytes(
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 40
+    )
+
+    fused, fused_resp = _run_job(
+        spark, root, tmp_path / "out_fused", "fused", "quarantine"
+    )
+    udf, _ = _run_job(spark, root, tmp_path / "out_udf", "udf", "quarantine")
+    assert fused == udf
+
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+
+    group = str(
+        tmp_path / "out_fused" / CHANNELS[0] / f"{stack_dir.name}.ome.zarr"
+    )
+    got = read_zarr_level(group, 0)
+    assert got.shape[0] == len(SLICES)  # listing extent, not shortened
+    assert not got[-1].any()  # trailing zero plane at position
+    expect = vols[f"{CHANNELS[0]}/{stack_dir.name}"].copy()
+    expect[-1] = 0
+    np.testing.assert_array_equal(got, expect)
+    assert fused_resp["metrics"]["dead_letters"][0]["z"] == len(SLICES) - 1
+
+
+def test_partially_corrupt_slice_zeroes_whole_plane(spark, tmp_path):
+    """A slice corrupt only in its BOTTOM strips: bands above the
+    damage decode cleanly, so a window-local quarantine would write a
+    mixed real/zero plane while the UDF path zeroes it all.  Fused
+    quarantine decodes the full slice (strict validation), so the
+    whole plane zeroes in BOTH paths — stores identical."""
+    from aind_smartspim_data_transformation_spark.sources.tiff_codec import (
+        encode_tiff_gray,
+        _read_ifd,
+    )
+
+    root = tmp_path / "ds"
+    vols = make_dataset(root, height=16, width=20, fmt="tif")
+    ch_dir = root / "SmartSPIM" / CHANNELS[0]
+    col = sorted(p for p in ch_dir.iterdir() if p.is_dir())[0]
+    stack_dir = sorted(p for p in col.iterdir() if p.is_dir())[0]
+    target = stack_dir / f"{SLICES[0]}.tif"
+    plane = vols[f"{CHANNELS[0]}/{stack_dir.name}"][0]
+    # multi-strip deflate layout, then corrupt ONLY the LAST strip
+    enc = bytearray(encode_tiff_gray(plane, compression=8, rows_per_strip=4))
+    tags, _ = _read_ifd(bytes(enc))
+    off, cnt = tags[273][-1], tags[279][-1]
+    enc[off : off + cnt] = b"\xff" * cnt
+    target.write_bytes(bytes(enc))
+
+    # chunk_y=8 → two y-bands; the top band's window never touches the
+    # corrupt bottom strip
+    fused, fused_resp = _run_job(
+        spark, root, tmp_path / "out_f", "fused", "quarantine",
+        chunk=(64, 8, 64),
+    )
+    udf, _ = _run_job(
+        spark, root, tmp_path / "out_u", "udf", "quarantine",
+        chunk=(64, 8, 64),
+    )
+    assert fused == udf
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+
+    group = str(
+        tmp_path / "out_f" / CHANNELS[0] / f"{stack_dir.name}.ome.zarr"
+    )
+    got = read_zarr_level(group, 0)
+    assert not got[0].any()  # the WHOLE plane, not just the bottom band
+    assert got[1].any()
+
+
+def test_fused_taller_slice_fails_loudly_in_fail_mode(spark, tmp_path):
+    """A slice TALLER than the probe decodes cleanly inside every band
+    window, so the per-window shape check cannot see it — the header
+    gate must catch it (previously its bottom rows were silently
+    dropped)."""
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    root = tmp_path / "ds"
+    make_dataset(root, height=16, width=20)
+    ch_dir = root / "SmartSPIM" / CHANNELS[0]
+    col = sorted(p for p in ch_dir.iterdir() if p.is_dir())[0]
+    stack_dir = sorted(p for p in col.iterdir() if p.is_dir())[0]
+    tall = np.arange(24 * 20, dtype=np.uint16).reshape(24, 20)  # taller
+    (stack_dir / f"{SLICES[1]}.png").write_bytes(encode_png_gray(tall))
+
+    with pytest.raises(Exception, match="geometry mismatch"):
+        _run_job(spark, root, tmp_path / "out", "fused", "fail")
