@@ -330,14 +330,17 @@ def run_fused_ingest(
         }
         for g in geo
     ]
-    groups, ladder = _write_all_metadata(
-        meta_rows,
-        output_root,
-        voxel_size_zyx,
-        scale_factor_zyx,
-        chunk_zyx,
-        n_levels,
-        codec_meta,
+    # PLAN now (geometry guard fails fast, the band tasks get the chunk
+    # ladder), WRITE metadata only after every band task has succeeded
+    # (metadata-last, at the bottom of this function): a failed or
+    # killed fused job must not leave a target that parses as a
+    # complete store with missing chunks silently reading as zeros.
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        plan_store_layout,
+    )
+
+    groups, ladder = plan_store_layout(
+        meta_rows, output_root, scale_factor_zyx, n_levels
     )
 
     cz_chunk, cy_chunk, cx_chunk = chunk_zyx
@@ -626,4 +629,14 @@ def run_fused_ingest(
         metrics = {}
     metrics["n_chunks"] = int(summaries["n_chunks"])
     metrics["chunk_bytes"] = int(summaries["chunk_bytes"])
+    # every band task succeeded — NOW the stores may parse as complete
+    _write_all_metadata(
+        meta_rows,
+        output_root,
+        voxel_size_zyx,
+        scale_factor_zyx,
+        chunk_zyx,
+        n_levels,
+        codec_meta,
+    )
     return sorted(groups), metrics

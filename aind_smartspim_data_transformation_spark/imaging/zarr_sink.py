@@ -452,13 +452,12 @@ def _write_all_metadata(
     ``.zattrs`` write (the streaming writer's epoch marker must be
     atomic with store creation — see append_slab_transaction)."""
     fz, fy, fx = scale_factor_zyx
-    groups: list[str] = []
-    # per (channel, stack): chunk dims ladder for the writer's padding
-    chunk_ladder: dict[tuple[str, str], list[tuple[int, int, int]]] = {}
+    groups, chunk_ladder = plan_store_layout(
+        geo, output_root, scale_factor_zyx, n_lvls
+    )
     for r in geo:
         channel, stack = r["channel"], r["stack"]
         group = os.path.join(output_root, channel, f"{stack}.ome.zarr")
-        groups.append(group)
         shape_5d = (1, 1, int(r["z"]), int(r["y"]), int(r["x"]))
         transforms, _ = compute_scale_ladder(
             voxel_size_zyx, scale_factor_zyx, n_lvls, shape_5d, chunk_zyx
@@ -493,15 +492,60 @@ def _write_all_metadata(
         if extra_attrs:
             attrs.update(extra_attrs)
         shape = list(shape_5d)
+        ladder = chunk_ladder[(channel, stack)]
+        for lvl in range(n_lvls):
+            _write_json(
+                os.path.join(group, str(lvl), ".zarray"),
+                {
+                    "zarr_format": 2,
+                    "shape": shape,
+                    "chunks": [1, 1, *ladder[lvl]],
+                    "dtype": _ZARR_DTYPES[r["dtype"]],
+                    "compressor": codec_meta,
+                    "fill_value": 0,
+                    "filters": None,
+                    "order": "C",
+                    "dimension_separator": "/",
+                },
+            )
+            shape = [1, 1, -(-shape[2] // fz), -(-shape[3] // fy), -(-shape[4] // fx)]
+        # .zattrs LAST: it is what makes the group parse as a store, so
+        # nothing can observe a stack whose levels are missing — and the
+        # streaming writer's epoch marker inside it becomes atomic with
+        # store creation (a replay never sees marker-without-levels or
+        # levels-without-marker)
+        _write_json(os.path.join(group, ".zattrs"), attrs)
+
+    return groups, chunk_ladder
+
+
+def plan_store_layout(
+    geo,
+    output_root: str,
+    scale_factor_zyx: list[int],
+    n_lvls: int,
+) -> tuple[list[str], dict[tuple[str, str], list[tuple[int, int, int]]]]:
+    """PURE layout planner: (group paths, per-stack chunk-dims ladder)
+    plus the geometry guard, with NO writes — so a writer can validate
+    and plan BEFORE its data job and write metadata AFTER it
+    (metadata-last; the fused ingest does exactly this).  The guard:
+    per-chunk downsampling is exact only when a retained level's chunk
+    dims are divisible by the factor OR the chunk spans the whole
+    extent on that axis (then the truncated window IS the array edge)
+    — refuse loudly instead of planning levels that diverge from the
+    global windowed mean (see pyramid.validate_pyramid_geometry)."""
+    fz, fy, fx = scale_factor_zyx
+    groups: list[str] = []
+    chunk_ladder: dict[tuple[str, str], list[tuple[int, int, int]]] = {}
+    for r in geo:
+        channel, stack = r["channel"], r["stack"]
+        groups.append(
+            os.path.join(output_root, channel, f"{stack}.ome.zarr")
+        )
+        shape = [1, 1, int(r["z"]), int(r["y"]), int(r["x"])]
         dims = (int(r["cdz"]), int(r["cdy"]), int(r["cdx"]))
         ladder = []
         for lvl in range(n_lvls):
-            # Geometry guard: per-chunk downsampling is exact only when
-            # a retained level's chunk dims are divisible by the factor
-            # OR the chunk spans the whole extent on that axis (then the
-            # truncated window IS the array edge).  Refuse loudly
-            # instead of writing levels that diverge from the global
-            # windowed mean (see pyramid.validate_pyramid_geometry).
             if lvl < n_lvls - 1:
                 for ax, (d, f) in enumerate(zip(dims, (fz, fy, fx))):
                     if d % f != 0 and d != shape[2 + ax]:
@@ -513,29 +557,9 @@ def _write_all_metadata(
                             f"diverge from the global windowed mean"
                         )
             ladder.append(dims)
-            _write_json(
-                os.path.join(group, str(lvl), ".zarray"),
-                {
-                    "zarr_format": 2,
-                    "shape": shape,
-                    "chunks": [1, 1, *dims],
-                    "dtype": _ZARR_DTYPES[r["dtype"]],
-                    "compressor": codec_meta,
-                    "fill_value": 0,
-                    "filters": None,
-                    "order": "C",
-                    "dimension_separator": "/",
-                },
-            )
             shape = [1, 1, -(-shape[2] // fz), -(-shape[3] // fy), -(-shape[4] // fx)]
             dims = (-(-dims[0] // fz), -(-dims[1] // fy), -(-dims[2] // fx))
         chunk_ladder[(channel, stack)] = ladder
-        # .zattrs LAST: it is what makes the group parse as a store, so
-        # nothing can observe a stack whose levels are missing — and the
-        # streaming writer's epoch marker inside it becomes atomic with
-        # store creation (a replay never sees marker-without-levels or
-        # levels-without-marker)
-        _write_json(os.path.join(group, ".zattrs"), attrs)
 
     return groups, chunk_ladder
 

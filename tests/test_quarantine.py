@@ -358,3 +358,38 @@ def test_fused_taller_slice_fails_loudly_in_fail_mode(spark, tmp_path):
 
     with pytest.raises(Exception, match="geometry mismatch"):
         _run_job(spark, root, tmp_path / "out", "fused", "fail")
+
+
+def test_fused_failed_job_leaves_no_parsing_store(spark, tmp_path):
+    """Metadata-last for the DEFAULT ingest (r7): a fused job that dies
+    mid-decode must leave NO .zattrs/.zarray anywhere — previously the
+    metadata was written BEFORE the band tasks, so a killed job left a
+    complete-parsing store whose missing chunks silently read as
+    zeros.  After fixing the input, a rerun converges to the clean
+    store."""
+    root = tmp_path / "ds"
+    vols = make_dataset(root, height=16, width=20)
+    bad_stack = _corrupt_first_slice(root)
+    out = tmp_path / "out"
+    with pytest.raises(Exception):
+        _run_job(spark, root, out, "fused", "fail")
+    leftovers = [
+        p for p in out.rglob("*")
+        if p.name in (".zattrs", ".zarray", ".zgroup")
+    ] if out.exists() else []
+    assert leftovers == [], leftovers
+
+    # repair the slice and rerun: byte-identical to a fresh build
+    ch_dir = root / "SmartSPIM" / CHANNELS[0]
+    col = sorted(p for p in ch_dir.iterdir() if p.is_dir())[0]
+    stack_dir = sorted(p for p in col.iterdir() if p.is_dir())[0]
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    (stack_dir / f"{SLICES[0]}.png").write_bytes(
+        encode_png_gray(vols[f"{CHANNELS[0]}/{bad_stack}"][0])
+    )
+    rerun, _ = _run_job(spark, root, out, "fused", "fail")
+    fresh, _ = _run_job(spark, root, tmp_path / "out_fresh", "fused", "fail")
+    assert rerun == fresh
