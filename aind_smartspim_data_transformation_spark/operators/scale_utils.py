@@ -458,6 +458,86 @@ def distributed_cumsum(
     )
 
 
+def distributed_order_stats(
+    df: DataFrame,
+    order_col: str,
+    tie_cols: tuple[str, ...] = (),
+    value_col: str | None = None,
+    rank_col: str = "rank",
+    cum_col: str = "running_total",
+    ascending: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """EXACT global ``row_number`` — and, with ``value_col``, the
+    running sum — over ``(order_col [DESC], *tie_cols)`` WITHOUT a
+    partition-less window, plus the grand totals as plain Python
+    numbers (computed from the same per-bucket partials the offsets
+    need, so "attach the total" costs no extra pass and no
+    single-partition aggregate exchange).
+
+    Returns ``(df + rank_col [+ cum_col], {"count": N, "sum": S})``
+    (``sum`` is None without ``value_col``).  Same construction and
+    determinism contract as :func:`distributed_ntile` — literal range
+    buckets, per-bucket windows, driver offsets of #buckets rows.
+    This is what retires the "rank the vocab aggregate in one task"
+    idiom (t10/t12): the vocabulary grows sublinearly but unboundedly,
+    and with this the rank pass is bucket-parallel at any vocab size.
+    """
+    reserved = ["_rpid", "_rnoff", "_cmoff", rank_col]
+    if value_col is not None:
+        reserved.append(cum_col)
+    for r in reserved:
+        if r in df.columns:
+            raise ValueError(
+                f"distributed_order_stats: input already has a column "
+                f"named {r!r} — rename it"
+            )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    uniq = _quantile_bounds(df, order_col, n)
+    parts = df.withColumn(
+        "_rpid", _bucket_expr(order_col, uniq, descending=not ascending)
+    )
+    aggs = [F.count("*").alias("_n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("_s"))
+    partials = parts.groupBy("_rpid").agg(*aggs).collect()
+    run_n = 0
+    run_s = 0
+    offsets = []
+    for r in sorted(partials, key=lambda r: r["_rpid"]):
+        offsets.append((int(r["_rpid"]), run_n, run_s))
+        run_n += r["_n"]
+        if value_col is not None:
+            run_s += r["_s"] or 0
+    if value_col is not None and isinstance(run_s, float):
+        offsets = [(p, rn, float(rs)) for p, rn, rs in offsets]
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets,
+        "_rpid int, _rnoff long, _cmoff "
+        + ("double" if isinstance(run_s, float) else "long"),
+    )
+
+    from pyspark.sql.window import Window as W
+
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    ] + [F.col(c).asc() for c in tie_cols]
+    w = W.partitionBy("_rpid").orderBy(*order)
+    out = parts.join(F.broadcast(offsets_df), "_rpid").withColumn(
+        rank_col, (F.col("_rnoff") + F.row_number().over(w)).cast("int")
+    )
+    if value_col is not None:
+        out = out.withColumn(
+            cum_col,
+            F.col("_cmoff")
+            + F.sum(value_col).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    return (
+        out.drop("_rpid", "_rnoff", "_cmoff"),
+        {"count": run_n, "sum": run_s if value_col is not None else None},
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     order_col: str,

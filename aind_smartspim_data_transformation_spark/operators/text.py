@@ -535,35 +535,45 @@ FROM base ORDER BY doc_id
 # vocab: "how many types cover 95% of tokens?").
 #
 # Scale posture: the explode+groupBy collapses the corpus to vocab-sized
-# data in ONE shuffle with map-side combine; the global rank window then
-# runs over vocab rows only (≪ corpus; a 1M-type vocab is one executor's
-# work).  Never rank the raw token stream.
+# data in ONE shuffle with map-side combine; rank + cumulative coverage
+# then ride distributed_order_stats (r7 — literal range buckets +
+# per-bucket windows), so no partition-less window exists even over the
+# vocab aggregate, and the corpus total comes from the SAME per-bucket
+# partials (a literal — no sum() OVER () single-partition exchange).
+# Never rank the raw token stream.
 # ---------------------------------------------------------------------------
 VOCAB_TOP = 20
 
 
 def t10_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_order_stats,
+    )
+
     d = _docs(spark, sf_dir)
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
+    ).persist()
+    ranked, totals = distributed_order_stats(
+        counts,
+        "n",
+        tie_cols=("word",),
+        value_col="n",
+        rank_col="rnk",
+        cum_col="cum",
+        ascending=False,
     )
-    w_rank = W.orderBy(F.desc("n"), F.asc("word"))
     return (
-        counts.select(
-            F.row_number().over(w_rank).alias("rnk"),
-            "word",
-            "n",
-            F.sum("n").over(w_rank.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
-            F.sum("n").over(W.partitionBy()).alias("total"),
-        )
-        .filter(F.col("rnk") <= VOCAB_TOP)
+        ranked.filter(F.col("rnk") <= VOCAB_TOP)
         .select(
             "rnk",
             "word",
             "n",
-            F.expr("cum * 1000000 div total").alias("coverage_ppm"),
+            F.expr(f"cum * 1000000 div {int(totals['sum'])}").alias(
+                "coverage_ppm"
+            ),
         )
         .orderBy("rnk")
     )

@@ -310,10 +310,9 @@ ORACLE["x08_fk_orphans"] = X08_SQL
 #
 # Plan: ONE token explode → vocab aggregation (token-keyed shuffle,
 # map-side combine, AQE-skew-splittable) → rank by (count desc, token
-# asc) — computed as a self-contained COUNT aggregate, not a global
-# row_number window (which would single-reduce the vocab at scale:
-# rank(t) = #vocab entries with higher count + #ties before t) — then
-# one token-keyed join back and a per-doc mean in integer milli.
+# asc) via distributed_order_stats (r7 — bucket-parallel, no global
+# row_number window single-reducing the vocab) — then one token-keyed
+# join back and a per-doc mean in integer milli.
 # ---------------------------------------------------------------------------
 def t12_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -321,13 +320,16 @@ def t12_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
-    from pyspark.sql.window import Window as W
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_order_stats,
+    )
 
-    # rank over the VOCAB (small: one row per distinct token) — the
-    # single-reducer window is over |vocab|, never over token
-    # occurrences; at web scale swap in the count-based rank formula.
-    rk = W.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = vocab.withColumn("rank", F.row_number().over(rk))
+    # rank over the VOCAB via distributed_order_stats (r7): the rank
+    # pass is bucket-parallel at any vocab size — the old global
+    # row_number window single-reduced the vocab aggregate.
+    ranked, _ = distributed_order_stats(
+        vocab, "n", tie_cols=("tok",), rank_col="rank", ascending=False
+    )
     return (
         toks.join(ranked.select("tok", "rank"), "tok")
         .groupBy("doc_id")

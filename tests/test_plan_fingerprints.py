@@ -51,6 +51,8 @@ MAX_WIDE_EXCHANGES = {
     "n10_embedding_dispersion": 3,  # observed 2: (label,dim) agg + label agg
     "n11_split_balance": 7,         # observed 6: cell agg + tiny totals
     "n12_source_dup_profile": 5,    # observed 4: one scan, digest-only aggs
+    "t10_vocab_zipf": 3,            # observed 2 (r7): vocab agg + dist. rank/cum
+    "t12_mean_token_rank": 4,       # observed 3 (r7): vocab agg + rank + doc agg
     "n14_token_volume_deciles": 3,  # observed 2 (r7): distributed_ntile + tier agg
     "n15_vocab_coverage": 2,        # observed 1 (r7): vocab agg feeds dist. cumsum
     "n16_retention_cohorts": 3,     # observed 2 (r7): weeks distinct + cohort agg
@@ -86,6 +88,11 @@ NO_SINGLE_PARTITION_EXCHANGE = {
     # scalar aggregate, not a window)
     "n15_vocab_coverage",
     "n17_event_heavy_hitters",
+    # vocab-aggregate ranks rewired onto distributed_order_stats (r7):
+    # previously global row_number windows over the vocab (bounded but
+    # still one task; now bucket-parallel at any vocab size)
+    "t10_vocab_zipf",
+    "t12_mean_token_rank",
 }
 
 # BNLJ is legitimate in exactly two shapes: a non-equi join with no

@@ -611,3 +611,49 @@ def test_distributed_cumsum_descending_with_ties(spark):
     assert sorted(map(tuple, got_g.collect())) == sorted(
         map(tuple, want_g.collect())
     )
+
+
+def test_distributed_order_stats_matches_global_window(spark):
+    """Global rank + running sum == the partition-less window forms,
+    desc with heavy ties; totals come back as driver numbers; plan has
+    no single-partition exchange."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_order_stats,
+    )
+
+    df = spark.range(8_000).select(
+        (F.col("id") % 300).alias("n"),  # heavy ties
+        F.col("id").cast("string").alias("word"),
+    )
+    got, totals = distributed_order_stats(
+        df, "n", tie_cols=("word",), value_col="n",
+        rank_col="rnk", cum_col="cum", ascending=False, num_partitions=8,
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("word").asc())
+    want = df.select(
+        "n",
+        "word",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    assert sorted(map(tuple, got.select("n", "word", "rnk", "cum").collect())) \
+        == sorted(map(tuple, want.collect()))
+    assert totals["count"] == 8_000
+    assert totals["sum"] == sum(i % 300 for i in range(8_000))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # rank-only form (no value_col): no cum column, sum is None
+    got2, totals2 = distributed_order_stats(
+        df, "n", tie_cols=("word",), rank_col="rnk", num_partitions=8
+    )
+    assert "running_total" not in got2.columns
+    assert totals2["sum"] is None and totals2["count"] == 8_000
+    want2 = df.select(
+        "n", "word",
+        F.row_number().over(W.orderBy(F.col("n").asc(), F.col("word"))).alias("rnk"),
+    )
+    assert sorted(map(tuple, got2.select("n", "word", "rnk").collect())) \
+        == sorted(map(tuple, want2.collect()))
