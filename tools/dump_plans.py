@@ -151,11 +151,14 @@ ANNOTATIONS = {
         "and the O(sources) rollup exchange."
     ),
     "t10_vocab_zipf": (
-        "Vocabulary/Zipf coverage. Look for: exactly TWO exchanges — "
-        "the word groupBy (with partial_count map-side combine, so the "
-        "shuffle carries vocab-sized data, not the token stream) and "
-        "the single-partition global-rank window, which runs over vocab "
-        "rows only. The corpus is read once; the window never sees it."
+        "Vocabulary/Zipf coverage. Look for: the word groupBy (with "
+        "partial_count map-side combine, so the shuffle carries "
+        "vocab-sized data, not the token stream) feeding "
+        "distributed_order_stats (r7): literal bucket ids, a window "
+        "PARTITIONED by _rpid for rank+cum, and the corpus total as a "
+        "LITERAL from the offsets pass — no Exchange SinglePartition "
+        "anywhere (the old plan had the global-rank window AND a "
+        "sum() OVER () total). Observed wide exchanges: 2 (ceiling 3)."
     ),
     "q32_disjunctive_revenue": (
         "Disjunctive predicate blocks across join sides (TPC-H Q19 "
@@ -406,13 +409,13 @@ ANNOTATIONS = {
         "three edges are independent subtrees unioned at one row each."
     ),
     "t12_mean_token_rank": (
-        "Mean corpus-frequency rank (round 5). Look for: "
-        "explode → token-keyed HashAggregate (map-side combine) "
-        "collapsing occurrences to the vocab BEFORE the rank window "
-        "(the Window's single-partition sort runs over |vocab| rows, "
-        "never over occurrences — the count-based rank formula is the "
-        "documented swap-in past ~100M vocab); then one token-keyed "
-        "join back and a doc-keyed aggregate."
+        "Mean corpus-frequency rank (round 5; rank distributed r7). "
+        "Look for: explode → token-keyed HashAggregate (map-side "
+        "combine) collapsing occurrences to the vocab, then "
+        "distributed_order_stats' bucket-partitioned row_number (no "
+        "single-task vocab sort at any vocab size), one token-keyed "
+        "join back, and a doc-keyed aggregate. Observed wide "
+        "exchanges: 3 (ceiling 4)."
     ),
     "e15_transition_matrix": (
         "Event-type transition matrix (round 5). Look for: ONE "
