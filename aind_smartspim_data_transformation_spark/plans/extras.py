@@ -2332,3 +2332,156 @@ ORDER BY event_type, rnk
 
 QUERIES["n17_event_heavy_hitters"] = n17_event_heavy_hitters
 ORACLE["n17_event_heavy_hitters"] = N17_SQL
+
+
+# ---------------------------------------------------------------------------
+# N18 — length↔quality rank correlation (Spearman with deterministic
+# row_number ranks): does the TTR quality proxy just re-measure
+# document length?  If |rho| is high, a curriculum built on ttr tiers
+# is secretly a length curriculum and the mixing decision changes.
+#
+# rho_ppm = 1e6 − 6e6·Σd² div (n(n²−1)), d = rank_len − rank_ttr, with
+# BOTH ranks as deterministic row_numbers (doc_id tie-break) — the
+# standard tie-averaged Spearman needs fractional ranks; the
+# row_number variant is exact, engine-stable, and monotone-equivalent
+# for audit thresholds.  Both rank passes ride
+# distributed_order_stats (no partition-less window); the final 1-row
+# aggregate is a bounded scalar.  Integer div truncates identically in
+# both engines (Spark `div`, DuckDB `//` — see
+# test_n16_week_index_parity_pre_epoch).  int64 envelope: 6e6·n³ needs
+# n ≲ 10⁴ (documents at driver SFs: 500/5000); shard the Σd² by rank
+# range past that.
+# ---------------------------------------------------------------------------
+def n18_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_order_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tok"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000"
+            " div size(split(text, ' '))"
+        ).alias("ttr_milli"),
+    ).persist()
+    r1, totals = distributed_order_stats(
+        scored, "tok", tie_cols=("doc_id",), rank_col="rank_len"
+    )
+    r2, _ = distributed_order_stats(
+        r1, "ttr_milli", tie_cols=("doc_id",), rank_col="rank_ttr"
+    )
+    n = int(totals["count"])
+    denom = n * (n * n - 1)
+    return r2.select(
+        (F.col("rank_len") - F.col("rank_ttr")).alias("d")
+    ).agg(
+        F.lit(n).alias("n_docs"),
+        F.sum(F.expr("d * d")).alias("sum_d2"),
+        F.expr(f"1000000 - (6000000 * sum(d * d)) div {denom}").alias(
+            "rho_ppm"
+        ),
+    )
+
+
+N18_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS tok,
+         len(list_distinct(string_split(text, ' '))) * 1000
+           // len(string_split(text, ' ')) AS ttr_milli
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY tok, doc_id) AS rank_len,
+         row_number() OVER (ORDER BY ttr_milli, doc_id) AS rank_ttr
+  FROM scored
+), agg AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum((rank_len - rank_ttr) * (rank_len - rank_ttr))
+              AS BIGINT) AS sum_d2
+  FROM r
+)
+SELECT n_docs, sum_d2,
+       CAST(1000000 - (6000000 * sum_d2)
+            // (n_docs * (n_docs * n_docs - 1)) AS BIGINT) AS rho_ppm
+FROM agg
+"""
+
+QUERIES["n18_length_quality_spearman"] = n18_length_quality_spearman
+ORACLE["n18_length_quality_spearman"] = N18_SQL
+
+
+# ---------------------------------------------------------------------------
+# N19 — curriculum tier × source mix: within each n06-style quality
+# tier, each source's token share (ppm of the tier).  The schedule
+# audit behind tiered training: if tier 10 is 90% one source, a
+# "quality-ascending" curriculum is secretly a source curriculum.
+#
+# Plan: the n06 distributed_ntile tiering feeds ONE (tier, source)
+# aggregate; tier totals attach via a window PARTITIONED by tier over
+# the ≤ tiers×sources aggregate.  No partition-less window anywhere.
+# ---------------------------------------------------------------------------
+def n19_tier_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_ntile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("tok"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000"
+            " div size(split(text, ' '))"
+        ).alias("ttr_milli"),
+    ).persist()
+    tiered = distributed_ntile(
+        scored, "ttr_milli", 10, tie_cols=("doc_id",), out_col="tier"
+    )
+    cells = tiered.groupBy("tier", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("cell_tokens"),
+    )
+    return (
+        cells.select(
+            "tier",
+            "source",
+            "n_docs",
+            "cell_tokens",
+            F.expr(
+                "cell_tokens * 1000000 div "
+                "(sum(cell_tokens) OVER (PARTITION BY tier))"
+            ).alias("share_ppm"),
+        )
+        .orderBy("tier", "source")
+    )
+
+
+N19_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS tok,
+         len(list_distinct(string_split(text, ' '))) * 1000
+           // len(string_split(text, ' ')) AS ttr_milli
+  FROM documents
+), tiered AS (
+  SELECT source, tok,
+         ntile(10) OVER (ORDER BY ttr_milli, doc_id) AS tier
+  FROM scored
+), cells AS (
+  SELECT tier, source, count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS cell_tokens
+  FROM tiered GROUP BY tier, source
+)
+SELECT tier, source, n_docs, cell_tokens,
+       CAST(cell_tokens * 1000000
+            // sum(cell_tokens) OVER (PARTITION BY tier) AS BIGINT)
+         AS share_ppm
+FROM cells ORDER BY tier, source
+"""
+
+QUERIES["n19_tier_source_mix"] = n19_tier_source_mix
+ORACLE["n19_tier_source_mix"] = N19_SQL

@@ -38,10 +38,14 @@ _LEADING_R7 = [
     "n15_vocab_coverage",
     "n16_retention_cohorts",
     "n17_event_heavy_hitters",
+    "n18_length_quality_spearman",
+    "n19_tier_source_mix",
     # plan-changed this round: re-sample on the distributed forms
     "n05_sequence_packing",
     "n06_quality_deciles",
     "q09_ntile",
+    "t10_vocab_zipf",
+    "t12_mean_token_rank",
 ]
 
 

@@ -57,6 +57,8 @@ MAX_WIDE_EXCHANGES = {
     "n15_vocab_coverage": 2,        # observed 1 (r7): vocab agg feeds dist. cumsum
     "n16_retention_cohorts": 3,     # observed 2 (r7): weeks distinct + cohort agg
     "n17_event_heavy_hitters": 5,   # observed 4 (r7): per-user agg + type window
+    "n18_length_quality_spearman": 3,  # observed 2 (r7): two dist. rank passes
+    "n19_tier_source_mix": 4,       # observed 3 (r7): ntile + cell agg + tier window
 }
 
 # Queries whose plan MUST share the d03 candidate-pair subtree instead
@@ -93,6 +95,9 @@ NO_SINGLE_PARTITION_EXCHANGE = {
     # still one task; now bucket-parallel at any vocab size)
     "t10_vocab_zipf",
     "t12_mean_token_rank",
+    # n18's one SinglePartition is its bounded 1-row final aggregate
+    # (a scalar, like n14's total), so n18 is NOT here
+    "n19_tier_source_mix",
 }
 
 # BNLJ is legitimate in exactly two shapes: a non-equi join with no
