@@ -492,6 +492,17 @@ def distributed_order_stats(
                 f"distributed_order_stats: input already has a column "
                 f"named {r!r} — rename it"
             )
+    if value_col is not None:
+        from pyspark.sql.types import DecimalType
+
+        if isinstance(df.schema[value_col].dataType, DecimalType):
+            # same contract as distributed_cumsum: Decimal partial sums
+            # are not representable in the offset table's long/double
+            # schema — refuse with the fix instead of an opaque error
+            raise ValueError(
+                f"distributed_order_stats: value column {value_col!r} is "
+                f"DECIMAL — cast it to bigint or double first"
+            )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     uniq = _quantile_bounds(df, order_col, n)
     parts = df.withColumn(

@@ -2372,8 +2372,11 @@ def n18_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2, _ = distributed_order_stats(
         r1, "ttr_milli", tie_cols=("doc_id",), rank_col="rank_ttr"
     )
+    # n(n²−1) = 0 for a 0/1-doc corpus — rho is undefined there; clamp
+    # the denominator so the degenerate case yields 1e6 (Σd² = 0)
+    # instead of a division error, identically in both engines
     n = int(totals["count"])
-    denom = n * (n * n - 1)
+    denom = max(n * (n * n - 1), 1)
     return r2.select(
         (F.col("rank_len") - F.col("rank_ttr")).alias("d")
     ).agg(
@@ -2405,7 +2408,8 @@ WITH scored AS (
 )
 SELECT n_docs, sum_d2,
        CAST(1000000 - (6000000 * sum_d2)
-            // (n_docs * (n_docs * n_docs - 1)) AS BIGINT) AS rho_ppm
+            // greatest(n_docs * (n_docs * n_docs - 1), 1)
+            AS BIGINT) AS rho_ppm
 FROM agg
 """
 

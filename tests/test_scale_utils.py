@@ -657,3 +657,15 @@ def test_distributed_order_stats_matches_global_window(spark):
     )
     assert sorted(map(tuple, got2.select("n", "word", "rnk").collect())) \
         == sorted(map(tuple, want2.collect()))
+
+
+def test_distributed_order_stats_rejects_decimal_values(spark):
+    import pytest as _pytest
+
+    from aind_smartspim_data_transformation_spark.operators.scale_utils import (
+        distributed_order_stats,
+    )
+
+    df = spark.range(5).selectExpr("id AS k", "CAST(id AS DECIMAL(10,2)) AS v")
+    with _pytest.raises(ValueError, match="DECIMAL"):
+        distributed_order_stats(df, "k", value_col="v")
