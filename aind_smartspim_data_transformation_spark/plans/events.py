@@ -610,7 +610,23 @@ def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a ts-keyed join match both rows, forking the chain and
     # double-counting the session (same-second events are routine in
     # real streams even though the fixtures happen to lack them).
-    _ev(spark, sf_dir).createOrReplaceTempView("_e14_events")
+    ev = _ev(spark, sf_dir)
+    ev.createOrReplaceTempView("_e14_events")
+    # Size the rCTE's runaway guard to the input (found by the r8
+    # overflow/envelope sweep: the default spark.sql.cteRecursionRowLimit
+    # of 10⁶ total recursive rows fails a 10⁶-event corpus even though
+    # THIS recursion is structurally linear — total recursive rows
+    # = total events, each event joins exactly one chain prefix).  2n+1k
+    # keeps the guard meaningful: a forked chain (the bug the guard
+    # exists for) would still trip it.  The 100-LEVEL default stays: a
+    # single session longer than 100 events fails loudly, and e04 (one
+    # window scan) / the streaming session_window are the scale paths —
+    # this query is the declarative-parity formulation.
+    n_events = ev.count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(max(1_000_000, 2 * n_events + 1_000)),
+    )
     return spark.sql(
         """
         WITH RECURSIVE base AS (

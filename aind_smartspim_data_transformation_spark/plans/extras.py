@@ -1168,7 +1168,7 @@ def n05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum - tok) div {cap}").alias("shard_first"),
         F.expr(f"(cum - 1) div {cap}").alias("shard_last"),
     )
-    return (
+    out = (
         placed.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1193,6 +1193,12 @@ def n05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    # Cache lifetime: the persist exists for the construction's eager
+    # multi-scan passes (already run by now); release it so a long
+    # session sweeping the registry doesn't accumulate caches.  The
+    # caller's final collect recomputes one narrow projected scan.
+    docs.unpersist()
+    return out
 
 
 N05_SQL = f"""
@@ -1273,7 +1279,7 @@ def n06_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiered = distributed_ntile(
         scored, "ttr_milli", 10, tie_cols=("doc_id",), out_col="tier"
     )
-    return (
+    out = (
         tiered.groupBy("tier")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1286,6 +1292,9 @@ def n06_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+    # Cache scope: the construction's eager passes are done; see n05.
+    scored.unpersist()
+    return out
 
 
 N06_SQL = """
@@ -2075,7 +2084,7 @@ def n14_token_volume_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok").alias("tier_tokens"),
     )
     total = scored.agg(F.sum("tok").alias("total_tokens"))
-    return (
+    out = (
         per_tier.crossJoin(F.broadcast(total))
         .select(
             "tier",
@@ -2089,6 +2098,9 @@ def n14_token_volume_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+    # Cache scope: the construction's eager passes are done; see n05.
+    scored.unpersist()
+    return out
 
 
 N14_SQL = """
@@ -2148,7 +2160,7 @@ def n15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = vocab.groupBy("lang").agg(
         F.count("*").alias("vocab_n"), F.sum("cnt").alias("total_tok")
     )
-    return (
+    out = (
         cum.join(F.broadcast(totals), "lang")
         .groupBy("lang")
         .agg(
@@ -2163,6 +2175,9 @@ def n15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # Cache scope: the construction's eager passes are done; see n05.
+    vocab.unpersist()
+    return out
 
 
 N15_SQL = """
@@ -2231,7 +2246,7 @@ def n16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
         .agg(F.count("*").alias("active_n"))
     )
-    return (
+    out = (
         active.join(F.broadcast(sizes), "cohort")
         .select(
             "cohort",
@@ -2242,6 +2257,15 @@ def n16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
+    # Cache lifetime: `weeks` feeds three consumers in ONE job (no
+    # exchange reuse — per-branch column pruning differentiates the
+    # subtrees), so unlike the eager distributed-construction queries
+    # it cannot be released before the final action.  Materialize the
+    # cohort matrix (≤ cohorts×weeks rows — tiny) eagerly, then drop
+    # the cache so a registry sweep never accumulates it.
+    out = out.localCheckpoint(eager=True)
+    weeks.unpersist()
+    return out
 
 
 N16_SQL = """
@@ -2348,9 +2372,19 @@ ORACLE["n17_event_heavy_hitters"] = N17_SQL
 # distributed_order_stats (no partition-less window); the final 1-row
 # aggregate is a bounded scalar.  Integer div truncates identically in
 # both engines (Spark `div`, DuckDB `//` — see
-# test_n16_week_index_parity_pre_epoch).  int64 envelope: 6e6·n³ needs
-# n ≲ 10⁴ (documents at driver SFs: 500/5000); shard the Σd² by rank
-# range past that.
+# test_n16_week_index_parity_pre_epoch; all operands non-negative here
+# so the direction is moot anyway).
+#
+# Overflow envelope (the r7 weak item, fixed r8): 6e6·Σd² blows past
+# int64 at n ≈ 16.5k docs, so every Σd² term is computed in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and only the FINAL bounded
+# columns are cast back to BIGINT (|rho_ppm| ≤ 2e6 always; n_docs is a
+# count).  Σd² ≤ n(n²−1)/3, so 6e6·Σd² < 10³⁸ holds to n ≈ 3.7×10¹⁰
+# documents — comfortably past a 100 TB corpus.  sum_d2 itself is NOT
+# emitted: as an output column it would re-impose an int64 ceiling at
+# ~3×10⁶ docs for a number the audit decision never reads.
+# tests/test_scale_utils.py::test_n18_spearman_50k_probe pins the 50k
+# envelope in both engines (anti-correlated worst case included).
 # ---------------------------------------------------------------------------
 def n18_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aind_smartspim_data_transformation_spark.operators.scale_utils import (
@@ -2374,18 +2408,23 @@ def n18_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # n(n²−1) = 0 for a 0/1-doc corpus — rho is undefined there; clamp
     # the denominator so the degenerate case yields 1e6 (Σd² = 0)
-    # instead of a division error, identically in both engines
+    # instead of a division error, identically in both engines.  n is a
+    # Python int (arbitrary precision), so the denominator literal is
+    # exact at any corpus size; it enters the plan as DECIMAL(38,0).
     n = int(totals["count"])
     denom = max(n * (n * n - 1), 1)
-    return r2.select(
+    out = r2.select(
         (F.col("rank_len") - F.col("rank_ttr")).alias("d")
     ).agg(
-        F.lit(n).alias("n_docs"),
-        F.sum(F.expr("d * d")).alias("sum_d2"),
-        F.expr(f"1000000 - (6000000 * sum(d * d)) div {denom}").alias(
-            "rho_ppm"
-        ),
+        F.lit(n).cast("long").alias("n_docs"),
+        F.expr(
+            "1000000 - (CAST(6000000 AS DECIMAL(38,0))"
+            " * sum(CAST(d AS DECIMAL(20,0)) * d))"
+            f" div CAST('{denom}' AS DECIMAL(38,0))"
+        ).alias("rho_ppm"),
     )
+    scored.unpersist()
+    return out
 
 
 N18_SQL = """
@@ -2402,13 +2441,14 @@ WITH scored AS (
   FROM scored
 ), agg AS (
   SELECT count(*) AS n_docs,
-         CAST(sum((rank_len - rank_ttr) * (rank_len - rank_ttr))
-              AS BIGINT) AS sum_d2
+         sum(CAST(rank_len - rank_ttr AS HUGEINT)
+             * (rank_len - rank_ttr)) AS sum_d2
   FROM r
 )
-SELECT n_docs, sum_d2,
-       CAST(1000000 - (6000000 * sum_d2)
-            // greatest(n_docs * (n_docs * n_docs - 1), 1)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(1000000 - (CAST(6000000 AS HUGEINT) * sum_d2)
+            // greatest(CAST(n_docs AS HUGEINT) * n_docs * n_docs
+                        - n_docs, 1)
             AS BIGINT) AS rho_ppm
 FROM agg
 """
@@ -2449,7 +2489,7 @@ def n19_tier_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("tok").alias("cell_tokens"),
     )
-    return (
+    out = (
         cells.select(
             "tier",
             "source",
@@ -2462,6 +2502,9 @@ def n19_tier_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier", "source")
     )
+    # Cache scope: the construction's eager passes are done; see n05.
+    scored.unpersist()
+    return out
 
 
 N19_SQL = """

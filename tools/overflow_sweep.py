@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Registry-wide integer-envelope sweep at a ≥50k-row scale-up.
+
+VERDICT r7 ask #2: n18's int64 overflow was found by inspection; this
+makes the hunt systematic.  The ppm/milli integer-arithmetic family
+(n02, n03, n10, n11, t09, s06, …) all multiply by 10⁶-scale literals —
+each either has a safe envelope at a 10× scale-up of the LLM-pipeline
+tables or fails loudly here under Spark's ANSI mode.
+
+What it does:
+
+- builds a synthetic scale dir: every TPC-H-ish table symlinked from
+  the base SF (default sf0.1) and documents / events / embeddings
+  replicated ``--factor`` times (default 10× → 50k docs / 1M events /
+  20k vectors) with re-keyed ids (doc_id·f+rep etc. — uniqueness
+  preserved; text/vec payloads repeat, which is exactly the heavy-tie
+  regime integer rank/ppm arithmetic must survive);
+- executes EVERY registered query against that dir (collect, bounded
+  by the queries' own aggregate-first shapes) and classifies failures:
+  ``OVERFLOW`` (ANSI arithmetic overflow / out-of-range cast) vs other
+  errors;
+- prints one line per query and a final verdict; exit 1 on any
+  OVERFLOW or ERROR.
+
+Results are recorded in SCALE.md §6h.  Run:
+
+    python tools/overflow_sweep.py [--factor 10] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from aind_smartspim_data_transformation_spark import registry  # noqa: E402
+from aind_smartspim_data_transformation_spark.session import (  # noqa: E402
+    build_local_session,
+)
+from aind_smartspim_data_transformation_spark.tables import TABLE_NAMES  # noqa: E402
+
+_SCALED = ("documents", "events", "embeddings")
+
+_OVERFLOW_MARKERS = (
+    "ARITHMETIC_OVERFLOW",
+    "CAST_OVERFLOW",
+    "NUMERIC_VALUE_OUT_OF_RANGE",
+    "overflow",
+    "Out of Range",
+)
+
+
+def build_scale_dir(spark, base_sf: str, out_dir: str, factor: int) -> None:
+    """Symlink the star schema; replicate the LLM-pipeline tables."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLE_NAMES:
+        if t in _SCALED:
+            continue
+        dst = Path(out_dir) / f"{t}.parquet"
+        if not dst.exists():
+            dst.symlink_to(f"{base_sf}/{t}.parquet")
+
+    rep = spark.range(factor).withColumnRenamed("id", "rep")
+
+    docs = spark.read.parquet(f"{base_sf}/documents.parquet")
+    docs.crossJoin(rep).select(
+        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    ev = spark.read.parquet(f"{base_sf}/events.parquet")
+    # event_id re-keyed for uniqueness; ts jittered by the replica index
+    # (seconds) so exact-duplicate timestamps don't collapse DISTINCT
+    # shapes below the scale this sweep is meant to stress.
+    ev.crossJoin(rep).select(
+        (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, rep)").alias("ts"),
+        (F.col("user_id") * factor + F.col("rep")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    emb = spark.read.parquet(f"{base_sf}/embeddings.parquet")
+    emb.crossJoin(rep).select(
+        (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+        "embedding",
+        "label",
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--base", default=os.environ.get("SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = build_local_session(app_name="overflow-sweep", driver_memory="32g")
+    queries = registry.all_queries()
+    names = args.names or list(queries)
+
+    tmp = tempfile.mkdtemp(prefix="overflow_sweep_")
+    print(f"# scale dir {tmp}: {args.base} with {_SCALED} x{args.factor}")
+    build_scale_dir(spark, args.base, tmp, args.factor)
+
+    overflowed, errored = [], []
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            n = len(queries[name](spark, tmp).collect())
+            print(f"{name}: OK rows={n} ({time.perf_counter() - t0:.1f}s)")
+        except Exception as exc:  # keep sweeping; classify
+            msg = f"{type(exc).__name__}: {exc}"
+            if any(m.lower() in msg.lower() for m in _OVERFLOW_MARKERS):
+                overflowed.append(name)
+                print(f"{name}: OVERFLOW {msg.splitlines()[0][:200]}")
+            else:
+                errored.append(name)
+                print(f"{name}: ERROR {msg.splitlines()[0][:200]}")
+    print(
+        f"\n{len(names)} swept; "
+        + (
+            f"OVERFLOW: {' '.join(overflowed)}; ERROR: {' '.join(errored)}"
+            if (overflowed or errored)
+            else "ALL CLEAN"
+        )
+    )
+    return 1 if (overflowed or errored) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
