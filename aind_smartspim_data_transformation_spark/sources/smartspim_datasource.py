@@ -694,6 +694,9 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
             if "failpoint_before_level" in options
             else None
         )
+        # driver-side promotion concurrency (0 = auto: min(16, stacks));
+        # 1 forces the sequential loop (the ABAB measurement baseline)
+        self.commit_parallelism = int(options.get("commit_parallelism", "0"))
         from aind_smartspim_data_transformation_spark.imaging.pyramid import (
             validate_pyramid_geometry,
         )
@@ -878,8 +881,7 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
                     )
                 per_stack[key] = (m.staging, info)
 
-        try:
-            for (channel, stack), (staging, info) in sorted(per_stack.items()):
+        def _commit_stack(channel, stack, staging, info):
                 _, stage_base = _fs_for(staging)
                 group = f"{self.root}/{channel}/{stack}.ome.zarr"
                 _, group_base = _fs_for(group)
@@ -899,7 +901,7 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
                     with fs.open_input_stream(attrs_path) as f:
                         attrs = _json.loads(f.read().decode())
                     if attrs.get("smartspim_stream_last_batch") == batchId:
-                        continue  # epoch replay: already committed
+                        return  # epoch replay: already committed
                     with fs.open_input_stream(
                         f"{group_base}/0/.zarray"
                     ) as f:
@@ -959,6 +961,50 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
                         codec_meta,
                         extra_attrs={"smartspim_stream_last_batch": batchId},
                     )
+
+        # Promote stacks CONCURRENTLY where latency dominates: each
+        # stack's commit is an independent group (own fence, own
+        # metadata), but a wide microbatch (hundreds of stacks ×
+        # thousands of chunks) used to serialize through this driver
+        # loop — on an object store, where a "move" is a copy+delete
+        # round-trip, the epoch's commit grew linearly with stack
+        # count.  Auto policy is MEASURED (tools/stream_commit_probe.py,
+        # SCALE.md §6h): on a LOCAL filesystem moves are ~60 µs renames
+        # and thread contention LOSES (0.26× at 16 threads — keep the
+        # sequential loop); under object-store-like per-op latency the
+        # pool's latency hiding wins by ~#workers.  Crash semantics are
+        # unchanged either way (a failure mid-pool leaves some stacks
+        # committed and some fenced/staged — exactly the states the
+        # sequential loop could leave, all covered by the roll-forward
+        # + epoch-marker replay paths).
+        try:
+            stacks_sorted = sorted(per_stack.items())
+            workers = int(getattr(self, "commit_parallelism", 0))
+            if workers == 0:
+                workers = (
+                    1
+                    if isinstance(fs, pafs.LocalFileSystem)
+                    else min(16, max(1, len(stacks_sorted)))
+                )
+            if workers <= 1 or len(stacks_sorted) <= 1:
+                for (channel, stack), (staging, info) in stacks_sorted:
+                    _commit_stack(channel, stack, staging, info)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    futs = [
+                        pool.submit(_commit_stack, c, s, staging, info)
+                        for (c, s), (staging, info) in stacks_sorted
+                    ]
+                    # surface the FIRST failure after all settle (the
+                    # pool context manager joins every thread, so no
+                    # promotion is still in flight when we raise)
+                    errs = [
+                        f.exception() for f in futs if f.exception() is not None
+                    ]
+                    if errs:
+                        raise errs[0]
         finally:
             for staging in stagings:
                 _, sb = _fs_for(staging)
