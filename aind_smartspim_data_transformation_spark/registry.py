@@ -23,29 +23,28 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # leading list is (a) all keys with no driver row yet, oldest first,
 # then (b) this round's brand-new keys; r-green families trail.
 #
-# Round-6 close: for the FIRST time the backlog of invariant (a) is
-# EMPTY — the r6 driver window sampled all 23 r6-leading keys green,
-# and the cumulative driver-row union covers every previously-
-# registered query with no red latest row (VERDICT r6).  The r7
-# leading list is therefore exactly round-7's new queries.  n05/n06
-# and q09 changed PLAN this round (distributed ntile/cumsum — results
-# identical by construction, strict-verified at both SFs), so they
-# re-lead right after the new keys for a fresh external row on the new
-# plans.
-_LEADING_R7 = [
-    # invariant (b): round-7's new queries
-    "n14_token_volume_deciles",
-    "n15_vocab_coverage",
-    "n16_retention_cohorts",
-    "n17_event_heavy_hitters",
+# Round-9 rotation: no new queries registered in r8 (invariant (b)
+# empty), so the leading list is the PLAN-CHANGED set that still needs
+# an external row on its current plan: e14 (input-sized rCTE guard in
+# r8, session-scoped in r9 — never externally re-sampled since),
+# n18 (DECIMAL(38,0) Spearman plan — its r8 green row came from the
+# rotated r7 window, not a fresh sample — and its r8 unpersist was
+# also reverted in r9), and the six other unpersist-reverted queries
+# (n05/n06/n14/n15/n16/n19
+# restored to their r7 cache-sharing plans — plan-fingerprint-gated,
+# but the invariant wants a driver row per plan).  Trailing: r8-green
+# families re-sample as the window allows.
+_LEADING_R9 = [
+    # plan changed r8→r9, no external row on the current plan yet
+    "e14_sessions_recursive",
     "n18_length_quality_spearman",
-    "n19_tier_source_mix",
-    # plan-changed this round: re-sample on the distributed forms
+    # r9 restored (unpersist revert) — re-sample on the restored plans
     "n05_sequence_packing",
+    "n15_vocab_coverage",
     "n06_quality_deciles",
-    "q09_ntile",
-    "t10_vocab_zipf",
-    "t12_mean_token_rank",
+    "n14_token_volume_deciles",
+    "n16_retention_cohorts",
+    "n19_tier_source_mix",
 ]
 
 
@@ -55,7 +54,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R7 if k in d}
+    lead = {k: d[k] for k in _LEADING_R9 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 
@@ -77,7 +76,7 @@ def _modules():
         "aind_smartspim_data_transformation_spark.plans.imaging_queries",
         "aind_smartspim_data_transformation_spark.operators.dedup",
         # Module order no longer defines the sample window (the explicit
-        # _LEADING_R7 rotation above does); extras still merges last so
+        # _LEADING_R9 rotation above does); extras still merges last so
         # its re-registrations of relational helpers win by key.
         "aind_smartspim_data_transformation_spark.plans.extras",
     ]

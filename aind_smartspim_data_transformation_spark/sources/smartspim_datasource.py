@@ -997,14 +997,22 @@ class SmartspimStreamWriter(DataSourceStreamWriter):
                         pool.submit(_commit_stack, c, s, staging, info)
                         for (c, s), (staging, info) in stacks_sorted
                     ]
-                    # surface the FIRST failure after all settle (the
+                    # surface EVERY failure after all settle (the
                     # pool context manager joins every thread, so no
-                    # promotion is still in flight when we raise)
+                    # promotion is still in flight when we raise); a
+                    # single-error group unwraps to the bare exception
+                    # so the sequential and pooled paths raise alike
                     errs = [
                         f.exception() for f in futs if f.exception() is not None
                     ]
-                    if errs:
+                    if len(errs) == 1:
                         raise errs[0]
+                    if errs:
+                        raise ExceptionGroup(
+                            f"{len(errs)} of {len(futs)} stack commit "
+                            f"promotions failed",
+                            errs,
+                        )
         finally:
             for staging in stagings:
                 _, sb = _fs_for(staging)

@@ -130,6 +130,8 @@ def scan_stack_files(spark: SparkSession, root: str) -> DataFrame:
             "path",
             channel.alias("channel"),
             stack.alias("stack"),
+            "length",
+            F.col("modificationTime").cast("long").alias("mtime"),
             "content",
         )
     )

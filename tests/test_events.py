@@ -128,3 +128,21 @@ def test_recursive_sessions_duplicate_timestamps(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
     )
     assert sorted(map(tuple, con.execute(events.ORACLE["e14_sessions_recursive"]).fetchall())) == sorted(got)
+
+
+def test_recursive_sessions_guard_scoped_to_cloned_session(spark, sf_dir):
+    """e14 sizes spark.sql.cteRecursionRowLimit to its input, but the
+    loosened guard must live in e14's CLONED session only: the
+    caller's session conf is untouched before AND after the collect,
+    and no `_e14_events` temp view leaks into the caller's namespace
+    (r8 judge finding: a plain conf.set persisted for the session and
+    every later rCTE inherited the loosened guard)."""
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key)
+    df = events.e14_sessions_recursive(spark, sf_dir)
+    assert spark.conf.get(key) == before  # unchanged at build time
+    assert df.count() > 0  # executes under the scoped (loosened) guard
+    assert spark.conf.get(key) == before  # unchanged after execution
+    assert not any(
+        t.name == "_e14_events" for t in spark.catalog.listTables()
+    )

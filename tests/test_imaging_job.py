@@ -887,3 +887,113 @@ def test_fused_progress_marker_config_mismatch_refused(spark, tmp_path):
     assert not pdir.exists()
     g = f"{out}/{ch}/{stack}.ome.zarr"
     assert np.array_equal(read_zarr_level(g, 0), vol)
+
+
+def test_fused_resume_after_input_edit_invalidates_markers(spark, tmp_path):
+    """ADVICE r8: after a quarantine-mode crash, the likely operator
+    move is replacing the corrupt slice IN PLACE (same filename, same
+    shape) and re-running.  Geometry fingerprints alone would match
+    and the resume would silently keep the marker-complete band's
+    zeroed planes and re-report the stale dead letter.  The content
+    digest folded into plan_fp (round 9) must instead invalidate every
+    marker: the resume redoes everything and produces the store a
+    fresh run on the FIXED input would — no zero plane, no stale dead
+    letters."""
+    from aind_smartspim_data_transformation_spark.imaging.fused import (
+        _PROGRESS_DIRNAME,
+        run_fused_ingest,
+    )
+    from aind_smartspim_data_transformation_spark.imaging.zarr_sink import (
+        read_zarr_level,
+    )
+    from aind_smartspim_data_transformation_spark.sources.png_codec import (
+        encode_png_gray,
+    )
+
+    ch, col, stack = "Ex_445_Em_469", "432380", "432380_504340"
+    root = tmp_path / "ds"
+    d = root / "SmartSPIM" / ch / col / stack
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(23)
+    vol = rng.integers(0, 65535, size=(10, 12, 16)).astype(np.uint16)
+    for z in range(10):
+        (d / f"{z:06d}.png").write_bytes(encode_png_gray(vol[z]))
+    # corrupt z=5 (slab 1) — quarantine will zero that plane
+    (d / "000005.png").write_bytes(b"not a png at all")
+
+    args = dict(
+        voxel_size_zyx=[2.0, 1.8, 1.8],
+        scale_factor_zyx=[2, 2, 2],
+        chunk_zyx=[4, 4, 4],
+        n_levels=1,
+        on_error="quarantine",
+    )
+    out = tmp_path / "out"
+    # crash AFTER slab 1 (the corrupt band) completes: fail slab 0
+    fail_key = (ch, stack, 0, 0)
+    with pytest.raises(Exception, match="failpoint_fail_key"):
+        run_fused_ingest(
+            spark, str(root), str(out), **args, failpoint_fail_key=fail_key
+        )
+    pdir = out / _PROGRESS_DIRNAME
+    dead_markers = [
+        m
+        for p in pdir.glob("*.json")
+        for m in [json.loads(p.read_text())]
+        if m["dead"]
+    ]
+    assert dead_markers, "corrupt band should have completed with a dead letter"
+
+    # operator fixes the corrupt slice in place and re-runs
+    (d / "000005.png").write_bytes(encode_png_gray(vol[5]))
+    _, metrics = run_fused_ingest(spark, str(root), str(out), **args)
+
+    assert metrics["dead_letters"] == []  # no stale triage rows
+    assert not pdir.exists()
+    g = f"{out}/{ch}/{stack}.ome.zarr"
+    # the fixed plane is REAL data, not the quarantined zeros
+    assert np.array_equal(read_zarr_level(g, 0), vol)
+
+
+def test_auto_routing_boundary_on_task_budget(spark, tmp_path, monkeypatch):
+    """VERDICT r8 ask #5 (auto-routing half): 'auto' must take the
+    fused path when the probed per-task band buffer fits
+    FUSED_MAX_TASK_BYTES EXACTLY, and fall back to the chunk-table
+    pipeline one byte past it — with byte-identical stores either
+    side of the boundary (the budget changes the ROUTE, never the
+    output).  tools/fused_memory_probe.py measures the same boundary
+    at a bigger geometry (wall + peak tree RSS, SCALE.md §6g)."""
+    from aind_smartspim_data_transformation_spark.imaging import fused
+
+    root = tmp_path / "ds"
+    make_dataset(root, height=24, width=28)
+    geo = fused.probe_stack_geometry(spark, f"{root}/SmartSPIM")
+    task_bytes = fused.fused_task_bytes(
+        geo, [64, 64, 64], spark.sparkContext.defaultParallelism
+    )
+
+    def run(tag: str, cap: int):
+        monkeypatch.setattr(fused, "FUSED_MAX_TASK_BYTES", cap)
+        out = tmp_path / f"out_{tag}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[64, 64, 64],
+                downsample_levels=2,
+                ingest="auto",
+            ),
+        )
+        assert resp["status_code"] == 200
+        return {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }, resp
+
+    at, at_resp = run("at", task_bytes)          # fits exactly → fused
+    over, over_resp = run("over", task_bytes - 1)  # one byte short → fallback
+    assert "(fused)" in at_resp["message"]
+    assert "(fused)" not in over_resp["message"]
+    assert at == over  # the route never changes the bytes

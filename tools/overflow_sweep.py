@@ -117,6 +117,11 @@ def main() -> int:
 
     overflowed, errored = [], []
     for name in names:
+        # Cache hygiene lives HERE, not in the plans: queries persist
+        # inputs their returned plan still references, so releasing
+        # between queries keeps a long sweep bounded without breaking
+        # plan shapes (r8 n05/n15 regression).
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             n = len(queries[name](spark, tmp).collect())

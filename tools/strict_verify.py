@@ -99,6 +99,9 @@ def main() -> int:
             print(f"{name}: SKIP (rows-only, no oracle)")
             continue
         try:
+            # Cache hygiene at the harness level (not in the plans —
+            # the returned plans keep their InMemoryRelations).
+            spark.catalog.clearCache()
             df = queries[name](spark, sf_dir)
             s_cols, s_rows = df.columns, [tuple(r) for r in df.collect()]
             bad_types = unsafe_oracle_types(con, oracles[name])
