@@ -255,11 +255,128 @@ ORDER BY lvl
 """
 
 
+# i05 — the fused ingest's restartability BOOKKEEPING as a closed
+# form the driver can hash-check (VERDICT r8 ask #8).  The kill/resume
+# machinery itself is pytest-verified (tests/test_imaging_job.py); this
+# query replays its arithmetic — the band plan (imaging/fused.py::
+# _band_plan: slab-count-scaled band target, ceil splits, fold pairing)
+# , the (stack, slab, fold) marker-key enumeration and the
+# done/remaining partition + saved-metrics merge of run_fused_ingest —
+# over a deterministic synthetic geometry with a deterministic "these
+# markers survived the crash" rule, so a regression in the shared
+# integer arithmetic shows up as a driver hash mismatch.  Parity with
+# the PRODUCTION _band_plan/key enumeration is asserted in
+# tests/test_imaging_queries.py.
+I05_PARALLELISM = 32  # fixed literal — both engines must agree
+I05_STACKS = 6
+
+
+def i05_resume_bookkeeping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P = I05_PARALLELISM
+    geo = spark.range(I05_STACKS).select(
+        F.col("id").alias("stack_id"),
+        (7 + 3 * F.col("id")).alias("z"),
+        (16 + 5 * F.col("id")).alias("y"),
+    )
+    s = geo.withColumn("n_slabs", F.expr("(z + 3) div 4")).withColumn(
+        "n_cy", F.expr("(y + 3) div 4")
+    )
+    t = s.agg(F.sum("n_slabs").alias("tot"))
+    p5 = (
+        s.crossJoin(F.broadcast(t))  # 1-row scalar, never a shuffle
+        .withColumn(
+            "want",
+            F.expr(f"greatest(CAST(1 AS BIGINT), (4*{P}) div tot)"),
+        )
+        .withColumn("nb0", F.expr("least(want, n_cy)"))
+        .withColumn("per_band", F.expr("(n_cy + nb0 - 1) div nb0"))
+        .withColumn("n_bands", F.expr("(n_cy + per_band - 1) div per_band"))
+        .withColumn("n_folds", F.expr("(n_bands + 1) div 2"))
+    )
+    k = (
+        p5.select(
+            "stack_id",
+            "n_slabs",
+            "n_bands",
+            "per_band",
+            "n_folds",
+            F.explode(
+                F.expr("sequence(CAST(0 AS BIGINT), n_slabs - 1)")
+            ).alias("slab"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.expr("sequence(CAST(0 AS BIGINT), n_folds - 1)")
+            ).alias("fold"),
+        )
+        .withColumn("done", F.expr("(slab*7 + fold*3) % 5 = 0"))
+    )
+    return (
+        k.groupBy("stack_id", "n_slabs", "n_bands", "per_band", "n_folds")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.expr("CASE WHEN done THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_done"),
+            F.sum(F.expr("CASE WHEN NOT done THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_remaining"),
+            F.sum(
+                F.expr("CASE WHEN done THEN (slab+1)*(fold+2) ELSE 0 END")
+            )
+            .cast("long")
+            .alias("done_chunks"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN done THEN 1000 + slab*17 + fold*13 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("done_bytes"),
+        )
+        .orderBy("stack_id")
+    )
+
+
+I05_SQL = f"""
+WITH geo AS (SELECT range AS stack_id, 7 + 3*range AS z, 16 + 5*range AS y
+             FROM range({I05_STACKS})),
+s AS (SELECT *, (z + 3) // 4 AS n_slabs, (y + 3) // 4 AS n_cy FROM geo),
+t AS (SELECT sum(n_slabs) AS tot FROM s),
+p AS (SELECT s.*, CAST(greatest(1, (4*{I05_PARALLELISM}) // tot) AS BIGINT)
+              AS want FROM s, t),
+p5 AS (
+  SELECT *, (n_bands + 1) // 2 AS n_folds FROM (
+    SELECT *, (n_cy + per_band - 1) // per_band AS n_bands FROM (
+      SELECT *, (n_cy + nb0 - 1) // nb0 AS per_band FROM (
+        SELECT *, least(want, n_cy) AS nb0 FROM p)))),
+k AS (
+  SELECT p5.stack_id, p5.n_slabs, p5.n_bands, p5.per_band, p5.n_folds,
+         sl.slab, f.fold,
+         ((sl.slab*7 + f.fold*3) % 5 = 0) AS done
+  FROM p5,
+       LATERAL (SELECT unnest(range(p5.n_slabs)) AS slab) sl,
+       LATERAL (SELECT unnest(range(p5.n_folds)) AS fold) f)
+SELECT stack_id, n_slabs, n_bands, per_band, n_folds,
+       count(*) AS n_keys,
+       CAST(sum(CASE WHEN done THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+       CAST(sum(CASE WHEN NOT done THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_remaining,
+       CAST(sum(CASE WHEN done THEN (slab+1)*(fold+2) ELSE 0 END) AS BIGINT)
+         AS done_chunks,
+       CAST(sum(CASE WHEN done THEN 1000 + slab*17 + fold*13 ELSE 0 END)
+         AS BIGINT) AS done_bytes
+FROM k GROUP BY ALL ORDER BY stack_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "i01_windowed_mean_grid": i01_windowed_mean_grid,
     "i02_wavelength_to_hex": i02_wavelength_to_hex,
     "i03_pyramid_level": i03_pyramid_level,
     "i04_scale_ladder": i04_scale_ladder,
+    "i05_resume_bookkeeping": i05_resume_bookkeeping,
 }
 
 ORACLE: dict[str, str] = {
@@ -267,4 +384,5 @@ ORACLE: dict[str, str] = {
     "i02_wavelength_to_hex": I02_SQL,
     "i03_pyramid_level": I03_SQL,
     "i04_scale_ladder": I04_SQL,
+    "i05_resume_bookkeeping": I05_SQL,
 }

@@ -35,6 +35,9 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # but the invariant wants a driver row per plan).  Trailing: r8-green
 # families re-sample as the window allows.
 _LEADING_R9 = [
+    # brand-new this round (invariant (b)): the fused restartability
+    # bookkeeping closed form — no driver row exists at all yet
+    "i05_resume_bookkeeping",
     # plan changed r8→r9, no external row on the current plan yet
     "e14_sessions_recursive",
     "n18_length_quality_spearman",

@@ -134,3 +134,47 @@ def test_i04_matches_compute_scale_ladder(spark, sf_dir):
             1.0, 1.0, r["scale_z"], r["scale_y"], r["scale_x"],
         ]
         assert tuple(chunks[lvl]) == (1, 1, r["cz"], r["cy"], r["cx"])
+
+
+def test_i05_matches_production_band_plan(spark, sf_dir):
+    """i05's declarative band-plan/marker-key arithmetic must be the
+    PRODUCTION bookkeeping, not merely self-consistent: replay the
+    same synthetic geometry through imaging/fused.py's _band_plan and
+    run_fused_ingest's (stack, slab, fold) key enumeration + marker
+    merge, and require row-identical numbers."""
+    from aind_smartspim_data_transformation_spark.imaging.fused import (
+        _band_plan,
+    )
+
+    P, cz, cy = iq.I05_PARALLELISM, 4, 4
+    geo = [
+        {
+            "channel": "C",
+            "stack": f"s{i}",
+            "z": 7 + 3 * i,
+            "y": 16 + 5 * i,
+            "x": 32,
+            "dtype": "uint16",
+        }
+        for i in range(iq.I05_STACKS)
+    ]
+    plan = _band_plan(geo, [cz, cy, 4], P)
+    got = {r["stack_id"]: r for r in iq.i05_resume_bookkeeping(spark, sf_dir).collect()}
+    assert len(got) == iq.I05_STACKS
+    for i, g in enumerate(geo):
+        nb, per_band = plan[(g["channel"], g["stack"])]
+        n_slabs = -(-g["z"] // cz)
+        n_folds = (nb + 1) // 2  # run_fused_ingest's fold pairing
+        # the all_keys enumeration + the deterministic "survived" rule
+        keys = [(slab, fold) for slab in range(n_slabs) for fold in range(n_folds)]
+        done = [(s, f) for (s, f) in keys if (s * 7 + f * 3) % 5 == 0]
+        r = got[i]
+        assert r["n_slabs"] == n_slabs
+        assert r["n_bands"] == nb
+        assert r["per_band"] == per_band
+        assert r["n_folds"] == n_folds
+        assert r["n_keys"] == len(keys)
+        assert r["n_done"] == len(done)
+        assert r["n_remaining"] == len(keys) - len(done)
+        assert r["done_chunks"] == sum((s + 1) * (f + 2) for s, f in done)
+        assert r["done_bytes"] == sum(1000 + s * 17 + f * 13 for s, f in done)

@@ -763,3 +763,46 @@ def test_n18_rho_expression_full_reversal_worst_case(spark):
     sum_d2 = sum((2 * i - (n + 1)) ** 2 for i in range(1, n + 1))
     assert sum_d2 == n * (n * n - 1) // 3
     assert got["rho_ppm"] == 1_000_000 - (6_000_000 * sum_d2) // denom == -1_000_000
+
+
+def test_overflow_smoke_at_10x(spark, tmp_path):
+    """VERDICT r8 ask #7: a fast subset of tools/overflow_sweep.py in
+    the gate, so the integer-envelope regression class (n18's Spearman
+    int64 overflow past ~16.5k docs; e14's rCTE guard at 1e6 events)
+    is caught by pytest, not only by a manual tool run.  Replicates
+    documents 10x from sf0.1 (50k docs — past every threshold the r8
+    sweep found) and runs the riskiest ppm/milli/DECIMAL queries under
+    explicit ANSI mode; any overflow raises."""
+    from pathlib import Path
+
+    from tools.overflow_sweep import build_scale_dir
+
+    from aind_smartspim_data_transformation_spark import registry
+
+    sf_base = "/root/testdata/sf0.1"
+    if not (Path(sf_base) / "documents.parquet").exists():
+        pytest.skip("sf0.1 testdata not present")
+    build_scale_dir(spark, sf_base, str(tmp_path / "x10"), 10)
+    queries = registry.all_queries()
+    # the integer-arithmetic families the r8 sweep flagged as the
+    # envelope class: DECIMAL Spearman, pairwise-ppm TVD, gini,
+    # packed-shard cumsum fill ratios, token-budget ppm
+    smoke = [
+        "n18_length_quality_spearman",
+        "n02_source_pair_tvd",
+        "n03_source_gini",
+        "n05_sequence_packing",
+        "t09_readability",
+    ]
+    prior = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name in smoke:
+            assert name in queries, f"smoke query {name} not registered"
+            spark.catalog.clearCache()
+            rows = queries[name](spark, str(tmp_path / "x10")).collect()
+            assert rows, f"{name} returned no rows at 10x"
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prior)
+        spark.catalog.clearCache()

@@ -641,6 +641,8 @@ def main() -> None:
         "",
     ]
     for name, note in ANNOTATIONS.items():
+        # harness-level cache hygiene (the plans keep their persists)
+        spark.catalog.clearCache()
         df = queries[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -698,6 +700,7 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     for name in sorted(MAX_WIDE_EXCHANGES):
+        spark.catalog.clearCache()
         df = queries[name](spark, SF_DIR)
         df.collect()
         plan = (
