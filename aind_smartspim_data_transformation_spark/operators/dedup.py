@@ -280,6 +280,13 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc1, y AS doc2))))"
     )
+    # r9 ABAB (VERDICT r8 ask #6): pinning this exchange to
+    # parallelism/4 fat reducers LOST all 4 interleaved pairs at sf0.1
+    # (11.8–12.7 s vs 11.5–11.8 s query wall; NOTES_r09) — AQE's
+    # post-shuffle coalesce already right-sizes the tiny exchange, and
+    # the explicit repartition only forfeits map-side planning.  The
+    # ~1 s scheduling slack d03 carries at sf0.1 stays attributed to
+    # stage scheduling, not reducer count; plan unchanged.
     cand = (
         bands.groupBy("band_id", "bkey")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -537,16 +544,48 @@ def d07_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.bval")
-    pairs_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc1, y AS doc2))))"
+    # Candidate pairs by bucketed SELF-JOIN, not collect_list + pair
+    # explode: d07's pigeonhole bands are 4-bit (hamming ≤ 2 over a
+    # 16-bit signature needs one of 4 equal nibbles), so a bucket
+    # holds ~n/64 docs and the d03-style in-array expansion would
+    # materialize |bucket|²/2 pair structs as ONE row value — at a
+    # 10× sweep (50k docs, ~12.5k-doc buckets → ~78M structs) that is
+    # gigabytes in a single GenericArrayData and OOMs the JVM.  The
+    # join STREAMS the same pairs.  d03 keeps the in-array form
+    # because its 64-bit-minhash buckets are tiny by construction
+    # (MAX_BAND_BUCKET-capped); d07's all-pairs contract has no cap.
+    # The a-side is bucketed (doc1 % B, b-side replicated ×B) and both
+    # sides carry an EXPLICIT partition count: only 64 distinct
+    # (band, bval) keys exist, so without it the 10× pair loop lands
+    # on ≤64 AQE-coalesced tasks (and at sf0.1 on ONE).
+    B = 8
+    n_parts = 4 * spark.sparkContext.defaultParallelism
+    b1 = bands.select(
+        "band_id",
+        "bval",
+        F.col("doc_id").alias("doc1"),
+        (F.col("doc_id") % B).alias("bk"),
+    ).repartition(n_parts, "band_id", "bval", "bk")
+    b2 = (
+        bands.select(
+            F.col("band_id").alias("band_id2"),
+            F.col("bval").alias("bval2"),
+            F.col("doc_id").alias("doc2"),
+        )
+        .crossJoin(
+            F.broadcast(spark.range(B).select(F.col("id").alias("bk2")))
+        )
+        .repartition(n_parts, "band_id2", "bval2", "bk2")
     )
     cand = (
-        bands.groupBy("band_id", "bval")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select("p.doc1", "p.doc2")
+        b1.join(
+            b2,
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("bval") == F.col("bval2"))
+            & (F.col("bk") == F.col("bk2"))
+            & (F.col("doc1") < F.col("doc2")),
+        )
+        .select("doc1", "doc2")
         .distinct()
     )
     s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("sig1"))

@@ -630,6 +630,10 @@ def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # judge finding).  The clone also keeps `_e14_events` out of the
     # caller's temp-view namespace.
     scoped = spark.newSession()
+    # the sizing count() reads parquet FOOTERS only (aggregate
+    # pushdown — safe to flip here because the clone's conf dies with
+    # it), so the guard costs a metadata pass, not a data pass
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     ev = _ev(scoped, sf_dir)
     ev.createOrReplaceTempView("_e14_events")
     n_events = ev.count()

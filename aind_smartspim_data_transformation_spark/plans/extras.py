@@ -1360,13 +1360,36 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("v"),
     )
     assigned, _ = S.lloyd_train(e, SEM_K, SEM_ITERS)
+    # The per-cell pair expansion is quadratic WORK over tiny INPUT
+    # rows, the shape AQE mis-plans: it coalesces the cell shuffle by
+    # bytes into ~1 partition and the whole Σ n_c² interpreted-cosine
+    # loop serializes onto one task (observed: a 10× sweep pinned one
+    # core for 40+ min).  Bucket the a-side (id_a % B), replicate the
+    # b-side ×B, and pre-shuffle BOTH sides by (cell, bucket) with an
+    # EXPLICIT partition count — explicit repartition is exempt from
+    # AQE coalescing and satisfies the join's clustering, so the pair
+    # loop runs as K×B parallel tasks at any corpus size.  Pair set
+    # (and therefore results) unchanged.
+    B = 8
+    n_parts = 4 * spark.sparkContext.defaultParallelism
     a = assigned.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        (F.col("vec_id") % B).alias("bk"),
+    ).repartition(n_parts, "cell", "bk")
+    b = (
+        assigned.select(
+            F.col("cell").alias("cell_b"),
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.range(B).select(F.col("id").alias("bk_b"))
+            )
+        )
+        .repartition(n_parts, "cell_b", "bk_b")
     )
     cos = S._dot("va", "vb") / (
         F.sqrt(S._norm_sq("va")) * F.sqrt(S._norm_sq("vb"))
@@ -1375,6 +1398,7 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("cell") == F.col("cell_b"))
+            & (F.col("bk") == F.col("bk_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
         .filter(F.round(cos, 6) >= SEM_EPS)

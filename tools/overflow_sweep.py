@@ -59,7 +59,14 @@ _OVERFLOW_MARKERS = (
 
 
 def build_scale_dir(spark, base_sf: str, out_dir: str, factor: int) -> None:
-    """Symlink the star schema; replicate the LLM-pipeline tables."""
+    """Symlink the star schema; replicate the LLM-pipeline tables.
+
+    The replicated tables are written REPARTITIONED (32 files): the
+    broadcast crossJoin otherwise runs as ONE task and writes ONE
+    parquet file, and every downstream explode-heavy scan+partial-agg
+    in the sweep then executes single-task (50 MB of text is one
+    maxPartitionBytes split) — the whole sweep serializes.  Real
+    100 TB layouts are many-file; the sweep's should be too."""
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLE_NAMES:
         if t in _SCALED:
@@ -77,7 +84,7 @@ def build_scale_dir(spark, base_sf: str, out_dir: str, factor: int) -> None:
         "lang",
         "source",
         "n_chars",
-    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    ).repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     ev = spark.read.parquet(f"{base_sf}/events.parquet")
     # event_id re-keyed for uniqueness; ts jittered by the replica index
@@ -90,14 +97,14 @@ def build_scale_dir(spark, base_sf: str, out_dir: str, factor: int) -> None:
         "event_type",
         "value",
         "props",
-    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    ).repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     emb = spark.read.parquet(f"{base_sf}/embeddings.parquet")
     emb.crossJoin(rep).select(
         (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
         "embedding",
         "label",
-    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    ).repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
 def main() -> int:
@@ -124,7 +131,22 @@ def main() -> int:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
-            n = len(queries[name](spark, tmp).collect())
+            # Evaluate through the noop sink, not collect(): every
+            # output expression is computed on the executors (the
+            # overflow check this sweep exists for) but nothing is
+            # serialized to the driver — a duplicate-heavy 10× corpus
+            # makes pair-listing queries (d07) return tens of millions
+            # of rows, which is a result-SIZE harness limit, not an
+            # engine envelope.  Row count rides an Observation on the
+            # same single execution.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = queries[name](spark, tmp).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            df.write.mode("overwrite").format("noop").save()
+            n = obs.get["n"]
             print(f"{name}: OK rows={n} ({time.perf_counter() - t0:.1f}s)")
         except Exception as exc:  # keep sweeping; classify
             msg = f"{type(exc).__name__}: {exc}"
