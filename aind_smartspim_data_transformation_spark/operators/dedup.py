@@ -467,14 +467,22 @@ def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # per-row bucket expression: no explode, no shuffle (similarity.py)
     wb = e.withColumn("bucket", S._bucket_expr())
+    # Norms are per-VECTOR, computed once here — not per PAIR inside
+    # the join: the interpreted array loops (zip_with/aggregate are
+    # CodegenFallback) dominate the pair stage, and evaluating
+    # norm(va)+norm(vb)+dot per pair does 3× the array work of dot
+    # alone.  sqrt(norm) per vector then na*nb per pair is the same
+    # float expression tree, so results are bit-identical.
     a = wb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket",
+        F.sqrt(S._norm_sq("embedding")).alias("na"),
     )
     b = wb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
         F.col("bucket").alias("bucket_b"),
+        F.sqrt(S._norm_sq("embedding")).alias("nb"),
     )
-    cos = S._dot("va", "vb") / (F.sqrt(S._norm_sq("va")) * F.sqrt(S._norm_sq("vb")))
+    cos = S._dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("cosine", F.round(cos, 6))

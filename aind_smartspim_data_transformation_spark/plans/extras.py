@@ -1372,17 +1372,21 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and therefore results) unchanged.
     B = 8
     n_parts = 4 * spark.sparkContext.defaultParallelism
+    # per-VECTOR norms, not per-pair (see d05): the pair loop then
+    # runs one interpreted array reduction per pair instead of three
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
         (F.col("vec_id") % B).alias("bk"),
+        F.sqrt(S._norm_sq("v")).alias("na"),
     ).repartition(n_parts, "cell", "bk")
     b = (
         assigned.select(
             F.col("cell").alias("cell_b"),
             F.col("vec_id").alias("id_b"),
             F.col("v").alias("vb"),
+            F.sqrt(S._norm_sq("v")).alias("nb"),
         )
         .crossJoin(
             F.broadcast(
@@ -1391,9 +1395,7 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(n_parts, "cell_b", "bk_b")
     )
-    cos = S._dot("va", "vb") / (
-        F.sqrt(S._norm_sq("va")) * F.sqrt(S._norm_sq("vb"))
-    )
+    cos = S._dot("va", "vb") / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(
             b,
