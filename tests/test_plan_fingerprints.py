@@ -148,3 +148,52 @@ def test_wide_shuffle_ceiling(spark, sf_dir, name):
             f"{name}: no ReusedExchange — the d03 pair pipeline is being "
             f"recomputed per consumer instead of shared"
         )
+
+
+def test_pair_loops_keep_explicit_repartition(spark, sf_dir, tmp_path):
+    """r9 regression class: AQE coalesces a pair-expanding exchange by
+    INPUT bytes and serializes the |bucket|² loop onto one task (n07
+    pinned a core 40+ min at the 10× sweep; d07 likewise).  The fix is
+    an EXPLICIT partition count — user-specified repartitions carry the
+    REPARTITION_BY_NUM marker in the executed plan and are exempt from
+    AQE coalescing.  Pin the marker so the serialized shape can't come
+    back.  n07 needs real near-dup pairs (empty-relation propagation
+    prunes the whole join at the smoke SF), so it runs on a synthetic
+    embeddings table with an exact duplicate pair."""
+    # d07: marker present on the production fixture already
+    plan = _final_plan(
+        registry.all_queries()["d07_simhash_hamming_pairs"](spark, sf_dir)
+    )
+    assert "REPARTITION_BY_NUM" in plan, (
+        "d07 lost its explicit pair-join repartition — AQE will "
+        "serialize the bucket pair loop again"
+    )
+
+    # n07: synthetic corpus with a guaranteed >= 0.9 cosine pair
+    import numpy as np
+
+    from aind_smartspim_data_transformation_spark.plans import extras
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(1, 41):
+        v = rng.normal(size=16).astype("float32")
+        rows.append((i, [float(x) for x in v], "l%d" % (i % 3)))
+    rows.append((41, rows[24][1], "dup"))  # exact duplicate of vec 25
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    df = extras.n07_semantic_dedup(spark, str(tmp_path))
+    got = {r["cell"]: (r["n_vectors"], r["n_dropped"]) for r in df.collect()}
+    assert sum(n for n, _ in got.values()) == 41
+    assert sum(d for _, d in got.values()) >= 1  # the duplicate dropped
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "REPARTITION_BY_NUM" in plan, (
+        "n07 lost its explicit pair-join repartition — AQE will "
+        "serialize the cell pair loop again"
+    )
