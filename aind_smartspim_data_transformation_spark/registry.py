@@ -23,31 +23,22 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # leading list is (a) all keys with no driver row yet, oldest first,
 # then (b) this round's brand-new keys; r-green families trail.
 #
-# Round-9 rotation: no new queries registered in r8 (invariant (b)
-# empty), so the leading list is the PLAN-CHANGED set that still needs
-# an external row on its current plan: e14 (input-sized rCTE guard in
-# r8, session-scoped in r9 — never externally re-sampled since),
-# n18 (DECIMAL(38,0) Spearman plan — its r8 green row came from the
-# rotated r7 window, not a fresh sample — and its r8 unpersist was
-# also reverted in r9), and the six other unpersist-reverted queries
-# (n05/n06/n14/n15/n16/n19
-# restored to their r7 cache-sharing plans — plan-fingerprint-gated,
-# but the invariant wants a driver row per plan).  Trailing: r8-green
-# families re-sample as the window allows.
-_LEADING_R9 = [
-    # brand-new this round (invariant (b)): the fused restartability
-    # bookkeeping closed form — no driver row exists at all yet
-    "i05_resume_bookkeeping",
-    # plan changed r8→r9, no external row on the current plan yet
-    "e14_sessions_recursive",
-    "n18_length_quality_spearman",
-    # r9 restored (unpersist revert) — re-sample on the restored plans
-    "n05_sequence_packing",
-    "n15_vocab_coverage",
-    "n06_quality_deciles",
-    "n14_token_volume_deciles",
-    "n16_retention_cohorts",
-    "n19_tier_source_mix",
+# Round-10 rotation: the three queries whose plans were REWRITTEN in
+# r9 but that never landed in r9's sample window (the r9 verdict's
+# standing-invariant call-out): d07 (collect_list pair-explode →
+# bucketed streaming self-join), n07 (AQE-exempt explicit repartition
+# around the cell-pair loop + per-vector norms; r10 adds the fat-cell
+# digest pre-collapse), d05 (per-vector norm precompute).  Then this
+# round's brand-new keys (invariant (b)): d14, the bounded
+# neighbor-top-k contract over d07's pair machinery.
+_LEADING_R10 = [
+    # plan changed in r9 (and n07 again in r10) — no driver row on the
+    # current shapes yet
+    "d07_simhash_hamming_pairs",
+    "n07_semantic_dedup",
+    "d05_dedup_embedding_cosine",
+    # brand-new this round (invariant (b))
+    "d14_hamming_neighbor_topk",
 ]
 
 
@@ -57,7 +48,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R9 if k in d}
+    lead = {k: d[k] for k in _LEADING_R10 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 
@@ -79,7 +70,7 @@ def _modules():
         "aind_smartspim_data_transformation_spark.plans.imaging_queries",
         "aind_smartspim_data_transformation_spark.operators.dedup",
         # Module order no longer defines the sample window (the explicit
-        # _LEADING_R9 rotation above does); extras still merges last so
+        # _LEADING_R10 rotation above does); extras still merges last so
         # its re-registrations of relational helpers win by key.
         "aind_smartspim_data_transformation_spark.plans.extras",
     ]
@@ -96,6 +87,21 @@ def _modules():
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Merged (rotated) name → callable registry.
+
+    CALLER CONTRACT — cache hygiene: several queries (n05, n06, n14,
+    n15, n16, n18, n19) intentionally return plans containing a shared
+    ``persist()`` subtree (an InMemoryRelation) so their final consumer
+    computes the expensive shared input once.  The registry does NOT
+    release those caches — a harness that sweeps many queries must call
+    ``spark.catalog.clearCache()`` between queries (as bench.py,
+    tools/strict_verify.py, tools/overflow_sweep.py and
+    tools/dump_plans.py do), or it will accumulate ~7 live
+    InMemoryRelations per pass.  An in-plan ``unpersist()`` is NOT an
+    alternative: releasing at build time evicts the InMemoryRelation
+    from the returned plan and the consumer recomputes the shared
+    subtree (measured r8→r9: n05 2→4, n15 2→6 wide exchanges).
+    """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _modules():
         out.update(getattr(m, "QUERIES", {}))

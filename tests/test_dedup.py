@@ -168,3 +168,30 @@ def test_substring_coverage_random_corpus_vs_python(spark, tmp_path):
     }
     # top-50 cap can't truncate a 30-doc corpus → exact dict equality
     assert got == expect
+
+
+def test_neighbor_topk_consistent_with_pair_listing(spark, sf_dir):
+    """d14 must be EXACTLY the per-doc top-k of d07's symmetrized pair
+    listing (rank by hamming then neighbor id) — recomputed here in
+    plain Python so the window/explode plumbing can't drift from the
+    diagnostic listing it bounds — and bounded at ≤ k rows per doc."""
+    pairs = dedup.d07_simhash_hamming_pairs(spark, sf_dir).collect()
+    nbrs: dict[int, list[tuple[int, int]]] = {}
+    for r in pairs:
+        nbrs.setdefault(r["doc1"], []).append((r["hamming"], r["doc2"]))
+        nbrs.setdefault(r["doc2"], []).append((r["hamming"], r["doc1"]))
+    want = {
+        (doc, rank + 1, nbr, h)
+        for doc, lst in nbrs.items()
+        for rank, (h, nbr) in enumerate(sorted(lst)[: dedup.NEIGHBOR_TOPK])
+    }
+    got_rows = dedup.d14_hamming_neighbor_topk(spark, sf_dir).collect()
+    got = {
+        (r["doc_id"], r["nbr_rank"], r["nbr_id"], r["hamming"])
+        for r in got_rows
+    }
+    assert got == want
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in got_rows)
+    assert max(per_doc.values()) <= dedup.NEIGHBOR_TOPK
