@@ -1360,11 +1360,31 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("v"),
     )
     assigned, _ = S.lloyd_train(e, SEM_K, SEM_ITERS)
+    # FAT-CELL GUARD (r10): collapse EXACT-duplicate vectors per cell
+    # before the pair loop.  The Σ n_c² pair work is then quadratic in
+    # DISTINCT vectors per cell, not rows — the regime that made n07
+    # the 10× sweep's 271 s wall (a verbatim-replicated corpus folds
+    # k-means cells into few fat ones whose members are mostly exact
+    # copies) collapses back to base-corpus cost.  Provably
+    # answer-preserving under SemDeDup's drop-to-lowest-id rule:
+    #   member b of dup-group g is dropped iff
+    #     (selfcos(g) ≥ eps AND b ≠ min(g))          — intra-group —
+    #     OR ∃ g' ≠ g same cell: cos(g,g') ≥ eps AND min(g') < b.
+    #   cos() depends only on the vectors, so cross-group drops reduce
+    #   to the representative pair loop with min(g') < min(g) (any
+    #   non-rep b > min(g) with a qualifying g' is already intra-
+    #   dropped: selfcos of a finite nonzero vector rounds to 1, and a
+    #   degenerate vector — zero/NaN/±inf norm — has NaN cos against
+    #   EVERYTHING, so it neither drops nor gets dropped, which the
+    #   selfcos gate reproduces exactly).
+    groups = assigned.groupBy("cell", "v").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("cnt")
+    )
     # The per-cell pair expansion is quadratic WORK over tiny INPUT
     # rows, the shape AQE mis-plans: it coalesces the cell shuffle by
     # bytes into ~1 partition and the whole Σ n_c² interpreted-cosine
     # loop serializes onto one task (observed: a 10× sweep pinned one
-    # core for 40+ min).  Bucket the a-side (id_a % B), replicate the
+    # core for 40+ min).  Bucket the a-side (rep_id % B), replicate the
     # b-side ×B, and pre-shuffle BOTH sides by (cell, bucket) with an
     # EXPLICIT partition count — explicit repartition is exempt from
     # AQE coalescing and satisfies the join's clustering, so the pair
@@ -1374,17 +1394,17 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = 4 * spark.sparkContext.defaultParallelism
     # per-VECTOR norms, not per-pair (see d05): the pair loop then
     # runs one interpreted array reduction per pair instead of three
-    a = assigned.select(
+    a = groups.select(
         "cell",
-        F.col("vec_id").alias("id_a"),
+        F.col("rep_id").alias("id_a"),
         F.col("v").alias("va"),
-        (F.col("vec_id") % B).alias("bk"),
+        (F.col("rep_id") % B).alias("bk"),
         F.sqrt(S._norm_sq("v")).alias("na"),
     ).repartition(n_parts, "cell", "bk")
     b = (
-        assigned.select(
+        groups.select(
             F.col("cell").alias("cell_b"),
-            F.col("vec_id").alias("id_b"),
+            F.col("rep_id").alias("id_b"),
             F.col("v").alias("vb"),
             F.sqrt(S._norm_sq("v")).alias("nb"),
         )
@@ -1396,7 +1416,7 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts, "cell_b", "bk_b")
     )
     cos = S._dot("va", "vb") / (F.col("na") * F.col("nb"))
-    dropped = (
+    rep_drops = (
         a.join(
             b,
             (F.col("cell") == F.col("cell_b"))
@@ -1404,22 +1424,38 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("id_a") < F.col("id_b")),
         )
         .filter(F.round(cos, 6) >= SEM_EPS)
-        .select("cell", F.col("id_b").alias("vec_id"))
+        .select("cell", F.col("id_b").alias("rep_id"))
         .distinct()
         .groupBy("cell")
-        .agg(F.count("*").alias("n_dropped"))
+        .agg(F.count("*").alias("n_rep"))
+    )
+    # intra-group drops: SAME float expression shape as the pair-loop
+    # cosine (zip_with dot / sqrt·sqrt) so the gate is bit-identical to
+    # what the uncollapsed loop would have computed for an intra pair.
+    # n_vectors and n_intra come from ONE conditional aggregation over
+    # `groups` (a selfcos FILTER would be pushed below the (cell,v)
+    # aggregate into the scan, forking the subtree and defeating
+    # exchange reuse — observed: two full corpus (cell,v) shuffles).
+    selfcos = S._dot("v", "v") / (
+        F.sqrt(S._norm_sq("v")) * F.sqrt(S._norm_sq("v"))
+    )
+    cellstats = groups.groupBy("cell").agg(
+        F.sum("cnt").alias("n_vectors"),
+        F.sum(
+            F.when(
+                F.round(selfcos, 6) >= SEM_EPS, F.col("cnt") - F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_intra"),
     )
     return (
-        assigned.groupBy("cell")
-        .agg(F.count("*").alias("n_vectors"))
-        .join(dropped, "cell", "left")
-        .fillna(0, subset=["n_dropped"])
+        cellstats.join(rep_drops, "cell", "left")
+        .fillna(0, subset=["n_rep"])
         .select(
             "cell",
             "n_vectors",
-            "n_dropped",
+            (F.col("n_intra") + F.col("n_rep")).alias("n_dropped"),
             F.expr(
-                "(n_vectors - n_dropped) * 1000000 div n_vectors"
+                "(n_vectors - (n_intra + n_rep)) * 1000000 div n_vectors"
             ).alias("kept_ppm"),
         )
         .orderBy("cell")

@@ -46,7 +46,7 @@ MAX_WIDE_EXCHANGES = {
     "q09_ntile": 3,                 # observed 2 (r7): bucket count agg + tile window
     "n05_sequence_packing": 3,      # observed 2 (r7): distributed per-source cumsum
     "n06_quality_deciles": 3,       # observed 2 (r7): distributed_ntile + tier agg
-    "n07_semantic_dedup": 2,        # observed 1: cell pair join (AQE bcast)
+    "n07_semantic_dedup": 2,        # observed 2 (r10): (cell,v) collapse + cell agg
     "n09_cross_source_contamination": 7,  # observed 6: h window feeds pair join
     "n10_embedding_dispersion": 3,  # observed 2: (label,dim) agg + label agg
     "n11_split_balance": 7,         # observed 6: cell agg + tiny totals
@@ -179,7 +179,12 @@ def test_pair_loops_keep_explicit_repartition(spark, sf_dir, tmp_path):
     for i in range(1, 41):
         v = rng.normal(size=16).astype("float32")
         rows.append((i, [float(x) for x in v], "l%d" % (i % 3)))
-    rows.append((41, rows[24][1], "dup"))  # exact duplicate of vec 25
+    # NEAR duplicate (distinct array, cosine 1.0): with the r10
+    # fat-cell pre-collapse an EXACT copy becomes an intra-group drop
+    # that never reaches the pair loop, and AQE would empty-propagate
+    # the join this test pins — a scaled copy keeps the loop live
+    rows.append((41, [x * 1.001 for x in rows[24][1]], "near"))
+    rows.append((42, rows[24][1], "dup"))  # exact duplicate of vec 25
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label string"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -187,8 +192,9 @@ def test_pair_loops_keep_explicit_repartition(spark, sf_dir, tmp_path):
     )
     df = extras.n07_semantic_dedup(spark, str(tmp_path))
     got = {r["cell"]: (r["n_vectors"], r["n_dropped"]) for r in df.collect()}
-    assert sum(n for n, _ in got.values()) == 41
-    assert sum(d for _, d in got.values()) >= 1  # the duplicate dropped
+    assert sum(n for n, _ in got.values()) == 42
+    # the near dup (rep pair loop) AND the exact dup (intra collapse)
+    assert sum(d for _, d in got.values()) >= 2
     plan = (
         df._jdf.queryExecution().executedPlan().toString()
         .split("== Initial Plan ==")[0]
