@@ -110,17 +110,19 @@ def _progress_fingerprints(
     the chunk KEY LAYOUT (a mismatch means the target holds chunks
     from a different store layout — refuse, the operator must clear it);
     plan_fp additionally covers the band split + error mode + the input
-    CONTENT digest (count/bytes/per-file hash-sum over the listing — a
-    mismatch just invalidates the markers: the chunk keys are still
-    idempotent, so the rerun redoes everything, correctly).  Folding
-    content identity into plan_fp, not store_fp, is deliberate: after a
-    quarantine-mode crash the likely operator move is replacing the
-    corrupt slice in place (same name, same shape) and re-running — the
-    geometry fingerprints still match, so without the content digest
-    the resume would silently keep the marker-complete band's zeroed
-    planes and re-report stale dead letters for data that is now fine.
-    With it, every marker invalidates and the full redo overwrites
-    every chunk from the fixed input."""
+    LISTING digest (input_listing_digest: count/bytes/per-file
+    hash-sum; metadata-based by default, true content checksum on
+    request — a mismatch just invalidates the markers: the chunk keys
+    are still idempotent, so the rerun redoes everything, correctly).
+    Folding input identity into plan_fp, not store_fp, is deliberate:
+    after a quarantine-mode crash the likely operator move is replacing
+    the corrupt slice in place (same name, same shape) and re-running —
+    the geometry fingerprints still match, so without the digest the
+    resume would silently keep the marker-complete band's zeroed planes
+    and re-report stale dead letters for data that is now fine.  With
+    it, every marker invalidates and the full redo overwrites every
+    chunk from the fixed input (for a timestamp-preserving in-place
+    replacement the operator must pass resume_digest="content")."""
     import hashlib
     import json as _json
 
@@ -381,6 +383,73 @@ def fused_task_bytes(
     return worst
 
 
+def input_listing_digest(
+    spark: SparkSession,
+    root: str,
+    stack_filter: list[tuple[str, str]] | None = None,
+    mode: str = "metadata",
+) -> str:
+    """Order-independent digest of the input tree, for resume safety.
+
+    ``mode="metadata"`` (default) hashes (path, length, mtime-millis)
+    per file from the listing alone — a METADATA digest, not a content
+    checksum.  It catches adds, removes, renames, size changes, and any
+    rewrite that bumps the millisecond mtime.  Its documented blind
+    spot: a timestamp-PRESERVING equal-length replacement (``cp -p``,
+    ``rsync -a``, ``tar -x`` of an older archive) produces an identical
+    digest, so a resume would keep marker-complete bands built from the
+    old bytes.  mtime is compared at millisecond granularity
+    (``unix_millis``; stack_reader.py), so an in-place rewrite landing
+    in the same wall-clock second — the r9 digest's truncation hole —
+    is still caught whenever the filesystem stores sub-second stamps.
+
+    ``mode="content"`` sha256-hashes every file's BYTES (plus its
+    path): one full read of the input, distributed across executors
+    with a bounded DECIMAL-sum agg buffer.  Use it for post-quarantine
+    reruns where a corrupt slice may have been replaced with a
+    timestamp-preserving copy; at 100 TB it costs one extra pass over
+    the acquisition, which is exactly the price of certainty.
+
+    Both modes fold a 60-bit prefix of each per-file sha256 into a
+    DECIMAL(38,0) sum — commutative (listing order never matters) and
+    constant driver-side state.
+    """
+    if mode not in ("metadata", "content"):
+        raise ValueError(
+            f"resume digest mode must be 'metadata' or 'content', got {mode!r}"
+        )
+    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+        scan_stack_files,
+    )
+
+    listing = scan_stack_files(spark, root)
+    if stack_filter is not None:
+        _keys = spark.createDataFrame(
+            list(stack_filter), "channel string, stack string"
+        )
+        listing = listing.join(F.broadcast(_keys), ["channel", "stack"])
+    if mode == "content":
+        per_file = F.sha2(
+            F.concat(
+                F.encode(F.concat_ws("|", "path", "length"), "UTF-8"),
+                F.col("content"),
+            ),
+            256,
+        )
+    else:
+        # metadata-only: Catalyst prunes the binary content column out
+        # of the scan entirely (plan-asserted in tests)
+        per_file = F.sha2(F.concat_ws("|", "path", "length", "mtime"), 256)
+    _dig = listing.agg(
+        F.count("*").alias("n"),
+        F.sum("length").alias("nbytes"),
+        F.sum(
+            F.conv(F.substring(per_file, 1, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("hsum"),
+    ).collect()[0]
+    return f"{mode}:{_dig['n']}:{_dig['nbytes']}:{_dig['hsum']}"
+
+
 def run_fused_ingest(
     spark: SparkSession,
     root: str,
@@ -395,6 +464,7 @@ def run_fused_ingest(
     geo: list[dict[str, Any]] | None = None,
     on_error: str = "fail",
     failpoint_fail_key: tuple[str, str, int, int] | None = None,
+    resume_digest: str = "metadata",
 ) -> tuple[list[str], dict[str, Any]]:
     """Write every stack's full multiscale store via fused band tasks.
 
@@ -425,7 +495,12 @@ def run_fused_ingest(
     different input LISTING digest (a slice added/removed/edited, e.g.
     a corrupt slice replaced in place after a quarantine crash) —
     merely invalidates the skip and the rerun redoes everything over
-    the idempotent chunk keys.
+    the idempotent chunk keys.  ``resume_digest`` selects that digest:
+    ``"metadata"`` (default, metadata-only listing scan — blind to a
+    timestamp-preserving equal-length replacement such as ``cp -p`` /
+    ``rsync -a``) or ``"content"`` (sha256 of every input byte — one
+    extra full read; use for post-quarantine reruns).  See
+    :func:`input_listing_digest` for the exact contract.
 
     ``failpoint_fail_key`` is crash-test plumbing (the band tasks run
     in detached Python workers a test monkeypatch cannot reach — the
@@ -491,14 +566,18 @@ def run_fused_ingest(
     factors = tuple(scale_factor_zyx)
     plan = _band_plan(geo, chunk_zyx, spark.sparkContext.defaultParallelism)
 
-    # Listing first (reused below for the band groups): the content
-    # digest over (path, length, mtime) feeds plan_fp so a resume
-    # against EDITED input (e.g. a corrupt slice replaced in place
-    # after a quarantine crash) invalidates the markers instead of
-    # silently keeping a marker-complete band's zeroed planes.  The
-    # digest aggregates a 60-bit per-row hash into a DECIMAL sum —
-    # order-independent, bounded agg buffer, metadata-only scan (the
-    # binary content column is pruned).
+    # Input-listing digest feeds plan_fp so a resume against EDITED
+    # input (a slice added/removed/edited, e.g. a corrupt slice
+    # replaced in place after a quarantine crash) invalidates the
+    # markers instead of silently keeping a marker-complete band's
+    # zeroed planes.  Mode semantics live in input_listing_digest's
+    # docstring — "metadata" is a metadata-only scan with a documented
+    # timestamp-preserving-replacement blind spot; "content" reads
+    # every byte and closes it.
+    content_fp = input_listing_digest(
+        spark, root, stack_filter=stack_filter, mode=resume_digest
+    )
+    # listing reused below for the band groups (content pruned here)
     listing = scan_stack_files(spark, root).select(
         "path", "channel", "stack", "length", "mtime"
     )
@@ -507,22 +586,6 @@ def run_fused_ingest(
             list(stack_filter), "channel string, stack string"
         )
         listing = listing.join(F.broadcast(_keys), ["channel", "stack"])
-    _dig = listing.agg(
-        F.count("*").alias("n"),
-        F.sum("length").alias("nbytes"),
-        F.sum(
-            F.conv(
-                F.substring(
-                    F.sha2(F.concat_ws("|", "path", "length", "mtime"), 256),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("decimal(38,0)")
-        ).alias("hsum"),
-    ).collect()[0]
-    content_fp = f"{_dig['n']}:{_dig['nbytes']}:{_dig['hsum']}"
 
     # restartability: validate + load completion markers from an earlier
     # failed/killed run of THIS configuration; their bands are skipped

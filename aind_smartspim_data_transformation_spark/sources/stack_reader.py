@@ -131,7 +131,10 @@ def scan_stack_files(spark: SparkSession, root: str) -> DataFrame:
             channel.alias("channel"),
             stack.alias("stack"),
             "length",
-            F.col("modificationTime").cast("long").alias("mtime"),
+            # millisecond granularity: cast("long") truncates to whole
+            # seconds, which let an in-place same-second rewrite slip
+            # past the fused resume digest (imaging/fused.py)
+            F.unix_millis(F.col("modificationTime")).alias("mtime"),
             "content",
         )
     )

@@ -955,6 +955,44 @@ def test_fused_resume_after_input_edit_invalidates_markers(spark, tmp_path):
     assert np.array_equal(read_zarr_level(g, 0), vol)
 
 
+def test_input_listing_digest_modes(spark, tmp_path):
+    """ADVICE r9 (medium): the resume digest is METADATA-based — a
+    timestamp-preserving equal-length replacement (cp -p / rsync -a)
+    is its documented blind spot, closed by mode="content"; and mtime
+    now compares at millisecond granularity, so a same-second in-place
+    rewrite (the r9 truncation hole) invalidates in metadata mode."""
+    import os
+
+    from aind_smartspim_data_transformation_spark.imaging.fused import (
+        input_listing_digest,
+    )
+
+    d = tmp_path / "ds" / "SmartSPIM" / "Ex_488_Em_525" / "432380" / "s0"
+    d.mkdir(parents=True)
+    f = d / "000000.png"
+    f.write_bytes(b"A" * 64)
+    (d / "000001.png").write_bytes(b"B" * 64)
+    root = str(tmp_path / "ds")
+    st = f.stat()
+
+    meta0 = input_listing_digest(spark, root)
+    cont0 = input_listing_digest(spark, root, mode="content")
+    assert meta0.startswith("metadata:") and cont0.startswith("content:")
+
+    # cp -p simulation: same path, same length, same mtime, new BYTES
+    f.write_bytes(b"C" * 64)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert input_listing_digest(spark, root) == meta0  # the blind spot
+    assert input_listing_digest(spark, root, mode="content") != cont0
+
+    # same-second rewrite, +2 ms: metadata mode must catch it
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 2_000_000))
+    assert input_listing_digest(spark, root) != meta0
+
+    with pytest.raises(ValueError, match="metadata.*content"):
+        input_listing_digest(spark, root, mode="sha1")
+
+
 def test_auto_routing_boundary_on_task_budget(spark, tmp_path, monkeypatch):
     """VERDICT r8 ask #5 (auto-routing half): 'auto' must take the
     fused path when the probed per-task band buffer fits
