@@ -94,6 +94,39 @@ def _marker_name(channel: str, stack: str, slab: int, fold: int) -> str:
     )
 
 
+def _publish_marker(fs, tmp: str, dest: str) -> None:
+    """Move a fully-written temp marker to its final name, tolerating
+    concurrent attempts (ADVICE r9): two retried/speculative tasks can
+    interleave the check-delete-move so one deletes the other's freshly
+    published marker and dies before its own move, or the move hits a
+    target re-created between the delete and the move — which fails on
+    HDFS-like no-overwrite renames despite the pre-check.  Marker
+    content is byte-identical across attempts by construction (same
+    band, same deterministic decode, same fingerprints), so a failed
+    move whose destination EXISTS is success — a sibling published the
+    equivalent bytes — and transient interleavings get a short retry.
+    """
+    from pyarrow import fs as _pafs
+
+    last_exc: Exception | None = None
+    for _ in range(3):
+        try:
+            if fs.get_file_info(dest).type != _pafs.FileType.NotFound:
+                fs.delete_file(dest)
+            fs.move(tmp, dest)
+            return
+        except OSError as exc:
+            last_exc = exc
+            if fs.get_file_info(dest).type != _pafs.FileType.NotFound:
+                # sibling's byte-equivalent marker; drop our temp
+                try:
+                    fs.delete_file(tmp)
+                except OSError:
+                    pass
+                return
+    raise last_exc
+
+
 def _progress_fingerprints(
     root: str,
     output_root: str,
@@ -887,16 +920,10 @@ def run_fused_ingest(
                 ).encode()
             )
         dest = f"{pdir}/{_marker_name(channel, stack, cz, fold)}"
-        # A retried/speculative attempt may find its predecessor's
-        # marker already published (failure AFTER the move); pyarrow
-        # move does not guarantee overwrite on every filesystem (HDFS
-        # rename fails on an existing target), so clear the dest first
-        # — content is byte-equivalent, so this stays idempotent.
-        from pyarrow import fs as _pafs
-
-        if fs.get_file_info(dest).type != _pafs.FileType.NotFound:
-            fs.delete_file(dest)
-        fs.move(tmp, dest)
+        # race-tolerant check-delete-move with retry; a failed move
+        # whose destination exists counts as a sibling attempt's
+        # byte-equivalent publish (see _publish_marker)
+        _publish_marker(fs, tmp, dest)
         rows = [(channel, stack, n_chunks, raw_bytes, None, None)]
         rows += [(channel, stack, 0, 0, z, err) for z, err in dead]
         return pd.DataFrame(

@@ -16,6 +16,7 @@ state store.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -27,6 +28,45 @@ from aind_smartspim_data_transformation_spark.tables import load_table
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
+
+
+# One scoped clone per parent session (weak-keyed so a torn-down parent
+# never pins its clone): newSession() builds a whole JVM SessionState,
+# and e14 inside a 150-query registry sweep was paying that build — and
+# leaking one SessionState — per call (ADVICE r9).
+_E14_SCOPED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+# Runtime confs MIRRORED from the parent at every call: a clone's
+# SQLConf initializes from the SparkContext defaults, NOT the parent's
+# runtime session conf, so a harness override (ANSI sweep, session
+# timezone, shuffle sizing) would silently not apply to e14's execution
+# (ADVICE r9).  Deliberately a short explicit list — mirroring ALL
+# parent confs would re-import the exact guard leakage the clone exists
+# to contain.
+_E14_MIRRORED_CONFS = (
+    "spark.sql.ansi.enabled",
+    "spark.sql.session.timeZone",
+    "spark.sql.shuffle.partitions",
+)
+
+
+def _e14_scoped_session(spark: SparkSession) -> SparkSession:
+    scoped = _E14_SCOPED.get(spark)
+    if scoped is None:
+        scoped = spark.newSession()
+        # the sizing count() reads parquet FOOTERS only (aggregate
+        # pushdown — safe to flip here because the clone's conf never
+        # escapes), so the guard costs a metadata pass, not a data pass
+        scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        _E14_SCOPED[spark] = scoped
+    for k in _E14_MIRRORED_CONFS:
+        try:
+            v = spark.conf.get(k)
+        except Exception:
+            continue
+        if v is not None:
+            scoped.conf.set(k, v)
+    return scoped
 
 
 # ---------------------------------------------------------------------------
@@ -628,18 +668,22 @@ def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the caller ever collects, while a plain conf.set would leak the
     # loosened guard to every later rCTE in a registry sweep (r8
     # judge finding).  The clone also keeps `_e14_events` out of the
-    # caller's temp-view namespace.
-    scoped = spark.newSession()
-    # the sizing count() reads parquet FOOTERS only (aggregate
-    # pushdown — safe to flip here because the clone's conf dies with
-    # it), so the guard costs a metadata pass, not a data pass
-    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # caller's temp-view namespace.  It is CACHED per parent and
+    # mirrors the parent's ANSI/timezone/shuffle runtime confs at each
+    # call (_e14_scoped_session, ADVICE r9).
+    scoped = _e14_scoped_session(spark)
     ev = _ev(scoped, sf_dir)
     ev.createOrReplaceTempView("_e14_events")
     n_events = ev.count()
+    # monotone: the cached clone may hold an earlier (larger) input's
+    # limit while that DataFrame is still un-collected — the guard is
+    # read at EXECUTION time, so only ever RAISE it.  A forked chain
+    # (the bug the guard exists for) is quadratic and still trips any
+    # linear-sized bound.
+    new_limit = max(1_000_000, 2 * n_events + 1_000)
+    cur = int(scoped.conf.get("spark.sql.cteRecursionRowLimit"))
     scoped.conf.set(
-        "spark.sql.cteRecursionRowLimit",
-        str(max(1_000_000, 2 * n_events + 1_000)),
+        "spark.sql.cteRecursionRowLimit", str(max(cur, new_limit))
     )
     return scoped.sql(
         """

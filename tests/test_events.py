@@ -146,3 +146,36 @@ def test_recursive_sessions_guard_scoped_to_cloned_session(spark, sf_dir):
     assert not any(
         t.name == "_e14_events" for t in spark.catalog.listTables()
     )
+
+
+def test_recursive_sessions_clone_mirrors_parent_confs(spark, sf_dir):
+    """ADVICE r9: a newSession() clone's SQLConf initializes from the
+    SparkContext, not the parent's runtime conf — a harness override
+    (ANSI sweep, session timezone) must still reach e14's execution.
+    Also pins the per-parent clone CACHE (one SessionState per parent,
+    not one per call) and the monotone recursion guard."""
+    from aind_smartspim_data_transformation_spark.plans.events import (
+        _E14_SCOPED,
+        _e14_scoped_session,
+    )
+
+    before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        df = events.e14_sessions_recursive(spark, sf_dir)
+        scoped = _E14_SCOPED[spark]
+        assert scoped.conf.get("spark.sql.ansi.enabled") == "true"
+        assert df.count() > 0  # executes under the mirrored ANSI conf
+        # cache: a second call reuses the SAME clone
+        assert _e14_scoped_session(spark) is scoped
+        # monotone guard: a smaller later input never re-tightens the
+        # limit a still-lazy earlier DataFrame will execute under
+        lim = int(scoped.conf.get("spark.sql.cteRecursionRowLimit"))
+        scoped.conf.set("spark.sql.cteRecursionRowLimit", str(lim + 7))
+        events.e14_sessions_recursive(spark, sf_dir)
+        assert (
+            int(scoped.conf.get("spark.sql.cteRecursionRowLimit"))
+            == lim + 7
+        )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", before)

@@ -4,6 +4,7 @@ but with output assertions the reference lacks)."""
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -953,6 +954,69 @@ def test_fused_resume_after_input_edit_invalidates_markers(spark, tmp_path):
     g = f"{out}/{ch}/{stack}.ome.zarr"
     # the fixed plane is REAL data, not the quarantined zeros
     assert np.array_equal(read_zarr_level(g, 0), vol)
+
+
+def test_publish_marker_tolerates_concurrent_attempts(tmp_path):
+    """ADVICE r9: the marker publish's check-delete-move is not atomic
+    under concurrent speculative attempts.  A move that fails because a
+    sibling re-created the destination must count as success (content
+    is byte-equivalent by construction) and clean up the temp; a
+    transient failure with no destination retries; a persistent failure
+    with no destination still raises."""
+    from pyarrow import fs as pafs
+
+    from aind_smartspim_data_transformation_spark.imaging.fused import (
+        _publish_marker,
+    )
+
+    class RacingFS:
+        """Delegates to LocalFileSystem; first N move()s raise, and a
+        sibling marker optionally appears just before the failed move
+        (the delete→move window interleaving)."""
+
+        def __init__(self, fail_moves, sibling_publishes):
+            self.local = pafs.LocalFileSystem()
+            self.fail_moves = fail_moves
+            self.sibling = sibling_publishes
+            self.moves = 0
+
+        def get_file_info(self, p):
+            return self.local.get_file_info(p)
+
+        def delete_file(self, p):
+            self.local.delete_file(p)
+
+        def move(self, src, dst):
+            self.moves += 1
+            if self.moves <= self.fail_moves:
+                if self.sibling:
+                    Path(dst).write_bytes(b"{}")  # sibling wins the race
+                raise OSError("rename failed: destination exists")
+            self.local.move(src, dst)
+
+    def mk(name):
+        p = tmp_path / name
+        p.write_bytes(b"{}")
+        return str(p)
+
+    dest = str(tmp_path / "marker.json")
+
+    # 1. sibling published between delete and move: success, temp gone
+    tmp = mk("t1")
+    _publish_marker(RacingFS(1, True), tmp, dest)
+    assert Path(dest).exists() and not Path(tmp).exists()
+
+    # 2. transient move failure, no sibling: retried to success
+    Path(dest).unlink()
+    tmp = mk("t2")
+    _publish_marker(RacingFS(1, False), tmp, dest)
+    assert Path(dest).exists() and not Path(tmp).exists()
+
+    # 3. persistent failure, no sibling: raises after retries
+    Path(dest).unlink()
+    tmp = mk("t3")
+    with pytest.raises(OSError, match="rename failed"):
+        _publish_marker(RacingFS(99, False), tmp, dest)
 
 
 def test_input_listing_digest_modes(spark, tmp_path):
