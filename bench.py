@@ -44,6 +44,22 @@ HEADLINE = (
     "i03_pyramid_level",
 )
 
+# Dedup/ANN pair-loop family (VERDICT r9 #6: the headline list never
+# sampled it, so its biggest wins — d05's 30× norm precompute, d07's
+# bucketed self-join, n07's fat-cell collapse — were invisible to
+# BENCH).  Reported as its own block, NOT folded into total_query_sec,
+# which stays comparable round-over-round.  d07 materializes ~2M pair
+# rows at sf0.1 — timed via count() so the figure measures the join
+# engine, not 2M-row driver pickling (the full plan still executes:
+# count() sits above the join, nothing prunes it).
+DEDUP_BENCH = (
+    "d05_dedup_embedding_cosine",
+    "d07_simhash_hamming_pairs",
+    "n07_semantic_dedup",
+    "d14_hamming_neighbor_topk",
+)
+_COUNT_ONLY = {"d07_simhash_hamming_pairs"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,15 +76,14 @@ def main() -> None:
     # Per-query-shape warm-up at sf0.001 (~100× smaller than the
     # benchmark data): compiles each plan's whole-stage codegen once so
     # the timed runs below measure engine throughput, not JIT compile.
-    for name in HEADLINE:
+    for name in HEADLINE + DEDUP_BENCH:
         try:
             queries[name](spark, "/root/testdata/sf0.001").collect()
         except Exception as exc:  # warm-up must never fail the bench
             print(f"# warm-up {name} skipped: {exc}", file=sys.stderr)
     spark.catalog.clearCache()  # drop any persist() leftovers from warm-up
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def time_query(name: str) -> float:
         fn = queries[name]
         # Adaptive best-of: the container shares a host and neighbor
         # load can double a run at random.  Keep timing (max 4 runs)
@@ -79,18 +94,22 @@ def main() -> None:
         for attempt in range(4):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = len(df.collect())
+            n = df.count() if name in _COUNT_ONLY else len(df.collect())
             runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
             if attempt >= 1:
                 a, b = sorted(runs)[:2]
                 if b <= a * 1.3:
                     break
-        timings[name] = round(min(runs), 4)
+        best = round(min(runs), 4)
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows, {len(runs)} runs)",
+            f"# {name}: {best:.3f}s ({n} rows, {len(runs)} runs)",
             file=sys.stderr,
         )
+        return best
+
+    timings = {name: time_query(name) for name in HEADLINE}
+    dedup_timings = {name: time_query(name) for name in DEDUP_BENCH}
 
     # Imaging end-to-end (scan → decode → pyramid → OME-Zarr) on a
     # generated 2000×1600 stack tree, graduated from
@@ -104,7 +123,16 @@ def main() -> None:
     try:
         from tools.bench_imaging import run_e2e
 
-        imaging = run_e2e(spark, int(os.environ.get("IMG_BENCH_SLICES", "64")))
+        # Best-of-N (VERDICT r9 #7): the single-shot figure swung
+        # 50–199 MB/s across rounds on identical code — min-of-N
+        # wall-clock (= max throughput) is the honest statistic per
+        # BASELINE.md's own protocol.  All N throughputs are reported
+        # so a noise draw is visible instead of needing adjudication.
+        n_sl = int(os.environ.get("IMG_BENCH_SLICES", "64"))
+        reps = int(os.environ.get("IMG_BENCH_REPS", "3"))
+        attempts = [run_e2e(spark, n_sl) for _ in range(reps)]
+        imaging = dict(max(attempts, key=lambda m: m["mb_per_sec"]))
+        imaging["runs"] = [m["mb_per_sec"] for m in attempts]
         print(f"# imaging_e2e: {imaging}", file=sys.stderr)
     except Exception as exc:  # imaging bench must never fail the harness
         print(f"# imaging e2e skipped: {exc}", file=sys.stderr)
@@ -117,6 +145,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "dedup_queries": dedup_timings,
+                "dedup_total_sec": round(sum(dedup_timings.values()), 4),
                 "imaging_e2e": imaging,
                 "sf": sf,
             }
