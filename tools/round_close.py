@@ -12,6 +12,13 @@ Runs, in order, failing fast on the first non-zero exit:
 
 Usage:  python tools/round_close.py [--skip-pytest]
 Exit 0 = every gate green; the summary line is what NOTES quotes.
+
+The gate is anchored to a COMMIT (VERDICT r9 "what's wrong" #1: a
+NOTES block claimed "no source change after the gate" while a later
+commit had touched query source).  The tool refuses to run on a dirty
+tree, prints the exact HEAD hash in the summary line, and NOTES_r{N}
+must quote that hash; any commit after it that touches *.py outside
+tools/ re-triggers the gate.
 """
 
 from __future__ import annotations
@@ -41,6 +48,22 @@ def run(label: str, cmd: list[str], env: dict | None = None) -> None:
 
 def main() -> None:
     skip_pytest = "--skip-pytest" in sys.argv
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if dirty:
+        print(
+            "ROUND-CLOSE REFUSED: working tree is dirty — the gate "
+            "anchors to a commit, so commit (or stash) first:\n" + dirty,
+            flush=True,
+        )
+        sys.exit(2)
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    print(f"== gate tree: HEAD={head}", flush=True)
     if not skip_pytest:
         run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
     run("strict sf0.01", [sys.executable, "tools/strict_verify.py"])
@@ -72,7 +95,18 @@ def main() -> None:
             ),
         ],
     )
-    print("ROUND-CLOSE: ALL GREEN", flush=True)
+    now_head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if now_head != head:
+        print(
+            f"ROUND-CLOSE FAILED: HEAD moved during the gate "
+            f"({head} -> {now_head}) — rerun on the final tree",
+            flush=True,
+        )
+        sys.exit(3)
+    print(f"ROUND-CLOSE: ALL GREEN at {head}", flush=True)
 
 
 if __name__ == "__main__":
