@@ -57,6 +57,30 @@ ANNOTATIONS = {
         "`documents` AFTER a broadcast semi-join on candidate ids — "
         "non-candidate text is never re-tokenized."
     ),
+    "d07_simhash_hamming_pairs": (
+        "All-pairs ≤2-hamming listing over 16-bit simhash (r9 "
+        "rewrite). Look for: 4-bit pigeonhole bands from shiftright "
+        "masks (no explode of per-doc arrays into one row value — the "
+        "10× collect_list pair-explode OOM'd on ~n/64-sized buckets); "
+        "candidate pairs as a bucketed STREAMING self-join, a-side "
+        "salted doc1%8, b-side replicated ×8 via a broadcast-range "
+        "crossJoin; BOTH sides under EXPLICIT repartition (only 64 "
+        "distinct (band,bval) keys exist — AQE would coalesce the "
+        "pair loop onto ≤64, at sf0.1 ONE, task); hamming verify via "
+        "bit_count(xor) AFTER the distinct. Output is the diagnostic "
+        "full listing (~2M rows at sf0.1) — the bounded 100× contract "
+        "is d14."
+    ),
+    "d14_hamming_neighbor_topk": (
+        "Bounded per-doc neighbor top-k over d07's pair machinery "
+        "(round 10 — the contract a 100× consumer actually wants: "
+        "O(k·docs) output, not the quadratic listing). Look for: the "
+        "SAME bucketed-self-join subtree as d07; symmetrization as "
+        "one explode of a 2-struct array (no second join); the "
+        "row_number window PARTITIONED by doc_id with the rank<=k "
+        "filter planned as WindowGroupLimit, so each partition "
+        "retains k rows before any full sort."
+    ),
     "s05_ann_ivf": (
         "IVF ANN. Look for: the K-row centroid index folded to ONE array "
         "row and attached via `BroadcastNestedLoopJoin` (a 1-row build "
@@ -530,13 +554,19 @@ ANNOTATIONS = {
         "integer math. Observed wide exchanges: 4 (ceiling 5)."
     ),
     "n07_semantic_dedup": (
-        "SemDeDup composition (round 6): shared Lloyd trainer → "
-        "cluster-scoped pairwise cosine → keep-lowest-id. Look for: "
-        "assignment as a NARROW literal-centroid map (no corpus "
-        "shuffle inside iterations); the pair join keyed on `cell` so "
-        "work is Σ|cell|² (K sizes with the corpus); per-cell counts "
-        "as the K-too-small monitor. Observed wide exchanges: 1 "
-        "(ceiling 2)."
+        "SemDeDup composition (round 6; fat-cell guard round 10): "
+        "shared Lloyd trainer → (cell, vector) exact-dup collapse → "
+        "cluster-scoped pairwise cosine over group REPRESENTATIVES → "
+        "keep-lowest-id. Look for: assignment as a NARROW "
+        "literal-centroid map (no corpus shuffle inside iterations); "
+        "the (cell, v) hash aggregate BEFORE the pair join, so the "
+        "quadratic term is Σ|distinct-per-cell|², not Σ|cell|² (a "
+        "duplicate-heavy corpus — the 10× sweep's 271 s wall — "
+        "collapses to base-corpus pair work: 9.6 s); the pair join "
+        "under EXPLICIT AQE-exempt (cell, bucket) repartitions; "
+        "intra-group drops from ONE conditional aggregate over the "
+        "groups (no filter fork of the collapse subtree). Observed "
+        "wide exchanges: 2 (ceiling 2)."
     ),
     "n09_cross_source_contamination": (
         "Cross-source contamination matrix (round 6). Look for: ONE "
