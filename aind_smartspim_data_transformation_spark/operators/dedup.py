@@ -467,29 +467,83 @@ def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # per-row bucket expression: no explode, no shuffle (similarity.py)
     wb = e.withColumn("bucket", S._bucket_expr())
-    # Norms are per-VECTOR, computed once here — not per PAIR inside
-    # the join: the interpreted array loops (zip_with/aggregate are
-    # CodegenFallback) dominate the pair stage, and evaluating
-    # norm(va)+norm(vb)+dot per pair does 3× the array work of dot
-    # alone.  sqrt(norm) per vector then na*nb per pair is the same
-    # float expression tree, so results are bit-identical.
-    a = wb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket",
-        F.sqrt(S._norm_sq("embedding")).alias("na"),
+    # FAT-GROUP GUARD (r10, same class as n07's fat-cell collapse):
+    # group EXACT-duplicate vectors before the pair loop, run the
+    # interpreted cosine (zip_with/aggregate are CodegenFallback — the
+    # dominant cost) once per DISTINCT vector pair, then re-expand to
+    # id-level pairs.  The listing contract is preserved exactly: a
+    # cross-group id pair inherits its groups' cosine (float dot/mul
+    # are commutative bitwise, so operand order never matters), and
+    # intra-group pairs get the selfcos of the shared vector through
+    # the identical expression tree (finite nonzero → rounds to 1.0;
+    # degenerate zero/NaN vectors → NaN, which fails the threshold in
+    # both formulations).  A verbatim-replicated corpus (the 100×
+    # sweep regime) thus pays base-corpus cosine work plus
+    # output-sized expansion, not multiplicity² interpreted loops.
+    # Group width = exact-copy multiplicity of ONE vector (not a
+    # bucket of distinct docs — the d07 OOM class), so the collected
+    # ids array is small by construction; norms are per-VECTOR (r9:
+    # per-pair norm evaluation did 3× the array work of dot alone).
+    groups = (
+        wb.groupBy("bucket", "embedding")
+        .agg(
+            F.array_sort(F.collect_list("vec_id")).alias("ids"),
+            F.min("vec_id").alias("rep"),
+        )
+        .withColumn("nrm", F.sqrt(S._norm_sq("embedding")))
     )
-    b = wb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        F.col("bucket").alias("bucket_b"),
-        F.sqrt(S._norm_sq("embedding")).alias("nb"),
+    a = groups.select(
+        "bucket", F.col("rep").alias("rep_a"),
+        F.col("embedding").alias("va"), F.col("ids").alias("ids_a"),
+        F.col("nrm").alias("na"),
     )
-    cos = S._dot("va", "vb") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+    b = groups.select(
+        F.col("bucket").alias("bucket_b"), F.col("rep").alias("rep_b"),
+        F.col("embedding").alias("vb"), F.col("ids").alias("ids_b"),
+        F.col("nrm").alias("nb"),
+    )
+    # NULL-divisor guard: a zero-norm (or NaN-norm) vector makes the
+    # denominator 0, which under Spark-4 ANSI mode THROWS on double
+    # division while DuckDB yields NULL — guarding the divisor to NULL
+    # reproduces the oracle exactly (NULL cosine fails the threshold,
+    # the degenerate pair is dropped) and is bit-identical for every
+    # nonzero denominator.
+    den = F.col("na") * F.col("nb")
+    cos = S._dot("va", "vb") / F.when(den != F.lit(0.0), den)
+    cross = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("rep_a") < F.col("rep_b")),
+        )
         .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
-        .select("id_a", "id_b", "bucket", "cosine")
-        .orderBy("id_a", "id_b")
+        # two streamed explodes (never an in-row pair array — d07's
+        # OOM lesson): work here is exactly output size
+        .select("bucket", "cosine", F.explode("ids_a").alias("x"), "ids_b")
+        .select("bucket", "cosine", "x", F.explode("ids_b").alias("y"))
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "bucket",
+            "cosine",
+        )
     )
+    selfden = F.col("nrm") * F.col("nrm")
+    selfcos = S._dot("embedding", "embedding") / F.when(
+        selfden != F.lit(0.0), selfden
+    )
+    intra = (
+        groups.withColumn("cosine", F.round(selfcos, 6))
+        .filter(
+            (F.size("ids") > 1) & (F.col("cosine") >= EMB_DUP_THRESHOLD)
+        )
+        .select("bucket", "cosine", F.explode("ids").alias("id_a"), "ids")
+        .select("bucket", "cosine", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bucket", "cosine")
+    )
+    return cross.unionByName(intra).orderBy("id_a", "id_b")
 
 
 def _d05_sql() -> str:
@@ -537,9 +591,10 @@ _BANDS_16 = ((0, 0x3F), (6, 0x1F), (11, 0x1F))  # (shift, mask): 6/5/5 bits
 
 
 def _hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered verified pair set (doc1 < doc2, hamming ≤ 2) — shared
-    by d07 (the full diagnostic listing) and d14 (the bounded per-doc
-    neighbor top-k a 100× consumer actually wants)."""
+    """Unordered verified pair set (doc1 < doc2, hamming ≤ 2) — d07's
+    full diagnostic listing.  d14 (the bounded per-doc neighbor top-k
+    a 100× consumer actually wants) no longer shares it: its r10
+    sig-group formulation never enumerates doc-level pairs."""
     sigs = _simhash_sigs(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -661,16 +716,33 @@ ORDER BY doc1, doc2
 
 
 # ---------------------------------------------------------------------------
-# D14 — bounded neighbor report over the d07 pair machinery: per-doc
-# top-k nearest ≤2-hamming neighbors (rank by hamming, then neighbor
-# id).  d07's contract materializes EVERY pair — ~20G rows at 100× —
-# but the consumer of a near-dup report at that scale wants "who are
-# this doc's closest near-dups", which is ≤ k rows per doc no matter
-# how duplicate-dense the corpus is.  Same streamed bucketed
-# self-join; each verified pair is exploded into both directions IN
-# ONE PASS (no self-union, which would execute the join subtree
-# twice), then one row_number window partitioned by doc_id — shuffle
-# keyed on doc_id, no skew (per-doc fan-in is bucket-bounded).
+# D14 — bounded per-doc neighbor report: top-k nearest ≤2-hamming
+# neighbors (rank by hamming, then neighbor id).  d07's contract
+# materializes EVERY pair — ~20G rows at 100× — but the consumer of a
+# near-dup report at that scale wants "who are this doc's closest
+# near-dups", which is ≤ k rows per doc no matter how duplicate-dense
+# the corpus is.
+#
+# The r10 rewrite makes the INTERMEDIATE bounded too (the first d14
+# ran d07's pair join and bounded only the output — a 100× sweep
+# still paid the ~20G-pair enumeration).  Key fact: the signature
+# space is 16 bits, so there are ≤65536 DISTINCT simhash groups and
+# ≤137 groups within hamming ≤2 of any group (Σ C(16,0..2)).
+# Pipeline:
+#   1. rank members within each sig group (one window; WindowGroupLimit
+#      retains k+1 rows per group before any sort) — only a group's
+#      k+1 SMALLEST ids can appear in ANY doc's top-k, because a
+#      non-smallest member is dominated, at equal hamming, by k
+#      smaller ids from its own group;
+#   2. hamming once per DISTINCT-sig pair over the pigeonhole bands
+#      (≤65536 rows per side — a constant-size subplan, broadcast);
+#   3. symmetrize + a (sig, sig, 0) self edge for multi-member groups,
+#      then expand each doc against its neighbor groups' k+1-smallest
+#      arrays: ≤ 137·(k+1) candidate rows per doc — LINEAR in corpus;
+#   4. one row_number window partitioned by doc_id.
+# Work: two doc-sided shuffles (sig window, doc_id window) + a
+# constant sig-pair subplan.  No quadratic term anywhere — a verbatim
+# ×100 replication costs ×100, not ×10⁴.
 # ---------------------------------------------------------------------------
 NEIGHBOR_TOPK = 3
 
@@ -678,27 +750,107 @@ NEIGHBOR_TOPK = 3
 def d14_hamming_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    pairs = _hamming_pairs(spark, sf_dir)
-    sym = pairs.select(
+    k = NEIGHBOR_TOPK
+    sigs = _simhash_sigs(spark, sf_dir)
+    # 1. per-group member count + the k+1 smallest ids, in ONE pass:
+    # the rank window's rank<=k+1 filter plans as WindowGroupLimit, so
+    # a fat signature group (the 100× replication regime: ~n/|sigs|
+    # members) is pruned to k+1 rows before the aggregate.
+    wsig = W.partitionBy("simhash").orderBy("doc_id")
+    ranked = sigs.withColumn("rn", F.row_number().over(wsig))
+    groups = ranked.groupBy("simhash").agg(
+        F.count("*").alias("cnt"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("rn") <= k + 1, F.col("doc_id")))
+        ).alias("top_ids"),
+    )
+    # 2. hamming per DISTINCT-sig pair via the same pigeonhole bands
+    # as d07 (sound AND complete for hamming<=2: 2 bit errors corrupt
+    # <=2 of the 3 bands).  Both sides are <=65536 rows.
+    dband = groups.select(
+        "simhash",
         F.explode(
             F.array(
-                F.struct(
-                    F.col("doc1").alias("doc_id"),
-                    F.col("doc2").alias("nbr_id"),
-                    F.col("hamming"),
-                ),
-                F.struct(
-                    F.col("doc2").alias("doc_id"),
-                    F.col("doc1").alias("nbr_id"),
-                    F.col("hamming"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.expr(f"shiftright(simhash, {sh}) & {mask}").alias(
+                            "bval"
+                        ),
+                    )
+                    for j, (sh, mask) in enumerate(_BANDS_16)
+                ]
             )
-        ).alias("p")
-    ).select("p.*")
+        ).alias("b"),
+    ).select("simhash", "b.band_id", "b.bval")
+    sp = (
+        dband.join(
+            dband.select(
+                F.col("simhash").alias("sig2"),
+                F.col("band_id").alias("band_id2"),
+                F.col("bval").alias("bval2"),
+            ),
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("bval") == F.col("bval2"))
+            & (F.col("simhash") < F.col("sig2")),
+        )
+        .select("simhash", "sig2")
+        .distinct()
+        .withColumn(
+            "hamming", F.expr("bit_count(simhash ^ sig2)").cast("int")
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    # 3. symmetrize; add the intra-group (sig, sig, 0) edge for groups
+    # with >=2 members
+    sym = (
+        sp.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("simhash"),
+                        F.col("sig2").alias("nbr_sig"),
+                        F.col("hamming"),
+                    ),
+                    F.struct(
+                        F.col("sig2").alias("simhash"),
+                        F.col("simhash").alias("nbr_sig"),
+                        F.col("hamming"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .unionByName(
+            groups.filter(F.col("cnt") >= 2).select(
+                "simhash",
+                F.col("simhash").alias("nbr_sig"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+    )
+    # 4. expand docs against neighbor groups' bounded id arrays — both
+    # joined sides are sig-keyed constants, so they BROADCAST and the
+    # doc table flows through unshuffled into the per-doc window
+    cand = (
+        sigs.join(F.broadcast(sym), "simhash")
+        .join(
+            F.broadcast(
+                groups.select(
+                    F.col("simhash").alias("nbr_sig"), "top_ids"
+                )
+            ),
+            "nbr_sig",
+        )
+        .select(
+            "doc_id", "hamming", F.explode("top_ids").alias("nbr_id")
+        )
+        .filter(F.col("nbr_id") != F.col("doc_id"))
+    )
     w = W.partitionBy("doc_id").orderBy("hamming", "nbr_id")
     return (
-        sym.withColumn("nbr_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("nbr_rank") <= NEIGHBOR_TOPK)
+        cand.withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nbr_rank") <= k)
         .select("doc_id", "nbr_rank", "nbr_id", "hamming")
         .orderBy("doc_id", "nbr_rank")
     )

@@ -1374,8 +1374,8 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   to the representative pair loop with min(g') < min(g) (any
     #   non-rep b > min(g) with a qualifying g' is already intra-
     #   dropped: selfcos of a finite nonzero vector rounds to 1, and a
-    #   degenerate vector — zero/NaN/±inf norm — has NaN cos against
-    #   EVERYTHING, so it neither drops nor gets dropped, which the
+    #   zero-norm vector's cos is NULL-guarded (ANSI: see the divisor
+    #   guards below) so it neither drops nor gets dropped, which the
     #   selfcos gate reproduces exactly).
     groups = assigned.groupBy("cell", "v").agg(
         F.min("vec_id").alias("rep_id"), F.count("*").alias("cnt")
@@ -1415,7 +1415,12 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(n_parts, "cell_b", "bk_b")
     )
-    cos = S._dot("va", "vb") / (F.col("na") * F.col("nb"))
+    # NULL-divisor guard (see d05): a zero-norm vector's 0 denominator
+    # THROWS under Spark-4 ANSI double division; DuckDB yields NULL.
+    # NULL cosine fails the eps gate, so the degenerate vector neither
+    # drops nor gets dropped — on both engines.
+    _den = F.col("na") * F.col("nb")
+    cos = S._dot("va", "vb") / F.when(_den != F.lit(0.0), _den)
     rep_drops = (
         a.join(
             b,
@@ -1436,9 +1441,8 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `groups` (a selfcos FILTER would be pushed below the (cell,v)
     # aggregate into the scan, forking the subtree and defeating
     # exchange reuse — observed: two full corpus (cell,v) shuffles).
-    selfcos = S._dot("v", "v") / (
-        F.sqrt(S._norm_sq("v")) * F.sqrt(S._norm_sq("v"))
-    )
+    _selfden = F.sqrt(S._norm_sq("v")) * F.sqrt(S._norm_sq("v"))
+    selfcos = S._dot("v", "v") / F.when(_selfden != F.lit(0.0), _selfden)
     cellstats = groups.groupBy("cell").agg(
         F.sum("cnt").alias("n_vectors"),
         F.sum(

@@ -83,6 +83,59 @@ def test_minhash_degenerate_bucket_cap(spark, tmp_path):
     assert con.execute(dedup.ORACLE["d03_dedup_minhash_lsh"]).fetchall() == []
 
 
+def test_embedding_cosine_pairs_planted(spark, tmp_path):
+    """d05 (r10 fat-group collapse): the base corpora carry no
+    embedding near-dups at the 0.9 threshold, so the oracle rows there
+    are empty=empty — this plants real structure and checks the full
+    listing against the DuckDB oracle: intra-group pairs (exact
+    copies, selfcos → 1.0), cross-group pairs (a positively scaled
+    copy shares the sign-LSH bucket, cosine → 1.0), and degenerate
+    zero vectors that must never pair (NaN cosine on both engines)."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=16).astype("float32")
+    other = rng.normal(size=16).astype("float32")
+    rows = [
+        (1, [float(x) for x in v], 0),
+        (2, [float(x) for x in v], 0),          # exact copy
+        (3, [float(x) for x in v], 0),          # exact copy
+        (4, [float(x) * 1.001 for x in v], 0),  # scaled near-dup
+        (5, [float(x) for x in other], 1),      # unrelated
+        (6, [0.0] * 16, 2),                     # zero vector
+        (7, [0.0] * 16, 2),                     # zero vector
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in dedup.d05_dedup_embedding_cosine(
+            spark, str(tmp_path)
+        ).collect()
+    )
+    # 3 intra pairs among {1,2,3} + 3 cross pairs with 4; never 6/7
+    assert [(a, b) for a, b, _ in got] == [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+    ]
+    assert all(c >= dedup.EMB_DUP_THRESHOLD for _, _, c in got)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        (a, b, round(c, 6))
+        for a, b, _, c in con.execute(
+            dedup.ORACLE["d05_dedup_embedding_cosine"]
+        ).fetchall()
+    )
+    assert got == oracle
+
+
 def test_substring_coverage_planted_span(spark, tmp_path):
     """d10: a 12-token verbatim run shared by two docs yields ONE merged
     span of exactly 12 tokens in each (five overlapping 8-token windows

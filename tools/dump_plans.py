@@ -72,14 +72,20 @@ ANNOTATIONS = {
         "is d14."
     ),
     "d14_hamming_neighbor_topk": (
-        "Bounded per-doc neighbor top-k over d07's pair machinery "
-        "(round 10 — the contract a 100× consumer actually wants: "
-        "O(k·docs) output, not the quadratic listing). Look for: the "
-        "SAME bucketed-self-join subtree as d07; symmetrization as "
-        "one explode of a 2-struct array (no second join); the "
-        "row_number window PARTITIONED by doc_id with the rank<=k "
-        "filter planned as WindowGroupLimit, so each partition "
-        "retains k rows before any full sort."
+        "Bounded per-doc neighbor top-k (round 10 — the contract a "
+        "100× consumer actually wants). BOTH output AND intermediate "
+        "are linear: the signature space is 16 bits, so hamming is "
+        "computed once per DISTINCT-sig pair (≤65536-row sides, "
+        "broadcast) and each doc expands only against its ≤137 "
+        "neighbor groups' k+1-SMALLEST id arrays (a non-smallest "
+        "member is dominated at equal hamming by smaller ids from "
+        "its own group). Look for: TWO WindowGroupLimit nodes (the "
+        "per-sig member rank pruned to k+1 before the aggregate; the "
+        "final per-doc rank pruned to k); the sym and top_ids joins "
+        "as BroadcastHashJoin — the doc table never shuffles except "
+        "for the two windows; no doc-level pair join anywhere (the "
+        "first d14 bounded only the output and still paid d07's "
+        "~20G-pair enumeration at 100×)."
     ),
     "s05_ann_ivf": (
         "IVF ANN. Look for: the K-row centroid index folded to ONE array "
