@@ -752,17 +752,19 @@ def d14_hamming_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = NEIGHBOR_TOPK
     sigs = _simhash_sigs(spark, sf_dir)
-    # 1. per-group member count + the k+1 smallest ids, in ONE pass:
-    # the rank window's rank<=k+1 filter plans as WindowGroupLimit, so
-    # a fat signature group (the 100× replication regime: ~n/|sigs|
-    # members) is pruned to k+1 rows before the aggregate.
+    # 1. per-group k+1 smallest ids: the rank window's rank<=k+1
+    # FILTER (not a conditional inside the aggregate — that would
+    # force a full-group count pass and forfeit the prune) plans as
+    # WindowGroupLimit, so a fat signature group (the 100×
+    # replication regime: ~n/|sigs| members) is pruned to k+1 rows
+    # before the aggregate.  No member count is kept: "group has >=2
+    # members" is exactly size(top_ids) >= 2 since k+1 >= 2.
     wsig = W.partitionBy("simhash").orderBy("doc_id")
-    ranked = sigs.withColumn("rn", F.row_number().over(wsig))
+    ranked = sigs.withColumn("rn", F.row_number().over(wsig)).filter(
+        F.col("rn") <= k + 1
+    )
     groups = ranked.groupBy("simhash").agg(
-        F.count("*").alias("cnt"),
-        F.array_sort(
-            F.collect_list(F.when(F.col("rn") <= k + 1, F.col("doc_id")))
-        ).alias("top_ids"),
+        F.array_sort(F.collect_list("doc_id")).alias("top_ids")
     )
     # 2. hamming per DISTINCT-sig pair via the same pigeonhole bands
     # as d07 (sound AND complete for hamming<=2: 2 bit errors corrupt
@@ -822,7 +824,7 @@ def d14_hamming_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.*")
         .unionByName(
-            groups.filter(F.col("cnt") >= 2).select(
+            groups.filter(F.size("top_ids") >= 2).select(
                 "simhash",
                 F.col("simhash").alias("nbr_sig"),
                 F.lit(0).cast("int").alias("hamming"),

@@ -203,3 +203,23 @@ def test_pair_loops_keep_explicit_repartition(spark, sf_dir, tmp_path):
         "n07 lost its explicit pair-join repartition — AQE will "
         "serialize the cell pair loop again"
     )
+
+
+def test_d14_stays_linear(spark, sf_dir):
+    """d14's r10 contract: NO doc-level pair join anywhere.  The
+    sig-pair subplan is a broadcast constant (the sym and top_ids
+    joins are BroadcastHashJoin), and both rank windows plan as
+    WindowGroupLimit so a fat signature group is pruned to k+1 rows
+    before any aggregate/sort.  Losing either property re-introduces
+    the quadratic intermediate the 100× sweep caught (v1 ran >25 min
+    at factor 100; this shape runs 16 s)."""
+    plan = _final_plan(
+        registry.all_queries()["d14_hamming_neighbor_topk"](spark, sf_dir)
+    )
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "a d14 rank window lost its WindowGroupLimit pruning"
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, (
+        "d14's sig-keyed joins must broadcast — a sort-merge join "
+        "means a doc-sided shuffle (or a doc-level pair join) came back"
+    )
