@@ -592,76 +592,105 @@ _BANDS_16 = ((0, 0x3F), (6, 0x1F), (11, 0x1F))  # (shift, mask): 6/5/5 bits
 
 def _hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered verified pair set (doc1 < doc2, hamming ≤ 2) — d07's
-    full diagnostic listing.  d14 (the bounded per-doc neighbor top-k
-    a 100× consumer actually wants) no longer shares it: its r10
-    sig-group formulation never enumerates doc-level pairs."""
+    full diagnostic listing.
+
+    r10 formulation (the d14 trick applied to the unbounded contract):
+    the signature space is 16 bits, so hamming is decided ONCE per
+    DISTINCT-sig pair on ≤65536-row sides — the r9 plan enumerated
+    doc-level candidates through a bucketed band self-join and then
+    paid a 200M-row DISTINCT plus two sig re-joins at a 10× sweep.
+    Here the only doc-sided work is the final expansion join, whose
+    row count IS the output (each unordered doc pair is produced
+    exactly once: cross-group pairs from the sig1 < sig2 direction,
+    intra-group pairs from the doc1 < doc2 guard on the self edge —
+    no distinct anywhere).  The expansion is salted exactly like the
+    r9 pair loop (probe side doc1 % B, build side replicated ×B, both
+    under EXPLICIT AQE-exempt repartition): a verbatim-replica corpus
+    collapses every replica group onto ONE sig, and without the salt
+    the whole |group|² expansion of a fat sig would land on one task.
+    """
     sigs = _simhash_sigs(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
+    # distinct-sig pair table: pigeonhole bands (sound AND complete
+    # for hamming<=2 — 2 bit errors corrupt <=2 of the 3 bands) over a
+    # <=65536-row side; the distinct here is sig-pair-sized, constant
+    dsigs = sigs.select("simhash").distinct()
+    dband = dsigs.select(
+        "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("band_id"),
-                        F.expr(f"shiftright(simhash, {sh}) & {mask}").alias("bval"),
+                        F.expr(f"shiftright(simhash, {sh}) & {mask}").alias(
+                            "bval"
+                        ),
                     )
                     for j, (sh, mask) in enumerate(_BANDS_16)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.bval")
-    # Candidate pairs by bucketed SELF-JOIN, not collect_list + pair
-    # explode: d07's pigeonhole bands are 4-bit (hamming ≤ 2 over a
-    # 16-bit signature needs one of 4 equal nibbles), so a bucket
-    # holds ~n/64 docs and the d03-style in-array expansion would
-    # materialize |bucket|²/2 pair structs as ONE row value — at a
-    # 10× sweep (50k docs, ~12.5k-doc buckets → ~78M structs) that is
-    # gigabytes in a single GenericArrayData and OOMs the JVM.  The
-    # join STREAMS the same pairs.  d03 keeps the in-array form
-    # because its 64-bit-minhash buckets are tiny by construction
-    # (MAX_BAND_BUCKET-capped); d07's all-pairs contract has no cap.
-    # The a-side is bucketed (doc1 % B, b-side replicated ×B) and both
-    # sides carry an EXPLICIT partition count: only 64 distinct
-    # (band, bval) keys exist, so without it the 10× pair loop lands
-    # on ≤64 AQE-coalesced tasks (and at sf0.1 on ONE).
+    ).select("simhash", "b.band_id", "b.bval")
+    sp = (
+        dband.join(
+            dband.select(
+                F.col("simhash").alias("sig2"),
+                F.col("band_id").alias("band_id2"),
+                F.col("bval").alias("bval2"),
+            ),
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("bval") == F.col("bval2"))
+            & (F.col("simhash") < F.col("sig2")),
+        )
+        .select("simhash", "sig2")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(simhash ^ sig2)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    # self edge per sig: intra-group pairs (exact-duplicate docs,
+    # hamming 0); single-member groups emit nothing under doc1 < doc2
+    allp = sp.unionByName(
+        dsigs.select(
+            "simhash",
+            F.col("simhash").alias("sig2"),
+            F.lit(0).cast(
+                sp.schema["hamming"].dataType.simpleString()
+            ).alias("hamming"),
+        )
+    )
+    # output-sized expansion join, salted against fat-sig skew
     B = 8
     n_parts = 4 * spark.sparkContext.defaultParallelism
-    b1 = bands.select(
-        "band_id",
-        "bval",
-        F.col("doc_id").alias("doc1"),
-        (F.col("doc_id") % B).alias("bk"),
-    ).repartition(n_parts, "band_id", "bval", "bk")
-    b2 = (
-        bands.select(
-            F.col("band_id").alias("band_id2"),
-            F.col("bval").alias("bval2"),
-            F.col("doc_id").alias("doc2"),
+    m1 = (
+        sigs.select(F.col("doc_id").alias("doc1"), "simhash")
+        .join(F.broadcast(allp), "simhash")
+        .select(
+            "doc1", "sig2", "hamming", (F.col("doc1") % B).alias("bk")
+        )
+        .repartition(n_parts, "sig2", "bk")
+    )
+    m2 = (
+        sigs.select(
+            F.col("simhash").alias("sig2b"), F.col("doc_id").alias("doc2")
         )
         .crossJoin(
             F.broadcast(spark.range(B).select(F.col("id").alias("bk2")))
         )
-        .repartition(n_parts, "band_id2", "bval2", "bk2")
+        .repartition(n_parts, "sig2b", "bk2")
     )
-    cand = (
-        b1.join(
-            b2,
-            (F.col("band_id") == F.col("band_id2"))
-            & (F.col("bval") == F.col("bval2"))
-            & (F.col("bk") == F.col("bk2"))
-            & (F.col("doc1") < F.col("doc2")),
-        )
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("sig1"))
-    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("sig2"))
     return (
-        cand.join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
-        .withColumn("hamming", F.expr("bit_count(sig1 ^ sig2)"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("doc1", "doc2", "hamming")
+        m1.join(
+            m2,
+            (F.col("sig2") == F.col("sig2b"))
+            & (F.col("bk") == F.col("bk2"))
+            # intra pairs once; cross pairs are already unique via the
+            # sig1 < sig2 direction
+            & ((F.col("hamming") > 0) | (F.col("doc1") < F.col("doc2"))),
+        )
+        .select(
+            F.least("doc1", "doc2").alias("doc1"),
+            F.greatest("doc1", "doc2").alias("doc2"),
+            "hamming",
+        )
     )
 
 
