@@ -23,14 +23,14 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # leading list is (a) all keys with no driver row yet, oldest first,
 # then (b) this round's brand-new keys; r-green families trail.
 #
-# Round-10 rotation: the three queries whose plans were REWRITTEN in
-# r9 but that never landed in r9's sample window (the r9 verdict's
-# standing-invariant call-out): d07 (collect_list pair-explode →
-# bucketed streaming self-join), n07 (AQE-exempt explicit repartition
-# around the cell-pair loop + per-vector norms; r10 adds the fat-cell
-# digest pre-collapse), d05 (per-vector norm precompute).  Then this
-# round's brand-new keys (invariant (b)): d14, the bounded
-# neighbor-top-k contract over d07's pair machinery.
+# Round-10 rotation: the three queries whose plans were rewritten in
+# r9 — and rewritten AGAIN in r10 — with no driver row on the current
+# shapes (the r9 verdict's standing-invariant call-out): d07 (r10:
+# hamming once per distinct-sig pair + output-sized salted expansion,
+# no doc-level distinct), n07 (r10: fat-cell exact-duplicate collapse
+# before the rep pair loop), d05 (r10: fat-group collapse with
+# id-level re-expansion).  Then this round's brand-new key
+# (invariant (b)): d14, the bounded neighbor-top-k in sig-group form.
 _LEADING_R10 = [
     # plan changed in r9 (and n07 again in r10) — no driver row on the
     # current shapes yet
