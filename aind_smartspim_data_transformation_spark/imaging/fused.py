@@ -117,7 +117,17 @@ def _publish_marker(fs, tmp: str, dest: str) -> None:
             return
         except OSError as exc:
             last_exc = exc
-            if fs.get_file_info(dest).type != _pafs.FileType.NotFound:
+            # the recovery probe itself may hit the same transient
+            # blip the retry loop exists for — a probe failure must
+            # consume this attempt, not abort the remaining retries
+            # with the move error masked
+            try:
+                dest_exists = (
+                    fs.get_file_info(dest).type != _pafs.FileType.NotFound
+                )
+            except OSError:
+                continue
+            if dest_exists:
                 # sibling's byte-equivalent marker; drop our temp
                 try:
                     fs.delete_file(tmp)
@@ -421,6 +431,7 @@ def input_listing_digest(
     root: str,
     stack_filter: list[tuple[str, str]] | None = None,
     mode: str = "metadata",
+    listing: "DataFrame | None" = None,
 ) -> str:
     """Order-independent digest of the input tree, for resume safety.
 
@@ -446,16 +457,24 @@ def input_listing_digest(
     Both modes fold a 60-bit prefix of each per-file sha256 into a
     DECIMAL(38,0) sum — commutative (listing order never matters) and
     constant driver-side state.
+
+    Pass ``listing`` (a scan_stack_files DataFrame for ``root``) to
+    reuse an already-built file index: each scan_stack_files call
+    performs its own recursive file-status listing of the tree, which
+    at acquisition scale is minutes of driver-side LIST traffic —
+    run_fused_ingest shares ONE listing between this digest and its
+    band groups.
     """
     if mode not in ("metadata", "content"):
         raise ValueError(
             f"resume digest mode must be 'metadata' or 'content', got {mode!r}"
         )
-    from aind_smartspim_data_transformation_spark.sources.stack_reader import (
-        scan_stack_files,
-    )
+    if listing is None:
+        from aind_smartspim_data_transformation_spark.sources.stack_reader import (
+            scan_stack_files,
+        )
 
-    listing = scan_stack_files(spark, root)
+        listing = scan_stack_files(spark, root)
     if stack_filter is not None:
         _keys = spark.createDataFrame(
             list(stack_filter), "channel string, stack string"
@@ -607,11 +626,19 @@ def run_fused_ingest(
     # docstring — "metadata" is a metadata-only scan with a documented
     # timestamp-preserving-replacement blind spot; "content" reads
     # every byte and closes it.
+    # ONE scan_stack_files (one recursive file-status listing of the
+    # tree) shared between the digest and the band groups — a second
+    # scan would re-list the whole acquisition
+    full_listing = scan_stack_files(spark, root)
     content_fp = input_listing_digest(
-        spark, root, stack_filter=stack_filter, mode=resume_digest
+        spark,
+        root,
+        stack_filter=stack_filter,
+        mode=resume_digest,
+        listing=full_listing,
     )
-    # listing reused below for the band groups (content pruned here)
-    listing = scan_stack_files(spark, root).select(
+    # band-group view of the same listing (content pruned by Catalyst)
+    listing = full_listing.select(
         "path", "channel", "stack", "length", "mtime"
     )
     if stack_filter is not None:

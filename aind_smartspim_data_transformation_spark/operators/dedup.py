@@ -590,6 +590,48 @@ HAMMING_MAX = 2
 _BANDS_16 = ((0, 0x3F), (6, 0x1F), (11, 0x1F))  # (shift, mask): 6/5/5 bits
 
 
+def _sig_pairs(dsigs: DataFrame) -> DataFrame:
+    """(simhash, sig2, hamming) over DISTINCT signatures, simhash <
+    sig2, hamming ≤ HAMMING_MAX — the constant-size subplan shared by
+    d07 (full listing) and d14 (bounded top-k); its DuckDB twin is the
+    sig-level portion of `_hamming_pairs_cte`.  Candidates come from
+    the pigeonhole bands (sound AND complete for hamming ≤ 2: 2 bit
+    errors corrupt ≤ 2 of the 3 bands), both sides ≤ 65536 rows, so
+    the distinct here is sig-pair-sized, never doc-sized."""
+    dband = dsigs.select(
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.expr(f"shiftright(simhash, {sh}) & {mask}").alias(
+                            "bval"
+                        ),
+                    )
+                    for j, (sh, mask) in enumerate(_BANDS_16)
+                ]
+            )
+        ).alias("b"),
+    ).select("simhash", "b.band_id", "b.bval")
+    return (
+        dband.join(
+            dband.select(
+                F.col("simhash").alias("sig2"),
+                F.col("band_id").alias("band_id2"),
+                F.col("bval").alias("bval2"),
+            ),
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("bval") == F.col("bval2"))
+            & (F.col("simhash") < F.col("sig2")),
+        )
+        .select("simhash", "sig2")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(simhash ^ sig2)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
 def _hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered verified pair set (doc1 < doc2, hamming ≤ 2) — d07's
     full diagnostic listing.
@@ -610,42 +652,8 @@ def _hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole |group|² expansion of a fat sig would land on one task.
     """
     sigs = _simhash_sigs(spark, sf_dir)
-    # distinct-sig pair table: pigeonhole bands (sound AND complete
-    # for hamming<=2 — 2 bit errors corrupt <=2 of the 3 bands) over a
-    # <=65536-row side; the distinct here is sig-pair-sized, constant
     dsigs = sigs.select("simhash").distinct()
-    dband = dsigs.select(
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.expr(f"shiftright(simhash, {sh}) & {mask}").alias(
-                            "bval"
-                        ),
-                    )
-                    for j, (sh, mask) in enumerate(_BANDS_16)
-                ]
-            )
-        ).alias("b"),
-    ).select("simhash", "b.band_id", "b.bval")
-    sp = (
-        dband.join(
-            dband.select(
-                F.col("simhash").alias("sig2"),
-                F.col("band_id").alias("band_id2"),
-                F.col("bval").alias("bval2"),
-            ),
-            (F.col("band_id") == F.col("band_id2"))
-            & (F.col("bval") == F.col("bval2"))
-            & (F.col("simhash") < F.col("sig2")),
-        )
-        .select("simhash", "sig2")
-        .distinct()
-        .withColumn("hamming", F.expr("bit_count(simhash ^ sig2)"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
-    )
+    sp = _sig_pairs(dsigs)
     # self edge per sig: intra-group pairs (exact-duplicate docs,
     # hamming 0); single-member groups emit nothing under doc1 < doc2
     allp = sp.unionByName(
@@ -795,43 +803,9 @@ def d14_hamming_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = ranked.groupBy("simhash").agg(
         F.array_sort(F.collect_list("doc_id")).alias("top_ids")
     )
-    # 2. hamming per DISTINCT-sig pair via the same pigeonhole bands
-    # as d07 (sound AND complete for hamming<=2: 2 bit errors corrupt
-    # <=2 of the 3 bands).  Both sides are <=65536 rows.
-    dband = groups.select(
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.expr(f"shiftright(simhash, {sh}) & {mask}").alias(
-                            "bval"
-                        ),
-                    )
-                    for j, (sh, mask) in enumerate(_BANDS_16)
-                ]
-            )
-        ).alias("b"),
-    ).select("simhash", "b.band_id", "b.bval")
-    sp = (
-        dband.join(
-            dband.select(
-                F.col("simhash").alias("sig2"),
-                F.col("band_id").alias("band_id2"),
-                F.col("bval").alias("bval2"),
-            ),
-            (F.col("band_id") == F.col("band_id2"))
-            & (F.col("bval") == F.col("bval2"))
-            & (F.col("simhash") < F.col("sig2")),
-        )
-        .select("simhash", "sig2")
-        .distinct()
-        .withColumn(
-            "hamming", F.expr("bit_count(simhash ^ sig2)").cast("int")
-        )
-        .filter(F.col("hamming") <= HAMMING_MAX)
-    )
+    # 2. hamming per DISTINCT-sig pair (shared _sig_pairs subplan —
+    # `groups` is distinct-by-construction on simhash)
+    sp = _sig_pairs(groups.select("simhash"))
     # 3. symmetrize; add the intra-group (sig, sig, 0) edge for groups
     # with >=2 members
     sym = (

@@ -30,19 +30,22 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-# One scoped clone per parent session (weak-keyed so a torn-down parent
-# never pins its clone): newSession() builds a whole JVM SessionState,
-# and e14 inside a 150-query registry sweep was paying that build — and
-# leaking one SessionState — per call (ADVICE r9).
+# One scoped clone per (parent session, mirrored-conf values) —
+# weak-keyed on the parent so a torn-down parent never pins its clone:
+# newSession() builds a whole JVM SessionState, and e14 inside a
+# 150-query registry sweep was paying that build — and leaking one
+# SessionState — per call (ADVICE r9).  The cache holds only the
+# LATEST conf combination per parent; an older clone stays alive
+# exactly as long as some still-lazy DataFrame references it.
 _E14_SCOPED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
-# Runtime confs MIRRORED from the parent at every call: a clone's
-# SQLConf initializes from the SparkContext defaults, NOT the parent's
-# runtime session conf, so a harness override (ANSI sweep, session
-# timezone, shuffle sizing) would silently not apply to e14's execution
+# Runtime confs MIRRORED from the parent: a clone's SQLConf
+# initializes from the SparkContext defaults, NOT the parent's runtime
+# session conf, so a harness override (ANSI sweep, session timezone,
+# shuffle sizing) would silently not apply to e14's execution
 # (ADVICE r9).  Deliberately a short explicit list — mirroring ALL
-# parent confs would re-import the exact guard leakage the clone exists
-# to contain.
+# parent confs would re-import the exact guard leakage the clone
+# exists to contain.
 _E14_MIRRORED_CONFS = (
     "spark.sql.ansi.enabled",
     "spark.sql.session.timeZone",
@@ -51,21 +54,33 @@ _E14_MIRRORED_CONFS = (
 
 
 def _e14_scoped_session(spark: SparkSession) -> SparkSession:
-    scoped = _E14_SCOPED.get(spark)
-    if scoped is None:
-        scoped = spark.newSession()
-        # the sizing count() reads parquet FOOTERS only (aggregate
-        # pushdown — safe to flip here because the clone's conf never
-        # escapes), so the guard costs a metadata pass, not a data pass
-        scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        _E14_SCOPED[spark] = scoped
+    # The cache key is the VALUES of the mirrored confs: SQLConf is
+    # read at EXECUTION time, so mutating a cached clone's conf in
+    # place would retroactively change the semantics of a still-lazy
+    # DataFrame returned by an earlier e14 call (e.g. an ANSI sweep
+    # builds under ansi=true, the harness flips it back, a later e14
+    # call re-mirrors, and the held DataFrame silently collects under
+    # ansi=false).  A changed combination gets a FRESH clone; the old
+    # one keeps its conf for whoever still holds it.
+    vals = []
     for k in _E14_MIRRORED_CONFS:
         try:
-            v = spark.conf.get(k)
+            vals.append(spark.conf.get(k))
         except Exception:
-            continue
+            vals.append(None)
+    key = tuple(vals)
+    entry = _E14_SCOPED.get(spark)
+    if entry is not None and entry[0] == key:
+        return entry[1]
+    scoped = spark.newSession()
+    # the sizing count() reads parquet FOOTERS only (aggregate
+    # pushdown — safe to flip here because the clone's conf never
+    # escapes), so the guard costs a metadata pass, not a data pass
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    for k, v in zip(_E14_MIRRORED_CONFS, key):
         if v is not None:
             scoped.conf.set(k, v)
+    _E14_SCOPED[spark] = (key, scoped)
     return scoped
 
 

@@ -152,8 +152,11 @@ def test_recursive_sessions_clone_mirrors_parent_confs(spark, sf_dir):
     """ADVICE r9: a newSession() clone's SQLConf initializes from the
     SparkContext, not the parent's runtime conf — a harness override
     (ANSI sweep, session timezone) must still reach e14's execution.
-    Also pins the per-parent clone CACHE (one SessionState per parent,
-    not one per call) and the monotone recursion guard."""
+    Also pins the conf-keyed clone CACHE (one SessionState per
+    (parent, conf combination), reused while the confs are stable,
+    NEVER mutated in place — a conf flip after an e14 call must not
+    retroactively change what a still-lazy earlier DataFrame executes
+    under) and the monotone recursion guard."""
     from aind_smartspim_data_transformation_spark.plans.events import (
         _E14_SCOPED,
         _e14_scoped_session,
@@ -163,10 +166,10 @@ def test_recursive_sessions_clone_mirrors_parent_confs(spark, sf_dir):
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
         df = events.e14_sessions_recursive(spark, sf_dir)
-        scoped = _E14_SCOPED[spark]
+        _, scoped = _E14_SCOPED[spark]
         assert scoped.conf.get("spark.sql.ansi.enabled") == "true"
         assert df.count() > 0  # executes under the mirrored ANSI conf
-        # cache: a second call reuses the SAME clone
+        # cache: a second call under UNCHANGED confs reuses the clone
         assert _e14_scoped_session(spark) is scoped
         # monotone guard: a smaller later input never re-tightens the
         # limit a still-lazy earlier DataFrame will execute under
@@ -177,5 +180,12 @@ def test_recursive_sessions_clone_mirrors_parent_confs(spark, sf_dir):
             int(scoped.conf.get("spark.sql.cteRecursionRowLimit"))
             == lim + 7
         )
+        # a conf CHANGE yields a FRESH clone; the old clone's conf is
+        # untouched for whoever still holds its DataFrames
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        fresh = _e14_scoped_session(spark)
+        assert fresh is not scoped
+        assert fresh.conf.get("spark.sql.ansi.enabled") == "false"
+        assert scoped.conf.get("spark.sql.ansi.enabled") == "true"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", before)

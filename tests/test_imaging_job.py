@@ -974,13 +974,18 @@ def test_publish_marker_tolerates_concurrent_attempts(tmp_path):
         sibling marker optionally appears just before the failed move
         (the delete→move window interleaving)."""
 
-        def __init__(self, fail_moves, sibling_publishes):
+        def __init__(self, fail_moves, sibling_publishes, fail_probes=0):
             self.local = pafs.LocalFileSystem()
             self.fail_moves = fail_moves
             self.sibling = sibling_publishes
+            self.fail_probes = fail_probes
             self.moves = 0
+            self.probes = 0
 
         def get_file_info(self, p):
+            self.probes += 1
+            if self.probes <= self.fail_probes:
+                raise OSError("transient probe failure")
             return self.local.get_file_info(p)
 
         def delete_file(self, p):
@@ -1017,6 +1022,15 @@ def test_publish_marker_tolerates_concurrent_attempts(tmp_path):
     tmp = mk("t3")
     with pytest.raises(OSError, match="rename failed"):
         _publish_marker(RacingFS(99, False), tmp, dest)
+
+    # 4. PROBE blips must consume attempts, not abort the loop:
+    # attempt 1's pre-move probe raises, its recovery probe raises
+    # (fail_probes=2); attempt 2's move raises (fail_moves=1) but its
+    # recovery probe now works; attempt 3 publishes.
+    Path(dest).unlink(missing_ok=True)  # case 3 never published
+    tmp = mk("t4")
+    _publish_marker(RacingFS(1, False, fail_probes=2), tmp, dest)
+    assert Path(dest).exists() and not Path(tmp).exists()
 
 
 def test_input_listing_digest_modes(spark, tmp_path):

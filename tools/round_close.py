@@ -106,6 +106,21 @@ def main() -> None:
             flush=True,
         )
         sys.exit(3)
+    # the tree must ALSO still be clean: uncommitted edits made while
+    # the gate ran mean later steps executed against a tree that is
+    # not commit {head} — exactly the spoof the anchor exists to stop
+    now_dirty = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if now_dirty:
+        print(
+            "ROUND-CLOSE FAILED: tree became dirty during the gate — "
+            "later steps did not run against the anchored commit:\n"
+            + now_dirty,
+            flush=True,
+        )
+        sys.exit(3)
     print(f"ROUND-CLOSE: ALL GREEN at {head}", flush=True)
 
 
