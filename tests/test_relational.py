@@ -14,6 +14,39 @@ def test_relational_vs_oracle(spark, sf_dir, name):
     compare(df, relational.ORACLE[name], sf_dir, name)
 
 
+def test_anti_join_planted(spark, tmp_path):
+    """q05 returns ZERO rows at sf0.01 (every customer there has an
+    order), so its oracle row at the driver's compare SF is the
+    trivially-green empty=empty — this plants customers with and
+    without orders, plus a NULL o_custkey (the anti-join trap:
+    NOT EXISTS keeps rows where no order matches, and a NULL custkey
+    order matches nobody), and checks the listing against the
+    DuckDB oracle."""
+    import duckdb
+
+    spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(100, 1), (101, None)],
+        "o_orderkey long, o_custkey long",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = [tuple(r) for r in relational.QUERIES["q05_anti_join"](
+        spark, str(tmp_path)
+    ).collect()]
+    assert got == [(2, "bob", 20.0), (3, "carol", 30.0)]
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    assert con.execute(relational.ORACLE["q05_anti_join"]).fetchall() == got
+
+
 def test_q01_returns_rows(spark, sf_dir):
     rows = relational.q01_pricing_summary(spark, sf_dir).collect()
     assert len(rows) > 0
