@@ -23,21 +23,27 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # leading list is (a) all keys with no driver row yet, oldest first,
 # then (b) this round's brand-new keys; r-green families trail.
 #
-# Round-10 rotation: the three queries whose plans were rewritten in
-# r9 — and rewritten AGAIN in r10 — with no driver row on the current
-# shapes (the r9 verdict's standing-invariant call-out): d07 (r10:
-# hamming once per distinct-sig pair + output-sized salted expansion,
-# no doc-level distinct), n07 (r10: fat-cell exact-duplicate collapse
-# before the rep pair loop), d05 (r10: fat-group collapse with
-# id-level re-expansion).  Then this round's brand-new key
-# (invariant (b)): d14, the bounded neighbor-top-k in sig-group form.
+# Round-11 rotation (VERDICT r10 ask #1): the two queries whose
+# implementations changed materially in r10 AFTER (or within minutes
+# of) their last driver rows.  i05's plan surface (`imaging/fused.py`)
+# gained the shared single listing, the millisecond/content resume
+# digest, and the `_publish_marker` retry contract with NO r10 driver
+# row (its green row is r9's); e14's conf-keyed clone landed in
+# 2f80082 only minutes before its r10 row was sampled.  Re-sample both
+# on the settled shapes.
+_LEADING_R11 = [
+    "i05_resume_bookkeeping",
+    "e14_sessions_recursive",
+    # brand-new this round (invariant (b)): the d03 saturation audit
+    "d15_lsh_saturation_audit",
+]
+
+# Kept so NOTES/VERDICT history stays greppable; no longer drives the
+# window.
 _LEADING_R10 = [
-    # plan changed in r9 (and n07 again in r10) — no driver row on the
-    # current shapes yet
     "d07_simhash_hamming_pairs",
     "n07_semantic_dedup",
     "d05_dedup_embedding_cosine",
-    # brand-new this round (invariant (b))
     "d14_hamming_neighbor_topk",
 ]
 
@@ -48,7 +54,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R10 if k in d}
+    lead = {k: d[k] for k in _LEADING_R11 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 
@@ -70,7 +76,7 @@ def _modules():
         "aind_smartspim_data_transformation_spark.plans.imaging_queries",
         "aind_smartspim_data_transformation_spark.operators.dedup",
         # Module order no longer defines the sample window (the explicit
-        # _LEADING_R10 rotation above does); extras still merges last so
+        # _LEADING_R11 rotation above does); extras still merges last so
         # its re-registrations of relational helpers win by key.
         "aind_smartspim_data_transformation_spark.plans.extras",
     ]

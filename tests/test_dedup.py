@@ -83,6 +83,45 @@ def test_minhash_degenerate_bucket_cap(spark, tmp_path):
     assert con.execute(dedup.ORACLE["d03_dedup_minhash_lsh"]).fetchall() == []
 
 
+def test_d15_saturation_audit_counts_dropped_buckets(spark, tmp_path):
+    """d15 (VERDICT r10 'what's wrong' #2): on a planted >64-way family
+    the cap silently zeroes d03's recall — the audit must report
+    exactly what was dropped, and match the DuckDB oracle on the same
+    fixture.  n identical docs share all 16 minhashes, so every one of
+    the N_BANDS band buckets holds n rows and saturates; two distinct
+    singleton docs add size-1 buckets that must NOT count."""
+    import duckdb
+
+    n = dedup.MAX_BAND_BUCKET + 36  # 100-way family, same as the cap test
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text, "en", "src0", len(text)) for i in range(n)]
+    rows += [
+        (1000, "one unique sentence about rivers and stones", "en", "src1", 44),
+        (1001, "another unique sentence about clouds and wind", "en", "src1", 45),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    [got] = dedup.d15_lsh_saturation_audit(spark, str(tmp_path)).collect()
+    assert got["n_saturated_buckets"] == dedup.N_BANDS
+    assert got["n_band_rows_dropped"] == dedup.N_BANDS * n
+    assert got["max_bucket_rows"] == n
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    [oracle] = con.execute(dedup.ORACLE["d15_lsh_saturation_audit"]).fetchall()
+    assert (
+        got["n_saturated_buckets"],
+        got["n_band_rows_dropped"],
+        got["max_bucket_rows"],
+    ) == oracle
+
+
 def test_embedding_cosine_pairs_planted(spark, tmp_path):
     """d05 (r10 fat-group collapse): the base corpora carry no
     embedding near-dups at the 0.9 threshold, so the oracle rows there

@@ -31,7 +31,16 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run(label: str, cmd: list[str], env: dict | None = None) -> None:
+def run(
+    label: str, cmd: list[str], env: dict | None = None, capture: bool = False
+) -> str:
+    """Run one gate step; stream its output; exit non-zero on failure.
+
+    With capture=True the streamed lines are ALSO returned so the
+    caller can parse counts out of the verbatim output (VERDICT r10
+    "what's wrong" #1: NOTES must quote the gate line, never
+    transcribe numbers by hand — so the gate line itself must carry
+    them)."""
     import os
 
     t0 = time.time()
@@ -39,11 +48,54 @@ def run(label: str, cmd: list[str], env: dict | None = None) -> None:
     full_env = dict(os.environ)
     if env:
         full_env.update(env)
-    rc = subprocess.call(cmd, cwd=REPO, env=full_env)
+    lines: list[str] = []
+    if capture:
+        proc = subprocess.Popen(
+            cmd, cwd=REPO, env=full_env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            print(line, end="", flush=True)
+            lines.append(line)
+        rc = proc.wait()
+    else:
+        rc = subprocess.call(cmd, cwd=REPO, env=full_env)
     print(f"== {label}: rc={rc} ({time.time() - t0:.0f}s)", flush=True)
     if rc != 0:
         print(f"ROUND-CLOSE FAILED at {label}", flush=True)
         sys.exit(rc)
+    return "".join(lines)
+
+
+def parse_pytest_counts(output: str) -> str:
+    """Extract 'collected=N passed=N skipped=N failed=N' from verbatim
+    pytest output; returns a machine-parseable fragment for the
+    ROUND-CLOSE line.  Refuses (exits) if the counts cannot be found —
+    an unparseable gate record is as bad as a transcribed one."""
+    import re
+
+    m_coll = re.search(r"collected (\d+) items", output)
+    # summary line, e.g. "=== 429 passed, 3 skipped in 595.12s ==="
+    counts = {"passed": 0, "skipped": 0, "failed": 0, "error": 0}
+    tail: list[tuple[str, str]] = []
+    for line in reversed(output.splitlines()):
+        tail = re.findall(r"(\d+) (passed|skipped|failed|error)s?", line)
+        if tail:
+            break
+    for n, kind in tail:
+        counts[kind] = int(n)
+    if m_coll is None or not tail:
+        print(
+            "ROUND-CLOSE FAILED: could not parse pytest counts from "
+            "output — gate line must carry verbatim numbers",
+            flush=True,
+        )
+        sys.exit(4)
+    return (
+        f"pytest collected={m_coll.group(1)} passed={counts['passed']} "
+        f"skipped={counts['skipped']} failed={counts['failed']}"
+    )
 
 
 def main() -> None:
@@ -64,8 +116,17 @@ def main() -> None:
         capture_output=True, text=True, check=True,
     ).stdout.strip()
     print(f"== gate tree: HEAD={head}", flush=True)
+    pytest_frag = "pytest SKIPPED (--skip-pytest)"
     if not skip_pytest:
-        run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+        # no -q: the "collected N items" header must appear so the
+        # gate line carries collected/passed/skipped verbatim, and
+        # NOTES can only paste, never transcribe (VERDICT r10 #2).
+        out = run(
+            "pytest",
+            [sys.executable, "-m", "pytest", "tests/", "-x"],
+            capture=True,
+        )
+        pytest_frag = parse_pytest_counts(out)
     run("strict sf0.01", [sys.executable, "tools/strict_verify.py"])
     run(
         "strict sf0.1",
@@ -121,7 +182,10 @@ def main() -> None:
             flush=True,
         )
         sys.exit(3)
-    print(f"ROUND-CLOSE: ALL GREEN at {head}", flush=True)
+    # One machine-parseable line carrying the verbatim pytest counts:
+    # NOTES quotes this line unedited (reconciles against
+    # `pytest --collect-only -q` on the anchored hash).
+    print(f"ROUND-CLOSE: ALL GREEN at {head} | {pytest_frag}", flush=True)
 
 
 if __name__ == "__main__":
