@@ -517,8 +517,13 @@ def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are commutative bitwise, so operand order never matters), and
     # intra-group pairs get the selfcos of the shared vector through
     # the identical expression tree (finite nonzero → rounds to 1.0;
-    # degenerate zero/NaN vectors → NaN, which fails the threshold in
-    # both formulations).  A verbatim-replicated corpus (the 100×
+    # a zero-norm vector → NULL via the divisor guard below, dropped
+    # by the threshold filter on both engines; a NaN-COMPONENT vector
+    # → NaN cosine, which both Spark and DuckDB order GREATER than any
+    # number, so round(NaN,6) ≥ threshold is TRUE on both — such a
+    # vector would EMIT pairs, identically in query and oracle, so
+    # parity holds either way; NaN embeddings are out-of-domain for
+    # the synthetic corpus).  A verbatim-replicated corpus (the 100×
     # sweep regime) thus pays base-corpus cosine work plus
     # output-sized expansion, not multiplicity² interpreted loops.
     # Group width = exact-copy multiplicity of ONE vector (not a
@@ -637,8 +642,12 @@ def _sig_pairs(dsigs: DataFrame) -> DataFrame:
     d07 (full listing) and d14 (bounded top-k); its DuckDB twin is the
     sig-level portion of `_hamming_pairs_cte`.  Candidates come from
     the pigeonhole bands (sound AND complete for hamming ≤ 2: 2 bit
-    errors corrupt ≤ 2 of the 3 bands), both sides ≤ 65536 rows, so
-    the distinct here is sig-pair-sized, never doc-sized."""
+    errors corrupt ≤ 2 of the 3 bands), both sides ≤ 3·65536 band
+    rows (3 band rows per distinct sig), so the distinct here is
+    sig-pair-sized, never doc-sized.  Output bound: each sig has ≤137
+    sigs within hamming 2 in a 16-bit space, so ≤ 65536·137/2 ≈ 4.5M
+    rows in the (unreachable) fully-saturated worst case — see the
+    broadcast-site note in `_hamming_pairs`."""
     dband = dsigs.select(
         "simhash",
         F.explode(
@@ -709,6 +718,13 @@ def _hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output-sized expansion join, salted against fat-sig skew
     B = 8
     n_parts = 4 * spark.sparkContext.defaultParallelism
+    # Broadcast sizing: allp is sig-pair-sized — worst case a
+    # hamming-saturated 16-bit space gives ~65536·137/2 ≈ 4.5M rows
+    # (~100 MB broadcast), above the 10 MB auto threshold but still
+    # driver/executor-safe on any real config; a REAL corpus occupies
+    # a small fraction of the sig space (sf0.1: ~2k distinct sigs →
+    # ~10⁴ pairs).  If signatures ever widen past 16 bits, drop the
+    # hint and let the shuffled join plan itself.
     m1 = (
         sigs.select(F.col("doc_id").alias("doc1"), "simhash")
         .join(F.broadcast(allp), "simhash")

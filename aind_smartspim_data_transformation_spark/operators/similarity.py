@@ -635,6 +635,16 @@ ORDER BY e.query_id
 KM_K = 4
 KM_ITERS = 2
 KM_SCALE = 1000
+# Assignment-path threshold (SCALE.md §6j "6j decision", VERDICT r10
+# ask #6): the literal-centroid expression tree is K inline structs —
+# ideal while K is a registry constant (≤16 today: whole-stage
+# codegen, zero Python), but at IVF-production K (~10k) it would
+# inline 10k expression trees into one projection.  Above this bound
+# lloyd_train switches to the numpy/mapInPandas assignment (same
+# narrow no-corpus-shuffle shape; Arrow-batched; exact int64
+# arithmetic so results are cell-for-cell identical — pinned by
+# tests/test_similarity.py::test_lloyd_pandas_assignment_identical).
+KM_EXPR_MAX_K = 256
 
 
 def _kmeans_assign(e: DataFrame, cents: list[tuple[int, list[int]]]):
@@ -651,8 +661,43 @@ def _kmeans_assign(e: DataFrame, cents: list[tuple[int, list[int]]]):
     return F.array_min(F.array(*dists))["cid"]
 
 
+def _kmeans_assign_pandas(
+    e: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Large-K assignment twin of ``_kmeans_assign``: one vectorized
+    ||x||² − 2x·Cᵀ + ||c||² argmin per Arrow batch against a K×d int64
+    centroid matrix carried in the task closure (K·d·8 bytes — ~80 MB
+    at K=10k, d=1k; a broadcast-sized constant, never a shuffle).
+    Exactness: all terms are int64 products of KM_SCALE-quantized
+    values, and ``cents`` is sorted by cid, so numpy's first-minimum
+    argmin IS the expression path's (d2, cid) struct-min tie rule."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([cvec for _, cvec in cents], dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    out_schema = StructType(
+        list(e.schema.fields) + [StructField("cell", LongType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf["cell"] = np.array([], dtype=np.int64)
+                yield pdf
+                continue
+            x = np.array(pdf["x"].tolist(), dtype=np.int64)
+            d2 = (x * x).sum(axis=1)[:, None] - 2 * (x @ cmat.T) + cnorm[None, :]
+            pdf["cell"] = cids[d2.argmin(axis=1)]
+            yield pdf
+
+    return e.mapInPandas(assign, schema=out_schema)
+
+
 def lloyd_train(
-    e: DataFrame, k: int, iters: int
+    e: DataFrame, k: int, iters: int, assign_mode: str = "auto"
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Deterministic integer Lloyd training shared by s09 and the
     SemDeDup composition (plans/extras.n07_semantic_dedup).  ``e`` must
@@ -660,7 +705,18 @@ def lloyd_train(
     are the vectors with vec_id 1..k.  Each round: literal-centroid
     assignment (narrow broadcast map — NO corpus shuffle) then a K×d-row
     mean update.  Returns (final assignment with a ``cell`` column, the
-    final centroid list)."""
+    final centroid list).
+
+    ``assign_mode``: "expr" inlines K literal-centroid expressions
+    (whole-stage codegen — the small-K registry path), "pandas" uses
+    the vectorized numpy argmin (the K≈10k scale path, §6j), "auto"
+    picks by ``KM_EXPR_MAX_K``.  Both produce identical cells (exact
+    int64 arithmetic, same tie rule) — pinned by test."""
+    if assign_mode not in ("auto", "expr", "pandas"):
+        raise ValueError(f"unknown assign_mode: {assign_mode}")
+    use_pandas = (k > KM_EXPR_MAX_K) if assign_mode == "auto" else (
+        assign_mode == "pandas"
+    )
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["x"]])
         for r in e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).collect()
@@ -668,7 +724,10 @@ def lloyd_train(
     cents.sort()
     assigned = None
     for _ in range(iters):
-        assigned = e.withColumn("cell", _kmeans_assign(e, cents))
+        if use_pandas:
+            assigned = _kmeans_assign_pandas(e, cents)
+        else:
+            assigned = e.withColumn("cell", _kmeans_assign(e, cents))
         new_cents = (
             assigned.select("cell", F.posexplode("x").alias("dim", "val"))
             .groupBy("cell", "dim")

@@ -1418,7 +1418,10 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-divisor guard (see d05): a zero-norm vector's 0 denominator
     # THROWS under Spark-4 ANSI double division; DuckDB yields NULL.
     # NULL cosine fails the eps gate, so the degenerate vector neither
-    # drops nor gets dropped — on both engines.
+    # drops nor gets dropped — on both engines.  (Distinct case: a
+    # NaN-COMPONENT vector yields a NaN cosine, which both engines
+    # order GREATER than any number — it would PASS the gate, on both
+    # identically, so parity still holds; out-of-domain here.)
     _den = F.col("na") * F.col("nb")
     cos = S._dot("va", "vb") / F.when(_den != F.lit(0.0), _den)
     rep_drops = (

@@ -50,8 +50,11 @@ HEADLINE = (
 # BENCH).  Reported as its own block, NOT folded into total_query_sec,
 # which stays comparable round-over-round.  d07 materializes ~2M pair
 # rows at sf0.1 — timed via count() so the figure measures the join
-# engine, not 2M-row driver pickling (the full plan still executes:
-# count() sits above the join, nothing prunes it).
+# engine, not 2M-row driver pickling.  Under count(), Catalyst prunes
+# the plan ABOVE the join by design (EliminateSorts drops the global
+# orderBy under an aggregate, and the least/greatest projection is
+# column-pruned) — the figure therefore measures the join stage only,
+# which is the stated target; a collect() would add sort + pickling.
 DEDUP_BENCH = (
     "d05_dedup_embedding_cosine",
     "d07_simhash_hamming_pairs",

@@ -149,3 +149,52 @@ def test_ivf_cells_prune_files_when_partitioned(spark, sf_dir, tmp_path):
     # correctness: identical to filtering the unpartitioned view
     unpruned = spark.read.parquet(path)
     assert len(rows) == unpruned.filter(F.col("cell").isin(probe)).count()
+
+
+def test_lloyd_pandas_assignment_identical(spark, sf_dir):
+    """§6j large-K decision (VERDICT r10 ask #6, option a): the
+    mapInPandas assignment path must be cell-for-cell AND
+    centroid-for-centroid identical to the literal-expression path at
+    registry K — exact int64 arithmetic and the same (d2, cid) tie
+    rule, so not approximately equal: EQUAL.  Auto mode must pick the
+    expression plan at registry K (no Python in the registry hot path)
+    and the pandas plan above KM_EXPR_MAX_K."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
+            f"* {similarity.KM_SCALE}) AS BIGINT))"
+        ).alias("x"),
+    )
+    a_expr, c_expr = similarity.lloyd_train(
+        e, similarity.KM_K, similarity.KM_ITERS, assign_mode="expr"
+    )
+    a_pd, c_pd = similarity.lloyd_train(
+        e, similarity.KM_K, similarity.KM_ITERS, assign_mode="pandas"
+    )
+    assert c_expr == c_pd
+    cells_expr = {r["vec_id"]: r["cell"] for r in a_expr.select("vec_id", "cell").collect()}
+    cells_pd = {r["vec_id"]: r["cell"] for r in a_pd.select("vec_id", "cell").collect()}
+    assert cells_expr == cells_pd
+
+    # auto mode routes by K: registry K stays JVM-side (no InMemory
+    # python eval in the plan), K > KM_EXPR_MAX_K goes to mapInPandas
+    plan_small = (
+        similarity.lloyd_train(e, similarity.KM_K, 1)[0]
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan_small
+    assert similarity.KM_EXPR_MAX_K >= 16  # registry K values fit under it
+
+    # the pandas path's PLAN is MapInPandas (shape check, tiny iters)
+    plan_pd = (
+        a_pd._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_pd
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.lloyd_train(e, similarity.KM_K, 1, assign_mode="nope")
