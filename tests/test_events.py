@@ -189,3 +189,62 @@ def test_recursive_sessions_clone_mirrors_parent_confs(spark, sf_dir):
         assert scoped.conf.get("spark.sql.ansi.enabled") == "true"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", before)
+
+
+def test_e10_gap_fill_planted_gaps_and_leading_nulls(spark, tmp_path):
+    """e10 (VERDICT r10 ask #7): the sf corpora are dense enough that
+    the sf-level rows rarely exercise the two edge behaviors the locf
+    contract exists for — multi-day gaps carrying the LAST observation
+    forward, and a user whose first event postdates the global d0
+    (leading grid days have NOTHING to carry: filled_value NULL, not
+    0).  Plant both, plus a %10-excluded user who must not widen the
+    bounds, and hold the result to the DuckDB oracle."""
+    from datetime import date, datetime as dt
+
+    import duckdb
+
+    rows = [
+        # user 0: events on day 1 and day 5 — days 2-4 are a gap
+        (1, dt(2024, 1, 1, 10, 0), 0, "click", 1.5, "{}"),
+        (2, dt(2024, 1, 5, 9, 30), 0, "click", 2.5, "{}"),
+        # user 10: first event on day 3 — days 1-2 are a LEADING gap
+        (3, dt(2024, 1, 3, 8, 0), 10, "view", 7.0, "{}"),
+        # user 3: fails user_id % 10 == 0 — excluded, even though its
+        # event (day 7) would otherwise stretch d1
+        (4, dt(2024, 1, 7, 8, 0), 3, "view", 9.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = events.e10_gap_fill(spark, str(tmp_path)).collect()
+    # bounds come from the FILTERED set: 5 grid days × 2 users
+    assert len(got) == 10
+    by_key = {(r["user_id"], r["day"]): r for r in got}
+    assert set(by_key) == {
+        (u, date(2024, 1, d)) for u in (0, 10) for d in range(1, 6)
+    }
+    # user 0: gap days carry 1.5 forward; day 5 switches to 2.5
+    for d in (2, 3, 4):
+        r = by_key[(0, date(2024, 1, d))]
+        assert r["n_events"] == 0 and r["filled_value"] == 1.5
+    assert by_key[(0, date(2024, 1, 5))]["filled_value"] == 2.5
+    # user 10: leading days have nothing to carry — NULL, never 0.0
+    for d in (1, 2):
+        r = by_key[(10, date(2024, 1, d))]
+        assert r["n_events"] == 0 and r["filled_value"] is None
+    for d in (3, 4, 5):
+        assert by_key[(10, date(2024, 1, d))]["filled_value"] == 7.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(events.ORACLE["e10_gap_fill"]).fetchall()
+    assert sorted(
+        (r["user_id"], r["day"], r["n_events"], r["filled_value"])
+        for r in got
+    ) == sorted(map(tuple, oracle))

@@ -215,3 +215,48 @@ def test_n16_week_index_parity_pre_epoch(spark):
         for u, ts in rows
     }
     assert got == want == {1: 0, 2: -1, 3: -1, 4: 0, 5: 1}
+
+
+def test_x05_bloom_planted_cross_split_member(spark, tmp_path):
+    """x05 (VERDICT r10 ask #7): at the sf levels the train/test split
+    shares essentially no shingles, so n_true_members is a constant 0
+    and the membership machinery (per-shingle ALL-positions-hit, the
+    no-false-negative guarantee, the FP subtraction) is never
+    exercised.  Plant a shingle that spans the split: doc_ids 4/6 hash
+    into the train bucket (md5 first hex < 'c'), 3/5 into test
+    (>= 'e'), 0 into neither; doc 3 shares the 3-token run
+    'alpha beta gamma' with train doc 4 — exactly one true member,
+    which Bloom must hit (no false negatives, structurally)."""
+    import duckdb
+
+    from aind_smartspim_data_transformation_spark.operators import sketch
+
+    rows = [
+        (4, "alpha beta gamma delta", "en", "s", 22),       # train
+        (6, "koalas eat leaves daily", "en", "s", 23),      # train
+        (3, "zeta alpha beta gamma", "en", "s", 21),        # test: member
+        (5, "completely different words here", "en", "s", 32),  # test
+        (0, "alpha beta gamma delta", "en", "s", 22),       # neither split
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    [got] = sketch.x05_bloom_crosscorpus(spark, str(tmp_path)).collect()
+    assert got["n_train_keys"] == 4   # 2 shingles per 4-token train doc
+    assert got["n_test_keys"] == 4
+    assert got["n_true_members"] == 1
+    # Bloom never misses a true member; with ≤16 set bits of 65536 a
+    # false positive needs all 4 lanes covered (p ~ 4e-15) — so the
+    # hit count is exactly the member count here.
+    assert got["n_bloom_hits"] == 1
+    assert got["n_false_pos"] == 0 and got["fp_ppm"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    [oracle] = con.execute(sketch.ORACLE["x05_bloom_crosscorpus"]).fetchall()
+    assert tuple(got) == oracle

@@ -240,3 +240,41 @@ def test_dhash_pairs_cap_degenerate_bucket(spark):
     df = spark.createDataFrame(blobs, "doc_id long, image binary")
     pairs = mm.dhash_hamming_pairs(mm.dhash_images(df), max_hamming=3)
     assert pairs.count() == 0  # the whole degenerate bucket is dropped
+
+
+def test_m05_planted_hash_collision_group(spark, tmp_path):
+    """m05 (VERDICT r10 ask #7): at the sf fixture every fake image is
+    distinct, so n_distinct_hashes == n_images in every row and the
+    countDistinct leg is decorative.  Plant a real collision: doc_ids
+    0 and 16 share width (0/16 % 16 + 4 = 4) and height (% 8 + 2 = 2),
+    and identical text ⇒ identical payload ⇒ identical dHash — the
+    (4,2) group must report 2 images but 1 distinct hash, and the
+    whole table must match the DuckDB closed-form oracle."""
+    import duckdb
+
+    from aind_smartspim_data_transformation_spark.operators import multimodal
+
+    text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, text, "en", "s", len(text)),
+        (16, text, "en", "s", len(text)),   # same (w, h, payload) as 0
+        (1, "a different body of text entirely", "en", "s", 34),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = multimodal.m05_dhash_audit(spark, str(tmp_path)).collect()
+    by_wh = {(r["width"], r["height"]): r for r in got}
+    g = by_wh[(4, 2)]
+    assert g["n_images"] == 2 and g["n_distinct_hashes"] == 1
+    assert by_wh[(5, 3)]["n_images"] == 1  # doc 1: 1%16+4, 1%8+2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(multimodal.ORACLE["m05_dhash_audit"]).fetchall()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, oracle))
