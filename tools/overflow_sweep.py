@@ -111,12 +111,35 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--base", default=os.environ.get("SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--skip",
+        action="append",
+        default=[],
+        metavar="NAME=REASON",
+        help="waive a query from the sweep; a written reason is "
+        "REQUIRED and echoed into the log so the waiver is always "
+        "in-band (SCALE.md quotes it verbatim)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    skips: dict[str, str] = {}
+    for s in args.skip:
+        if "=" not in s:
+            ap.error(f"--skip needs NAME=REASON, got {s!r}")
+        k, _, reason = s.partition("=")
+        skips[k] = reason
+
     spark = build_local_session(app_name="overflow-sweep", driver_memory="32g")
     queries = registry.all_queries()
+    unknown = set(skips) - set(queries)
+    if unknown:
+        ap.error(f"--skip names not in registry: {sorted(unknown)}")
     names = args.names or list(queries)
+    for k, reason in skips.items():
+        if k in names:
+            names.remove(k)
+            print(f"{k}: WAIVED — {reason}")
 
     tmp = tempfile.mkdtemp(prefix="overflow_sweep_")
     print(f"# scale dir {tmp}: {args.base} with {_SCALED} x{args.factor}")
