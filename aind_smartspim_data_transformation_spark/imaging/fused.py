@@ -385,7 +385,10 @@ def probe_stack_geometry(
 
 
 def _band_plan(
-    geo: list[dict[str, Any]], chunk_zyx: list[int], parallelism: int
+    geo: list[dict[str, Any]],
+    chunk_zyx: list[int],
+    parallelism: int,
+    max_task_bytes: int | None = None,
 ) -> dict[tuple[str, str], tuple[int, int]]:
     """Per stack: (n_bands, cy_chunks_per_band) splitting the y chunk
     rows into bands (never more bands than chunk rows; at least 1).
@@ -393,7 +396,24 @@ def _band_plan(
     Bands are executed FOLDED — task (fold f) processes bands f and
     n_bands−1−f (see :func:`run_fused_ingest`) — so the band count
     targets ≈ 4× parallelism to leave ≈ 2× parallelism tasks after
-    pairing."""
+    pairing.
+
+    The band height is additionally capped by the per-task memory
+    envelope (``max_task_bytes``, default the module's
+    ``FUSED_MAX_TASK_BYTES``): a folded task buffers TWO bands of
+    ``min(cz, z) × per_band·cy_chunk × x`` pixels plus one decoded
+    slice span, so ``per_band`` shrinks (never below one chunk row)
+    until that fits.  Without this, a deep acquisition (many z-slabs →
+    low band target → tall bands) tips the whole job off the fused
+    path over a ~0.04% envelope overshoot — measured at 4×320 slices
+    of 2000×1600: the auto route fell back to the chunk-table pipeline
+    at 47 MB/s where capped 1-chunk-row bands stay fused (SCALE.md
+    §6m).  The cap uses the UNCLAMPED band height (per_band·cy_chunk,
+    not min(·, y)) — conservative by < one chunk row for a band
+    spanning the whole plane; :func:`fused_task_bytes` reports the
+    exact clamped figure."""
+    if max_task_bytes is None:
+        max_task_bytes = FUSED_MAX_TASK_BYTES
     cz, cy_chunk, _ = chunk_zyx
     slabs = sum(-(-g["z"] // cz) for g in geo)
     want = max(1, (4 * parallelism) // max(slabs, 1))
@@ -402,6 +422,10 @@ def _band_plan(
         n_cy = -(-g["y"] // cy_chunk)
         n_bands = min(want, n_cy)
         per_band = -(-n_cy // n_bands)
+        item = np.dtype(g["dtype"]).itemsize
+        denom = 2 * min(cz, g["z"]) * cy_chunk * g["x"] * item
+        pb_cap = max(1, (max_task_bytes - g["y"] * g["x"] * item) // denom)
+        per_band = min(per_band, pb_cap)
         n_bands = -(-n_cy // per_band)  # drop empty trailing bands
         plan[(g["channel"], g["stack"])] = (n_bands, per_band)
     return plan
@@ -411,7 +435,13 @@ def fused_task_bytes(
     geo: list[dict[str, Any]], chunk_zyx: list[int], parallelism: int
 ) -> int:
     """Worst-case per-task buffer: a folded task holds TWO band
-    buffers (bands f and n_bands−1−f) plus one decoded slice span."""
+    buffers (bands f and n_bands−1−f) plus one decoded slice span.
+
+    Because :func:`_band_plan` already shrinks the band height to the
+    envelope, this exceeds ``FUSED_MAX_TASK_BYTES`` only when even a
+    single-chunk-row band doesn't fit (a genuinely giant plane) — the
+    one case where job.py's auto route SHOULD take the chunk-table
+    fallback."""
     plan = _band_plan(geo, chunk_zyx, parallelism)
     worst = 0
     for g in geo:

@@ -269,6 +269,17 @@ ORDER BY lvl
 # tests/test_imaging_queries.py.
 I05_PARALLELISM = 32  # fixed literal — both engines must agree
 I05_STACKS = 6
+# r11: _band_plan gained a per-task memory-envelope cap on the band
+# height (imaging/fused.py — a folded task's two band buffers plus one
+# decoded slice span must fit max_task_bytes).  The replay carries the
+# same closed form over a synthetic x/itemsize, with the cap literal
+# sized so it BINDS for the two deepest synthetic stacks (per_band
+# 2→1 and 3→1) and leaves the rest on the want-derived value — both
+# branches exercised, parity asserted against the production
+# _band_plan in tests/test_imaging_queries.py.
+I05_X = 32  # synthetic plane width (pixels)
+I05_ITEM = 2  # synthetic dtype itemsize (uint16)
+I05_TASK_BYTES_CAP = 6144
 
 
 def i05_resume_bookkeeping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +293,11 @@ def i05_resume_bookkeeping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cy", F.expr("(y + 3) div 4")
     )
     t = s.agg(F.sum("n_slabs").alias("tot"))
+    _cap_expr = (
+        f"greatest(CAST(1 AS BIGINT), ({I05_TASK_BYTES_CAP} - "
+        f"y*{I05_X}*{I05_ITEM}) div "
+        f"(2*least(4, z)*4*{I05_X}*{I05_ITEM}))"
+    )
     p5 = (
         s.crossJoin(F.broadcast(t))  # 1-row scalar, never a shuffle
         .withColumn(
@@ -289,7 +305,11 @@ def i05_resume_bookkeeping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"greatest(CAST(1 AS BIGINT), (4*{P}) div tot)"),
         )
         .withColumn("nb0", F.expr("least(want, n_cy)"))
-        .withColumn("per_band", F.expr("(n_cy + nb0 - 1) div nb0"))
+        .withColumn("pb_cap", F.expr(_cap_expr))
+        .withColumn(
+            "per_band",
+            F.expr("least((n_cy + nb0 - 1) div nb0, pb_cap)"),
+        )
         .withColumn("n_bands", F.expr("(n_cy + per_band - 1) div per_band"))
         .withColumn("n_folds", F.expr("(n_bands + 1) div 2"))
     )
@@ -349,8 +369,11 @@ p AS (SELECT s.*, CAST(greatest(1, (4*{I05_PARALLELISM}) // tot) AS BIGINT)
 p5 AS (
   SELECT *, (n_bands + 1) // 2 AS n_folds FROM (
     SELECT *, (n_cy + per_band - 1) // per_band AS n_bands FROM (
-      SELECT *, (n_cy + nb0 - 1) // nb0 AS per_band FROM (
-        SELECT *, least(want, n_cy) AS nb0 FROM p)))),
+      SELECT *, least((n_cy + nb0 - 1) // nb0, pb_cap) AS per_band FROM (
+        SELECT *, least(want, n_cy) AS nb0,
+               greatest(1, ({I05_TASK_BYTES_CAP} - y*{I05_X}*{I05_ITEM}) //
+                           (2*least(4, z)*4*{I05_X}*{I05_ITEM})) AS pb_cap
+        FROM p)))),
 k AS (
   SELECT p5.stack_id, p5.n_slabs, p5.n_bands, p5.per_band, p5.n_folds,
          sl.slab, f.fold,

@@ -1113,3 +1113,70 @@ def test_auto_routing_boundary_on_task_budget(spark, tmp_path, monkeypatch):
     assert "(fused)" in at_resp["message"]
     assert "(fused)" not in over_resp["message"]
     assert at == over  # the route never changes the bytes
+
+
+def test_band_plan_shrinks_to_memory_envelope():
+    """r11 (SCALE.md §6m): a deep acquisition must NARROW its bands to
+    fit the per-task envelope, not tip the whole job off the fused
+    path.  This is the measured regression geometry — 4 stacks × 320
+    slices of 2000×1600 uint16 at 128³ chunks: the want-derived plan
+    picks 2-chunk-row bands whose folded buffers overshoot 256 MiB by
+    ~0.04%, and before the cap the auto route fell back to the
+    chunk-table pipeline at half the fused throughput."""
+    from aind_smartspim_data_transformation_spark.imaging.fused import (
+        FUSED_MAX_TASK_BYTES,
+        _band_plan,
+        fused_task_bytes,
+    )
+
+    geo = [
+        {
+            "channel": "Ex_445_Em_469",
+            "stack": f"s{i}",
+            "z": 320,
+            "y": 1600,
+            "x": 2000,
+            "dtype": "uint16",
+        }
+        for i in range(4)
+    ]
+    chunk = [128, 128, 128]
+    plan = _band_plan(geo, chunk, 32)
+    nb, per_band = plan[("Ex_445_Em_469", "s0")]
+    assert per_band == 1, "cap must shrink the 2-chunk-row band"
+    assert nb == 13  # ceil(1600 / 128)
+    # and the reported worst case now fits, so auto stays fused
+    assert fused_task_bytes(geo, chunk, 32) <= FUSED_MAX_TASK_BYTES
+
+    # uncapped want-derived plan (the pre-r11 shape) for contrast:
+    # 12 slabs → want 10 → 2-chunk-row bands → 268.5 MB task > cap
+    loose = _band_plan(geo, chunk, 32, max_task_bytes=1 << 40)
+    assert loose[("Ex_445_Em_469", "s0")] == (7, 2)
+
+
+def test_band_plan_giant_plane_still_falls_back():
+    """Even single-chunk-row bands can't fit a wide-enough plane; the
+    plan floors at per_band=1 and fused_task_bytes honestly exceeds
+    the envelope — job.py's auto route must keep the chunk-table
+    fallback for exactly this case."""
+    from aind_smartspim_data_transformation_spark.imaging.fused import (
+        FUSED_MAX_TASK_BYTES,
+        _band_plan,
+        fused_task_bytes,
+    )
+
+    geo = [
+        {
+            "channel": "C",
+            "stack": "s0",
+            "z": 256,
+            "y": 4096,
+            # one chunk row alone: 2·128·128·600k·2 ≈ 39 GB ≫ envelope
+            "x": 600_000,
+            "dtype": "uint16",
+        }
+    ]
+    chunk = [128, 128, 128]
+    plan = _band_plan(geo, chunk, 32)
+    assert plan[("C", "s0")][1] == 1  # floored, never zero
+    assert fused_task_bytes(geo, chunk, 32) > FUSED_MAX_TASK_BYTES

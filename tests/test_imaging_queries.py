@@ -153,12 +153,22 @@ def test_i05_matches_production_band_plan(spark, sf_dir):
             "stack": f"s{i}",
             "z": 7 + 3 * i,
             "y": 16 + 5 * i,
-            "x": 32,
+            "x": iq.I05_X,
             "dtype": "uint16",
         }
         for i in range(iq.I05_STACKS)
     ]
-    plan = _band_plan(geo, [cz, cy, 4], P)
+    plan = _band_plan(
+        geo, [cz, cy, 4], P, max_task_bytes=iq.I05_TASK_BYTES_CAP
+    )
+    # the replayed cap literal must BIND for some synthetic stacks and
+    # leave others on the want-derived band height, or the i05 parity
+    # proves nothing about the capped branch
+    per_bands = [plan[(g["channel"], g["stack"])][1] for g in geo]
+    uncapped = _band_plan(geo, [cz, cy, 4], P)
+    assert per_bands != [
+        uncapped[(g["channel"], g["stack"])][1] for g in geo
+    ], "i05 cap literal no longer binds — resize I05_TASK_BYTES_CAP"
     got = {r["stack_id"]: r for r in iq.i05_resume_bookkeeping(spark, sf_dir).collect()}
     assert len(got) == iq.I05_STACKS
     for i, g in enumerate(geo):
