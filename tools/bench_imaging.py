@@ -15,12 +15,13 @@ via $IMG_BENCH_SLICES, default 32) through the Spark pipeline on
 local[*] — generation time is excluded, job wall-clock (decode +
 4-level pyramid + zarr write + metadata) is what's timed.
 
-Measured (local[32], 4 stacks, 128³ bricks, single-pipeline sink),
-round-4 pipeline (Arrow sink + tile-first keys + fused decode+tile
-kernel): 409.6 MB in ~8 s (50 MB/s; warm solo reps 68 MB/s) and
-1.6 GB in ~23 s (70 MB/s) — vs the round-3 pipeline's ~64 s / 819 MB
-and ~105 s / 1.6 GB.  Throughput still RISES with depth as tile tasks
-amortize the fixed per-level scheduling.
+Measured (local[32], 4 stacks, 128³ bricks, fused path): r10 driver
+best-of-3 193 MB/s at 1.6 GB; r11 deep-scale points 154–205 MB/s at
+8.19 GB and 156 MB/s at 16.38 GB (SCALE.md §6m — the 8 GB regime
+initially measured 47 MB/s because the band plan overshot the task
+envelope by 0.04% and auto fell back to the chunk-table pipeline;
+fixed by the _band_plan envelope cap).  Throughput RISES with depth
+as thicker slabs amortize scheduling and decode duplication.
 
 CAVEAT: the container shares a host and wall-clock swings 3-5× with
 neighbor load (identical code measured 36 s and 110 s an hour apart).
