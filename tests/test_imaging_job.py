@@ -1154,6 +1154,54 @@ def test_band_plan_shrinks_to_memory_envelope():
     assert loose[("Ex_445_Em_469", "s0")] == (7, 2)
 
 
+def test_band_plan_cap_never_changes_store_bytes(
+    spark, tmp_path, monkeypatch
+):
+    """The envelope cap changes the BAND SPLIT, never the output: the
+    same acquisition written under a cap that forces 1-chunk-row bands
+    must be byte-identical to the uncapped plan.  Geometry chosen so
+    the cap actually binds (height 80 / cy 4 → n_cy 20, want-derived
+    bands of 5 chunk rows uncapped; cap 6000 B → pb_cap 1, and the
+    capped 1-row task (5376 B) still fits, so both runs stay fused)."""
+    from aind_smartspim_data_transformation_spark.imaging import fused
+
+    root = tmp_path / "ds"
+    make_dataset(root, height=80, width=28)
+    geo = fused.probe_stack_geometry(spark, f"{root}/SmartSPIM")
+    P = spark.sparkContext.defaultParallelism
+    loose = fused._band_plan(geo, [4, 4, 4], P, max_task_bytes=1 << 40)
+    tight = fused._band_plan(geo, [4, 4, 4], P, max_task_bytes=6000)
+    first = next(iter(loose))
+    assert loose[first][1] > tight[first][1] == 1, (
+        "fixture no longer makes the cap bind — adjust geometry",
+        loose[first],
+        tight[first],
+    )
+
+    def run(tag: str, cap: int):
+        monkeypatch.setattr(fused, "FUSED_MAX_TASK_BYTES", cap)
+        out = tmp_path / f"out_{tag}"
+        resp = run_imaging_job(
+            spark,
+            ImagingJobSettings(
+                input_source=str(root),
+                output_directory=str(out),
+                chunk_size=[4, 4, 4],
+                downsample_levels=2,
+                ingest="fused",
+            ),
+        )
+        assert resp["status_code"] == 200
+        assert "(fused)" in resp["message"]
+        return {
+            str(p.relative_to(out)): p.read_bytes()
+            for p in sorted(out.rglob("*"))
+            if p.is_file()
+        }
+
+    assert run("loose", 1 << 40) == run("tight", 6000)
+
+
 def test_band_plan_giant_plane_still_falls_back():
     """Even single-chunk-row bands can't fit a wide-enough plane; the
     plan floors at per_band=1 and fused_task_bytes honestly exceeds
