@@ -1202,6 +1202,56 @@ def test_band_plan_cap_never_changes_store_bytes(
     assert run("loose", 1 << 40) == run("tight", 6000)
 
 
+def test_band_plan_invariants_hypothesis():
+    """Property sweep of the capped band plan over arbitrary
+    geometries (tiny planes, z < cz, single-pixel widths, all dtypes):
+    the plan must always (1) floor per_band at 1, (2) cover every y
+    chunk row exactly (no empty trailing band), (3) respect the
+    envelope whenever a single-chunk-row band can — i.e.
+    fused_task_bytes > cap implies even per_band=1 doesn't fit, and
+    (4) never produce MORE bands than chunk rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aind_smartspim_data_transformation_spark.imaging.fused import (
+        _band_plan,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        z=st.integers(1, 4096),
+        y=st.integers(1, 8192),
+        x=st.integers(1, 8192),
+        cz=st.integers(1, 256),
+        cy=st.integers(1, 256),
+        par=st.integers(1, 64),
+        dtype=st.sampled_from(["uint8", "uint16", "float32"]),
+        cap=st.integers(1, 1 << 30),
+    )
+    def check(z, y, x, cz, cy, par, dtype, cap):
+        geo = [
+            {"channel": "C", "stack": "s0", "z": z, "y": y, "x": x,
+             "dtype": dtype}
+        ]
+        chunk = [cz, cy, 1]
+        plan = _band_plan(geo, chunk, par, max_task_bytes=cap)
+        nb, per_band = plan[("C", "s0")]
+        n_cy = -(-y // cy)
+        assert per_band >= 1
+        assert nb == -(-n_cy // per_band)  # no empty trailing bands
+        assert nb <= n_cy
+        item = np.dtype(dtype).itemsize
+        one_row = 2 * min(cz, z) * min(cy, y) * x * item + y * x * item
+        band_rows = min(per_band * cy, y)
+        capped_worst = 2 * min(cz, z) * band_rows * x * item + y * x * item
+        if capped_worst > cap:
+            # the envelope was missed — only legal when even a
+            # single-chunk-row band cannot fit
+            assert per_band == 1 and one_row > cap
+
+    check()
+
+
 def test_band_plan_giant_plane_still_falls_back():
     """Even single-chunk-row bands can't fit a wide-enough plane; the
     plan floors at per_band=1 and fused_task_bytes honestly exceeds
