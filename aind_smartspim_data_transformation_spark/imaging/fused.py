@@ -432,17 +432,23 @@ def _band_plan(
 
 
 def fused_task_bytes(
-    geo: list[dict[str, Any]], chunk_zyx: list[int], parallelism: int
+    geo: list[dict[str, Any]],
+    chunk_zyx: list[int],
+    parallelism: int,
+    max_task_bytes: int | None = None,
 ) -> int:
     """Worst-case per-task buffer: a folded task holds TWO band
     buffers (bands f and n_bands−1−f) plus one decoded slice span.
 
     Because :func:`_band_plan` already shrinks the band height to the
-    envelope, this exceeds ``FUSED_MAX_TASK_BYTES`` only when even a
+    envelope, this exceeds the envelope only when even a
     single-chunk-row band doesn't fit (a genuinely giant plane) — the
     one case where job.py's auto route SHOULD take the chunk-table
-    fallback."""
-    plan = _band_plan(geo, chunk_zyx, parallelism)
+    fallback.  ``max_task_bytes`` (default ``FUSED_MAX_TASK_BYTES``)
+    is threaded to the internal :func:`_band_plan` call so the probe
+    always sizes the SAME plan a caller passing a custom envelope
+    would execute — the probe and the plan can't drift apart."""
+    plan = _band_plan(geo, chunk_zyx, parallelism, max_task_bytes)
     worst = 0
     for g in geo:
         _, per_band = plan[(g["channel"], g["stack"])]

@@ -280,6 +280,12 @@ I05_STACKS = 6
 I05_X = 32  # synthetic plane width (pixels)
 I05_ITEM = 2  # synthetic dtype itemsize (uint16)
 I05_TASK_BYTES_CAP = 6144
+# Synthetic chunk dims (z-slab depth, y chunk rows) — named once and
+# interpolated into BOTH the DataFrame expressions and I05_SQL (ADVICE
+# r11: bare `4` literals in three places were a triple-edit hazard; the
+# parity test guards divergence, constants remove the hazard).
+I05_CZ = 4
+I05_CY = 4
 
 
 def i05_resume_bookkeeping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,14 +295,14 @@ def i05_resume_bookkeeping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (7 + 3 * F.col("id")).alias("z"),
         (16 + 5 * F.col("id")).alias("y"),
     )
-    s = geo.withColumn("n_slabs", F.expr("(z + 3) div 4")).withColumn(
-        "n_cy", F.expr("(y + 3) div 4")
-    )
+    s = geo.withColumn(
+        "n_slabs", F.expr(f"(z + {I05_CZ - 1}) div {I05_CZ}")
+    ).withColumn("n_cy", F.expr(f"(y + {I05_CY - 1}) div {I05_CY}"))
     t = s.agg(F.sum("n_slabs").alias("tot"))
     _cap_expr = (
         f"greatest(CAST(1 AS BIGINT), ({I05_TASK_BYTES_CAP} - "
         f"y*{I05_X}*{I05_ITEM}) div "
-        f"(2*least(4, z)*4*{I05_X}*{I05_ITEM}))"
+        f"(2*least({I05_CZ}, z)*{I05_CY}*{I05_X}*{I05_ITEM}))"
     )
     p5 = (
         s.crossJoin(F.broadcast(t))  # 1-row scalar, never a shuffle
@@ -362,7 +368,8 @@ def i05_resume_bookkeeping(spark: SparkSession, sf_dir: str) -> DataFrame:
 I05_SQL = f"""
 WITH geo AS (SELECT range AS stack_id, 7 + 3*range AS z, 16 + 5*range AS y
              FROM range({I05_STACKS})),
-s AS (SELECT *, (z + 3) // 4 AS n_slabs, (y + 3) // 4 AS n_cy FROM geo),
+s AS (SELECT *, (z + {I05_CZ - 1}) // {I05_CZ} AS n_slabs,
+             (y + {I05_CY - 1}) // {I05_CY} AS n_cy FROM geo),
 t AS (SELECT sum(n_slabs) AS tot FROM s),
 p AS (SELECT s.*, CAST(greatest(1, (4*{I05_PARALLELISM}) // tot) AS BIGINT)
               AS want FROM s, t),
@@ -372,7 +379,8 @@ p5 AS (
       SELECT *, least((n_cy + nb0 - 1) // nb0, pb_cap) AS per_band FROM (
         SELECT *, least(want, n_cy) AS nb0,
                greatest(1, ({I05_TASK_BYTES_CAP} - y*{I05_X}*{I05_ITEM}) //
-                           (2*least(4, z)*4*{I05_X}*{I05_ITEM})) AS pb_cap
+                   (2*least({I05_CZ}, z)*{I05_CY}*{I05_X}*{I05_ITEM}))
+                 AS pb_cap
         FROM p)))),
 k AS (
   SELECT p5.stack_id, p5.n_slabs, p5.n_bands, p5.per_band, p5.n_folds,

@@ -1153,6 +1153,14 @@ def test_band_plan_shrinks_to_memory_envelope():
     loose = _band_plan(geo, chunk, 32, max_task_bytes=1 << 40)
     assert loose[("Ex_445_Em_469", "s0")] == (7, 2)
 
+    # ADVICE r11: the probe must size the SAME plan a custom-envelope
+    # caller would execute — fused_task_bytes(max_task_bytes=X) sizes
+    # _band_plan(max_task_bytes=X), so the uncapped probe reports the
+    # loose plan's overshoot while the default probe reports the fit.
+    assert fused_task_bytes(geo, chunk, 32, max_task_bytes=1 << 40) > (
+        FUSED_MAX_TASK_BYTES
+    )
+
 
 def test_band_plan_cap_never_changes_store_bytes(
     spark, tmp_path, monkeypatch
