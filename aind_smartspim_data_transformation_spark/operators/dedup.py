@@ -260,46 +260,42 @@ def minhash_band_rows_narrow(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band_id", "b.bkey")
 
 
-def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The signature pipeline (minhash_band_rows) is consumed exactly
-    # once — the verify pass below re-shingles only candidate docs —
-    # so nothing here needs caching.
-    bands = minhash_band_rows(load_table(spark, sf_dir, "documents"))
-    # Candidate pairs by grouping each band bucket and expanding i<j
-    # combinations in-bucket — ONE pass over the signature pipeline and
-    # one shuffle on the band key, where a bands⋈bands self-join would
-    # compute the minhash aggregation twice (once per side) and shuffle
-    # both.  Bucket membership lists are tiny by construction (a bucket
-    # = docs agreeing on 64 bits of minhash); the MAX_BAND_BUCKET cap
-    # drops degenerate buckets (empty/boilerplate text all hashing
-    # identically) BEFORE the quadratic pair expansion, bounding the
-    # worst case at |buckets|·K² instead of a runaway bucket's n² —
-    # identical clause in the oracle, no-op on non-degenerate corpora
-    # (max observed bucket here is 13).
-    pairs_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc1, y AS doc2))))"
-    )
-    # r9 ABAB (VERDICT r8 ask #6): pinning this exchange to
-    # parallelism/4 fat reducers LOST all 4 interleaved pairs at sf0.1
-    # (11.8–12.7 s vs 11.5–11.8 s query wall; NOTES_r09) — AQE's
-    # post-shuffle coalesce already right-sizes the tiny exchange, and
-    # the explicit repartition only forfeits map-side planning.  The
-    # ~1 s scheduling slack d03 carries at sf0.1 stays attributed to
-    # stage scheduling, not reducer count; plan unchanged.
-    cand = (
-        bands.groupBy("band_id", "bkey")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BAND_BUCKET))
-        .select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select("p.doc1", "p.doc2")
-        .distinct()
-        .persist()  # consumed twice (pair join + cand_docs)
-    )
-    # verification touches only candidate docs: broadcast-semi-filter the
-    # *documents* table down BEFORE tokenize/shingle/explode — the verify
-    # pass never re-scans non-candidate text (candidates ≪ corpus, so
-    # the per-doc distinct is near-free here).
+# In-bucket i<j pair expansion over the sorted member array.  The
+# capped variant limits the OUTER loop to the first K_SAT_REPS members
+# (the K smallest doc_ids): work and output are K·n per bucket — linear
+# in bucket size — and because every member pairs with the minimum-id
+# representative, a saturated family stays one connected component
+# under d08/d09 (connectivity recall is total; only member–member
+# edges beyond the reps are sacrificed).
+_PAIRS_IN_BUCKET = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc1, y AS doc2))))"
+)
+K_SAT_REPS = 8  # representatives per saturated bucket (d16)
+_PAIRS_CAPPED = (
+    f"flatten(transform(slice(ids, 1, {K_SAT_REPS}), (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc1, y AS doc2))))"
+)
+
+
+def _verify_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    cand: DataFrame,
+    broadcast_pairs: bool = True,
+) -> DataFrame:
+    """Shared verify phase for d03/d16: exact jaccard over candidate
+    pairs, keeping only pairs ≥ JACCARD_THRESHOLD.
+
+    Verification touches only candidate docs: broadcast-semi-filter the
+    *documents* table down BEFORE tokenize/shingle/explode — the verify
+    pass never re-scans non-candidate text (candidates ≪ corpus, so
+    the per-doc distinct is near-free here).  ``broadcast_pairs``
+    controls whether the pair table itself is broadcast into the two
+    set joins: right for d03 (unsaturated candidates are small by
+    construction), wrong for d16 on a boilerplate-heavy corpus where
+    recovered pairs can reach K·n per family — d16 passes False and
+    takes shuffle joins."""
     cand_docs = (
         cand.select(F.col("doc1").alias("doc_id"))
         .union(cand.select(F.col("doc2")))
@@ -322,15 +318,120 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("shs").alias("shs2"))
     common = F.size(F.array_intersect("shs1", "shs2"))
     jac = common / (F.size("shs1") + F.size("shs2") - common)
+    pairs = F.broadcast(cand) if broadcast_pairs else cand
     return (
-        F.broadcast(cand)
-        .join(s1, "doc1")
+        pairs.join(s1, "doc1")
         .join(s2, "doc2")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", "jaccard")
         .orderBy("doc1", "doc2")
     )
+
+
+def d03_dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, observation=None
+) -> DataFrame:
+    # The signature pipeline (minhash_band_rows) is consumed exactly
+    # once — the verify pass below re-shingles only candidate docs —
+    # so nothing here needs caching.
+    bands = minhash_band_rows(load_table(spark, sf_dir, "documents"))
+    # Candidate pairs by grouping each band bucket and expanding i<j
+    # combinations in-bucket — ONE pass over the signature pipeline and
+    # one shuffle on the band key, where a bands⋈bands self-join would
+    # compute the minhash aggregation twice (once per side) and shuffle
+    # both.  Bucket membership lists are tiny by construction (a bucket
+    # = docs agreeing on 64 bits of minhash); the MAX_BAND_BUCKET cap
+    # drops degenerate buckets (empty/boilerplate text all hashing
+    # identically) BEFORE the quadratic pair expansion, bounding the
+    # worst case at |buckets|·K² instead of a runaway bucket's n² —
+    # identical clause in the oracle, no-op on non-degenerate corpora
+    # (max observed bucket here is 13).  Recall the cap sacrifices is
+    # observable via d15 and recoverable via d16.
+    grouped = bands.groupBy("band_id", "bkey").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    if observation is not None:
+        # Zero-extra-scan form of d15 (VERDICT r11 "what's wrong" #3):
+        # the saturation counters ride d03's OWN bucket aggregate via an
+        # Observation — metrics materialize on the same execution that
+        # computes the pairs, before the size filter prunes saturated
+        # buckets.  Values are definitionally d15's (asserted equal in
+        # tests/test_dedup.py); pass a pyspark Observation and read
+        # observation.get after an action on the returned plan.
+        # CAVEAT: if the query's final result is EMPTY, AQE's
+        # empty-relation propagation can elide this observed aggregate
+        # from the executed plan and the metrics row comes back empty —
+        # the registry d15 query is the unconditional form.
+        sz = F.size("ids")
+        sat = sz > MAX_BAND_BUCKET
+        grouped = grouped.observe(
+            observation,
+            F.coalesce(F.sum(F.when(sat, F.lit(1)).otherwise(F.lit(0))), F.lit(0))
+            .cast("bigint")
+            .alias("n_saturated_buckets"),
+            F.coalesce(F.sum(F.when(sat, sz).otherwise(F.lit(0))), F.lit(0))
+            .cast("bigint")
+            .alias("n_band_rows_dropped"),
+            F.coalesce(F.max(sz), F.lit(0)).cast("bigint").alias("max_bucket_rows"),
+        )
+    # r9 ABAB (VERDICT r8 ask #6): pinning this exchange to
+    # parallelism/4 fat reducers LOST all 4 interleaved pairs at sf0.1
+    # (11.8–12.7 s vs 11.5–11.8 s query wall; NOTES_r09) — AQE's
+    # post-shuffle coalesce already right-sizes the tiny exchange, and
+    # the explicit repartition only forfeits map-side planning.  The
+    # ~1 s scheduling slack d03 carries at sf0.1 stays attributed to
+    # stage scheduling, not reducer count; plan unchanged.
+    cand = (
+        grouped.filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BAND_BUCKET))
+        .select(F.explode(F.expr(_PAIRS_IN_BUCKET)).alias("p"))
+        .select("p.doc1", "p.doc2")
+        .distinct()
+        # consumed twice (pair join + cand_docs); released by the
+        # harness's clearCache() between queries — see the cache-
+        # hygiene policy in SCALE.md §6q and registry.all_queries().
+        .persist()
+    )
+    return _verify_jaccard_pairs(spark, sf_dir, cand, broadcast_pairs=True)
+
+
+def d16_lsh_recovered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d03 with bounded recall inside saturated buckets (VERDICT r11
+    "what's missing" #1 / ask #2): where d03 DROPS a band bucket larger
+    than MAX_BAND_BUCKET (losing every LSH pair of a >64-way near-dup
+    family — boilerplate-heavy crawl data hits this constantly), d16
+    pairs the K_SAT_REPS smallest doc_ids in the bucket with every
+    later member instead.  Work and output stay K·n per saturated
+    bucket (linear in bucket size, vs the n² the cap exists to
+    prevent), and because the minimum-id member is always a
+    representative, every family member acquires a verified edge to it
+    — the family reconstitutes as ONE component under d08/d09, so
+    corpus-level dedup recall is fully recovered; only redundant
+    member–member edges are sacrificed.  Unsaturated buckets expand
+    exactly as d03 (d16 ⊇ d03 row-for-row); verify is the shared exact
+    jaccard.  On a corpus with no saturated buckets d16 ≡ d03 — the
+    planted >64-way-family fixture (tests/test_dedup.py) pins the
+    recovery: d03 returns zero pairs, d16 returns the rep-pair set,
+    oracle-matched."""
+    bands = minhash_band_rows(load_table(spark, sf_dir, "documents"))
+    pair_branch = (
+        f"CASE WHEN size(ids) <= {MAX_BAND_BUCKET} THEN {_PAIRS_IN_BUCKET} "
+        f"ELSE {_PAIRS_CAPPED} END"
+    )
+    cand = (
+        bands.groupBy("band_id", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_branch)).alias("p"))
+        .select("p.doc1", "p.doc2")
+        .distinct()
+        # consumed twice (pair join + cand_docs); released by the
+        # harness's clearCache() — SCALE.md §6q.
+        .persist()
+    )
+    # Recovered pairs can reach K·n per boilerplate family — too big to
+    # force-broadcast; the verify joins shuffle instead.
+    return _verify_jaccard_pairs(spark, sf_dir, cand, broadcast_pairs=False)
 
 
 def d15_lsh_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,14 +498,10 @@ SELECT CAST(coalesce(sum(CASE WHEN n > {MAX_BAND_BUCKET} THEN 1 END), 0) AS BIGI
 FROM bsz
 """
 
-D03_SQL = f"""
-{_BANDS_CTE}, cand AS (
-  SELECT DISTINCT ba.doc_id AS doc1, bb.doc_id AS doc2
-  FROM bands ba JOIN bands bb
-    ON ba.band_id = bb.band_id AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
-  JOIN bsz ON bsz.band_id = ba.band_id AND bsz.bkey = ba.bkey
-  WHERE bsz.n <= {MAX_BAND_BUCKET}
-), sizes AS (
+# Shared verify tail (expects a `cand(doc1, doc2)` CTE in scope):
+# exact jaccard over the distinct-shingle rows, identical for D03/D16
+# so the two oracles can never drift apart on verification semantics.
+_VERIFY_SQL_TAIL = f""", sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (
   SELECT c.doc1, c.doc2, count(*) AS common
@@ -420,6 +517,43 @@ JOIN sizes sb ON sb.doc_id = doc2
 WHERE round(common / (sa.n_sh + sb.n_sh - common), 4) >= {JACCARD_THRESHOLD}
 ORDER BY doc1, doc2
 """
+
+D03_SQL = f"""
+{_BANDS_CTE}, cand AS (
+  SELECT DISTINCT ba.doc_id AS doc1, bb.doc_id AS doc2
+  FROM bands ba JOIN bands bb
+    ON ba.band_id = bb.band_id AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+  JOIN bsz ON bsz.band_id = ba.band_id AND bsz.bkey = ba.bkey
+  WHERE bsz.n <= {MAX_BAND_BUCKET}
+){_VERIFY_SQL_TAIL}"""
+
+# d16: same unsaturated branch as D03, plus the K-representative
+# recovery branch over saturated buckets — reps are the K smallest
+# doc_ids per bucket (row_number over doc_id asc), each paired with
+# every strictly-larger member, exactly the Spark `_PAIRS_CAPPED`
+# expansion.  UNION dedups a pair that is unsaturated in one band and
+# recovered in another.
+D16_SQL = f"""
+{_BANDS_CTE}, cand AS (
+  SELECT DISTINCT ba.doc_id AS doc1, bb.doc_id AS doc2
+  FROM bands ba JOIN bands bb
+    ON ba.band_id = bb.band_id AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+  JOIN bsz ON bsz.band_id = ba.band_id AND bsz.bkey = ba.bkey
+  WHERE bsz.n <= {MAX_BAND_BUCKET}
+  UNION
+  SELECT DISTINCT r.doc_id AS doc1, m.doc_id AS doc2
+  FROM (
+    SELECT b.band_id, b.bkey, b.doc_id,
+           row_number() OVER (PARTITION BY b.band_id, b.bkey
+                              ORDER BY b.doc_id) AS rn
+    FROM bands b
+    JOIN bsz ON bsz.band_id = b.band_id AND bsz.bkey = b.bkey
+    WHERE bsz.n > {MAX_BAND_BUCKET}
+  ) r
+  JOIN bands m
+    ON m.band_id = r.band_id AND m.bkey = r.bkey AND m.doc_id > r.doc_id
+  WHERE r.rn <= {K_SAT_REPS}
+){_VERIFY_SQL_TAIL}"""
 
 
 # ---------------------------------------------------------------------------
@@ -1484,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d12_dup_pagerank": d12_dup_pagerank,
     "d14_hamming_neighbor_topk": d14_hamming_neighbor_topk,
     "d15_lsh_saturation_audit": d15_lsh_saturation_audit,
+    "d16_lsh_recovered_pairs": d16_lsh_recovered_pairs,
 }
 
 ORACLE: dict[str, str] = {
@@ -1503,4 +1638,5 @@ ORACLE: dict[str, str] = {
     "d12_dup_pagerank": D12_SQL,
     "d14_hamming_neighbor_topk": _d14_sql(),
     "d15_lsh_saturation_audit": D15_SQL,
+    "d16_lsh_recovered_pairs": D16_SQL,
 }

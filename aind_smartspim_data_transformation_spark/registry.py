@@ -23,23 +23,32 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # leading list is (a) all keys with no driver row yet, oldest first,
 # then (b) this round's brand-new keys; r-green families trail.
 #
-# Round-11 rotation (VERDICT r10 ask #1): the two queries whose
-# implementations changed materially in r10 AFTER (or within minutes
-# of) their last driver rows.  i05's plan surface (`imaging/fused.py`)
-# gained the shared single listing, the millisecond/content resume
-# digest, and the `_publish_marker` retry contract with NO r10 driver
-# row (its green row is r9's); e14's conf-keyed clone landed in
-# 2f80082 only minutes before its r10 row was sampled.  Re-sample both
-# on the settled shapes.
+# Round-12 rotation (VERDICT r11 ask #3): queries whose
+# implementations changed in r11 with no r11 driver row, plus this
+# round's changes.  s09/n07 call `lloyd_train`, whose signature grew
+# the mapInPandas assign-mode branch in r11 (equality-tested, but the
+# rotation invariant says re-sample).  d03 was refactored this round
+# (shared `_verify_jaccard_pairs` helper + the Observation hook; plan
+# value-identical, re-sample anyway); i05 had its chunk-dim literals
+# hoisted to I05_CZ/I05_CY constants this round (ADVICE r11).
+# i01–i04 stay put: the r11 imaging_queries.py diff was i05-only
+# (verified from `git diff b65107c..2ece7b6`).  d16 is brand-new
+# (invariant (b)): bounded recall recovery for saturated LSH buckets.
+_LEADING_R12 = [
+    "d16_lsh_recovered_pairs",
+    "d03_dedup_minhash_lsh",
+    "s09_kmeans_train",
+    "n07_semantic_dedup",
+    "i05_resume_bookkeeping",
+]
+
+# Kept so NOTES/VERDICT history stays greppable; no longer drive the
+# window.
 _LEADING_R11 = [
     "i05_resume_bookkeeping",
     "e14_sessions_recursive",
-    # brand-new this round (invariant (b)): the d03 saturation audit
     "d15_lsh_saturation_audit",
 ]
-
-# Kept so NOTES/VERDICT history stays greppable; no longer drives the
-# window.
 _LEADING_R10 = [
     "d07_simhash_hamming_pairs",
     "n07_semantic_dedup",
@@ -54,7 +63,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R11 if k in d}
+    lead = {k: d[k] for k in _LEADING_R12 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 
@@ -76,7 +85,7 @@ def _modules():
         "aind_smartspim_data_transformation_spark.plans.imaging_queries",
         "aind_smartspim_data_transformation_spark.operators.dedup",
         # Module order no longer defines the sample window (the explicit
-        # _LEADING_R11 rotation above does); extras still merges last so
+        # _LEADING_R12 rotation above does); extras still merges last so
         # its re-registrations of relational helpers win by key.
         "aind_smartspim_data_transformation_spark.plans.extras",
     ]

@@ -122,6 +122,94 @@ def test_d15_saturation_audit_counts_dropped_buckets(spark, tmp_path):
     ) == oracle
 
 
+def _write_saturated_family(spark, tmp_path, n):
+    """Planted >MAX_BAND_BUCKET family (identical text → all 16
+    minhashes agree → every band bucket saturates) plus two
+    singletons.  Returns a DuckDB connection viewing the table."""
+    import duckdb
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text, "en", "src0", len(text)) for i in range(n)]
+    rows += [
+        (1000, "one unique sentence about rivers and stones", "en", "src1", 44),
+        (1001, "another unique sentence about clouds and wind", "en", "src1", 45),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def test_d16_recovers_saturated_family(spark, tmp_path):
+    """d16 (VERDICT r11 ask #2): on the planted >64-way family d03's
+    cap zeroes recall; d16 must recover the K_SAT_REPS representative
+    pairs — provably more than d03's zero — match the DuckDB oracle,
+    and keep the whole family one connected component via the min-id
+    representative."""
+    n = dedup.MAX_BAND_BUCKET + 36  # 100-way family
+    con = _write_saturated_family(spark, tmp_path, n)
+
+    assert dedup.d03_dedup_minhash_lsh(spark, str(tmp_path)).collect() == []
+    got = dedup.d16_lsh_recovered_pairs(spark, str(tmp_path)).collect()
+    # reps = doc_ids 0..K-1; pairs (i, m) for m > i → Σ_{i<K} (n-1-i)
+    K = dedup.K_SAT_REPS
+    expect_n = sum(n - 1 - i for i in range(K))
+    assert len(got) == expect_n
+    assert all(r["jaccard"] == 1.0 for r in got)
+    # min-id rep pairs with EVERY other family member → one component
+    assert sum(1 for r in got if r["doc1"] == 0) == n - 1
+    oracle = con.execute(dedup.ORACLE["d16_lsh_recovered_pairs"]).fetchall()
+    assert sorted(map(tuple, got)) == sorted(oracle)
+
+
+def test_d16_equals_d03_without_saturation(spark, sf_dir):
+    """On a corpus with no saturated buckets (the base testdata — max
+    observed bucket 13) d16 must be row-identical to d03."""
+    a = sorted(map(tuple, dedup.d03_dedup_minhash_lsh(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup.d16_lsh_recovered_pairs(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_d03_observation_matches_d15(spark, tmp_path):
+    """Ask r11 #6 (zero-extra-scan saturation counters): d03 run with
+    an Observation must report exactly d15's figures from its own
+    bucket aggregate — no second signature pipeline.  The fixture
+    carries one small unsaturated near-dup pair so d03's OUTPUT is
+    non-empty: on an empty result AQE's empty-relation propagation can
+    elide the observed aggregate from the final plan and the metrics
+    row comes back empty (documented on the observation kwarg)."""
+    from pyspark.sql import Observation
+
+    n = dedup.MAX_BAND_BUCKET + 36
+    _write_saturated_family(spark, tmp_path, n)
+    pair = "one small duplicated sentence about rivers flowing south"
+    spark.createDataFrame(
+        [(2000, pair, "en", "src2", len(pair)), (2001, pair, "en", "src2", len(pair))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(str(tmp_path / "documents.parquet"))
+
+    [d15] = dedup.d15_lsh_saturation_audit(spark, str(tmp_path)).collect()
+    obs = Observation()
+    out = dedup.d03_dedup_minhash_lsh(spark, str(tmp_path), observation=obs)
+    out.collect()  # action materializes the observed metrics
+    got = obs.get
+    assert (
+        got["n_saturated_buckets"],
+        got["n_band_rows_dropped"],
+        got["max_bucket_rows"],
+    ) == (
+        d15["n_saturated_buckets"],
+        d15["n_band_rows_dropped"],
+        d15["max_bucket_rows"],
+    )
+
+
 def test_embedding_cosine_pairs_planted(spark, tmp_path):
     """d05 (r10 fat-group collapse): the base corpora carry no
     embedding near-dups at the 0.9 threshold, so the oracle rows there
