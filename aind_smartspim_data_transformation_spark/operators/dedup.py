@@ -8,7 +8,9 @@
 - d04 SimHash signatures (token-hash bit voting),
 - d05 embedding-cosine (hyperplane-LSH bucketed),
 - d06 materialized deduplicated corpus (keepers minus near-dup losers),
-- d07 SimHash hamming pairs (pigeonhole bands, bit_count verify).
+- d07 SimHash hamming pairs (pigeonhole bands, bit_count verify),
+- d15 LSH saturation audit (what d03's bucket cap dropped),
+- d16 saturated-bucket recall recovery (K-representative pairing).
 
 Everything is pure DataFrame algebra — no Python in the hot path.  The
 hash family is ``md5(i || '|' || shingle)``: identical strings hash

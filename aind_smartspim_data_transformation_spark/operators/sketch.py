@@ -308,7 +308,8 @@ def _split_shingles(spark: SparkSession, sf_dir: str, keep) -> DataFrame:
 def x05_bloom_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each side feeds three consumers (positions/bits, the truth join,
     # and its count) — persist, or the scan+explode+distinct pipeline
-    # executes once PER consumer.
+    # executes once PER consumer.  Query-path cache: harness
+    # clearCache() releases — SCALE.md §6q.
     train = _split_shingles(spark, sf_dir, lambda h: h < "c").persist()
     test = _split_shingles(spark, sf_dir, lambda h: h >= "e").persist()
 

@@ -555,7 +555,7 @@ def t10_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
-    ).persist()
+    ).persist()  # query-path cache: harness clearCache() releases — SCALE.md §6q
     ranked, totals = distributed_order_stats(
         counts,
         "n",

@@ -1155,7 +1155,7 @@ def n05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         F.size(F.split("text", " ")).alias("tok"),
-    ).persist()
+    ).persist()  # query-path cache: harness clearCache() releases — SCALE.md §6q
     placed = distributed_cumsum(
         docs, "doc_id", "tok", out_col="cum", partition_cols=("source",)
     ).select(
@@ -1275,7 +1275,7 @@ def n06_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(array_distinct(split(text, ' '))) * 1000"
             " div size(split(text, ' '))"
         ).alias("ttr_milli"),
-    ).persist()
+    ).persist()  # query-path cache: harness clearCache() releases — SCALE.md §6q
     tiered = distributed_ntile(
         scored, "ttr_milli", 10, tie_cols=("doc_id",), out_col="tier"
     )
@@ -2143,7 +2143,7 @@ def n14_token_volume_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split("text", " ")).alias("tok"),
-    ).persist()
+    ).persist()  # query-path cache: harness clearCache() releases — SCALE.md §6q
     tiered = distributed_ntile(
         scored, "tok", 10, tie_cols=("doc_id",), out_col="tier"
     )
@@ -2222,7 +2222,7 @@ def n15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count("*").alias("cnt"))
-        .persist()
+        .persist()  # query-path cache: harness clearCache() releases — SCALE.md §6q
     )
     cum = distributed_cumsum(
         vocab, "cnt", "cnt", out_col="cum",
@@ -2309,7 +2309,7 @@ def n16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week"),
         )
         .distinct()
-    ).persist()
+    ).persist()  # query-path cache: harness clearCache() releases — SCALE.md §6q
     cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
     sizes = cohorts.groupBy("cohort").agg(F.count("*").alias("cohort_n"))
     active = (
@@ -2466,7 +2466,7 @@ def n18_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(array_distinct(split(text, ' '))) * 1000"
             " div size(split(text, ' '))"
         ).alias("ttr_milli"),
-    ).persist()
+    ).persist()  # query-path cache: harness clearCache() releases — SCALE.md §6q
     r1, totals = distributed_order_stats(
         scored, "tok", tie_cols=("doc_id",), rank_col="rank_len"
     )
@@ -2547,7 +2547,7 @@ def n19_tier_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(array_distinct(split(text, ' '))) * 1000"
             " div size(split(text, ' '))"
         ).alias("ttr_milli"),
-    ).persist()
+    ).persist()  # query-path cache: harness clearCache() releases — SCALE.md §6q
     tiered = distributed_ntile(
         scored, "ttr_milli", 10, tie_cols=("doc_id",), out_col="tier"
     )

@@ -49,6 +49,33 @@ from aind_smartspim_data_transformation_spark.tables import TABLE_NAMES  # noqa:
 
 _SCALED = ("documents", "events", "embeddings")
 
+# --skew zipf (VERDICT r11 ask #1): every sweep to date replicated
+# verbatim (uniform keys), but real 100 TB corpora are zipf-skewed —
+# one user_id with 10% of the events, one source with half the docs.
+# Re-key a configurable fraction of REPLICA rows onto a small head of
+# hot keys with zipf(1) weights: rank r of SKEW_HEADS gets weight 1/r.
+# Hot keys are NEGATIVE ids (events.user_id, embeddings.label) or a
+# 'hot_source_r' literal (documents.source) so they can never collide
+# with base keys; primary keys (event_id/doc_id/vec_id) stay unique.
+SKEW_HEADS = 16
+
+
+def _zipf_case(u_expr: str, frac: float, hot_of_rank, orig: str) -> str:
+    """CASE expr: with probability ``frac`` (deterministic per-row
+    uniform ``u_expr`` in [0,1)) pick a hot key by inverse-CDF of
+    zipf(1) over SKEW_HEADS ranks, else keep ``orig``."""
+    H = sum(1.0 / r for r in range(1, SKEW_HEADS + 1))
+    cum, branches = 0.0, []
+    for r in range(1, SKEW_HEADS + 1):
+        cum += (1.0 / r) / H
+        branches.append(f"WHEN {u_expr} < {frac * cum:.9f} THEN {hot_of_rank(r)}")
+    return f"CASE {' '.join(branches)} ELSE {orig} END"
+
+
+def _unit_uniform(*cols: str) -> str:
+    """Deterministic per-row uniform in [0,1) from the named columns."""
+    return f"(pmod(xxhash64('skew', {', '.join(cols)}), 1000000) / 1000000.0)"
+
 _OVERFLOW_MARKERS = (
     "ARITHMETIC_OVERFLOW",
     "CAST_OVERFLOW",
@@ -58,7 +85,14 @@ _OVERFLOW_MARKERS = (
 )
 
 
-def build_scale_dir(spark, base_sf: str, out_dir: str, factor: int) -> None:
+def build_scale_dir(
+    spark,
+    base_sf: str,
+    out_dir: str,
+    factor: int,
+    skew: str | None = None,
+    skew_frac: float = 0.5,
+) -> None:
     """Symlink the star schema; replicate the LLM-pipeline tables.
 
     The replicated tables are written REPARTITIONED (32 files): the
@@ -77,12 +111,36 @@ def build_scale_dir(spark, base_sf: str, out_dir: str, factor: int) -> None:
 
     rep = spark.range(factor).withColumnRenamed("id", "rep")
 
+    if skew == "zipf":
+        source_expr = _zipf_case(
+            _unit_uniform("doc_id", "rep"),
+            skew_frac,
+            lambda r: f"'hot_source_{r}'",
+            "source",
+        )
+        user_expr = _zipf_case(
+            _unit_uniform("event_id", "rep"),
+            skew_frac,
+            lambda r: f"CAST(-{r} AS BIGINT)",
+            f"user_id * {factor} + rep",
+        )
+        label_expr = _zipf_case(
+            _unit_uniform("vec_id", "rep"),
+            skew_frac,
+            lambda r: f"CAST(-{r} AS INT)",
+            "label",
+        )
+    else:
+        source_expr = "source"
+        user_expr = f"user_id * {factor} + rep"
+        label_expr = "label"
+
     docs = spark.read.parquet(f"{base_sf}/documents.parquet")
     docs.crossJoin(rep).select(
         (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
         "text",
         "lang",
-        "source",
+        F.expr(source_expr).alias("source"),
         "n_chars",
     ).repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
@@ -93,7 +151,7 @@ def build_scale_dir(spark, base_sf: str, out_dir: str, factor: int) -> None:
     ev.crossJoin(rep).select(
         (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
         F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, rep)").alias("ts"),
-        (F.col("user_id") * factor + F.col("rep")).alias("user_id"),
+        F.expr(user_expr).alias("user_id"),
         "event_type",
         "value",
         "props",
@@ -103,14 +161,37 @@ def build_scale_dir(spark, base_sf: str, out_dir: str, factor: int) -> None:
     emb.crossJoin(rep).select(
         (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
         "embedding",
-        "label",
+        F.expr(label_expr).alias("label"),
     ).repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    if skew == "zipf":
+        hot = spark.read.parquet(f"{out_dir}/events.parquet").filter(
+            "user_id < 0"
+        )
+        total = spark.read.parquet(f"{out_dir}/events.parquet").count()
+        top = hot.groupBy("user_id").count().orderBy(F.desc("count")).collect()
+        share = sum(r["count"] for r in top) / max(total, 1)
+        print(
+            f"# skew=zipf frac={skew_frac} heads={SKEW_HEADS}: hot users hold "
+            f"{share:.1%} of {total} events; head user {top[0]['count']} rows "
+            f"({top[0]['count'] / max(total, 1):.1%})"
+        )
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--base", default=os.environ.get("SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--skew",
+        choices=["zipf"],
+        default=None,
+        help="re-key a --skew-frac fraction of replica rows onto "
+        f"{SKEW_HEADS} zipf-weighted hot keys (events.user_id, "
+        "documents.source, embeddings.label) — the 100 TB axis the "
+        "uniform replication never exercises (SCALE.md §6o)",
+    )
+    ap.add_argument("--skew-frac", type=float, default=0.5)
     ap.add_argument(
         "--skip",
         action="append",
@@ -142,8 +223,13 @@ def main() -> int:
             print(f"{k}: WAIVED — {reason}")
 
     tmp = tempfile.mkdtemp(prefix="overflow_sweep_")
-    print(f"# scale dir {tmp}: {args.base} with {_SCALED} x{args.factor}")
-    build_scale_dir(spark, args.base, tmp, args.factor)
+    print(
+        f"# scale dir {tmp}: {args.base} with {_SCALED} x{args.factor}"
+        + (f" skew={args.skew} frac={args.skew_frac}" if args.skew else "")
+    )
+    build_scale_dir(
+        spark, args.base, tmp, args.factor, skew=args.skew, skew_frac=args.skew_frac
+    )
 
     overflowed, errored = [], []
     for name in names:
