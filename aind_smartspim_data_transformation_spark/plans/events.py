@@ -351,25 +351,52 @@ FROM per_user
 # same user within [click_ts, click_ts + 30 min).  This exact
 # expression also runs as a watermarked stream-stream join
 # (streaming/events_stream.py::click_purchase_interval_join — the test
-# asserts stream == batch).  Equi-key user_id carries the shuffle; the
-# time range only filters within the key group, so there is no
-# range-join blow-up.  In streaming, the 30-min bound + watermark is
-# what lets Spark expire join state — an unbounded-time join would
-# grow state forever.
+# asserts stream == batch).
+#
+# SKEW (r12, SCALE.md §6o): joining on user_id alone degenerates on a
+# hot key — the range predicate only filters WITHIN the sort-merge key
+# group, so a user holding 15% of the events turns one task into an
+# |clicks|×|purchases| nested loop (measured 437 s at 100× under the
+# zipf sweep).  The equi-key is therefore (user_id, 30-min bucket):
+# an in-range purchase's bucket is the click's or the next one, so the
+# purchase side explodes to its two candidate buckets and every
+# in-range pair matches EXACTLY once (pb = bc → via pb; pb = bc+1 →
+# via pb−1).  Key groups shrink from a user's whole history to one
+# window's worth — 2× purchase-side shuffle volume buys a bounded
+# worst case (re-measured 13.0 s on the same skewed 100× corpus,
+# identical 4,566 output rows — 34×).  In
+# streaming, the 30-min bound + watermark is what lets Spark expire
+# join state — an unbounded-time join would grow state forever.
 # ---------------------------------------------------------------------------
+_E08_BUCKET_US = 30 * 60 * 1_000_000
+
+
 def e08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("click_ts")
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.expr(f"unix_micros(ts) div {_E08_BUCKET_US}").alias("bkt"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-        "value",
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+            F.expr(f"unix_micros(ts) div {_E08_BUCKET_US}").alias("pb"),
+        )
+        .select(
+            "p_user",
+            "p_ts",
+            "value",
+            F.explode(F.array(F.col("pb"), F.col("pb") - 1)).alias("bkt"),
+        )
     )
     pairs = clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user"))
+        & (clicks["bkt"] == purchases["bkt"])
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
@@ -645,6 +672,108 @@ ORDER BY user_id, ts
 
 
 # ---------------------------------------------------------------------------
+# E16 — e13's skew-proof twin (r12, SCALE.md §6o).  Spark evaluates a
+# sliding RANGE frame by re-scanning the frame per row, so e13's
+# user-partitioned window is O(n_user × frame) on ONE task — under the
+# zipf sweep a hot user holding 15% of 10M events (24h frame ≈ 49k
+# rows) left e13's last task still running when the sweep was killed
+# after ~80 min at 100×.  Same semantics, bounded partitions: the 24h
+# frame
+# [ts−24h, ts] spans at most the event's own day-bucket and the
+# previous one, so
+#   n_24h = (tie-inclusive cum count in own bucket)            [asc]
+#         + (count of prev-bucket events with us' ≥ ts−24h)    [desc]
+# and likewise for sum_24h.  The own-bucket term is a cumulative RANGE
+# window over (user_id, bucket) — O(n) incremental, tie-correct.  The
+# prev-bucket term inserts one PROBE row per event at key ts−24h into
+# the previous bucket's stream and takes a cumulative over DESCENDING
+# us — counted directly, never as total−below (no FP cancellation in
+# the sum), with events sorting before probes at equal us so the
+# inclusive left boundary counts.  Every window partition is one
+# user-day, not one user — the hot key parallelizes across its days.
+# Same oracle as e13 (registered under E13_SQL); e13 ≡ e16 asserted in
+# tests/test_events.py.  Measured on the same skewed 100× corpus:
+# 12.1 s for all 10M output rows, where e13 was killed after ~80 min
+# (>395×).
+# ---------------------------------------------------------------------------
+def e16_rolling_24h_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("bkt"),
+    )
+    w_own = (
+        W.partitionBy("user_id", "bkt")
+        .orderBy("us")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    own = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w_own).alias("n_own"),
+        F.sum("value").over(w_own).alias("s_own"),
+    )
+    # prev-bucket stream: real events keyed by their own bucket, probe
+    # rows keyed into the NEXT bucket's previous (= their event's
+    # bkt − 1) at us − 24h
+    ev_rows = ev.select(
+        "user_id",
+        F.col("bkt").alias("pbkt"),
+        "us",
+        "value",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("probe_of"),
+    )
+    probe_rows = ev.select(
+        "user_id",
+        (F.col("bkt") - 1).alias("pbkt"),
+        (F.col("us") - F.lit(_DAY_US)).alias("us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("probe_of"),
+    )
+    # DESC us so a probe's cumulative is exactly the events with
+    # us' ≥ ts−24h; events sort before probes at equal us (inclusive
+    # left boundary).
+    w_prev = (
+        W.partitionBy("user_id", "pbkt")
+        .orderBy(F.desc("us"), F.asc("is_probe"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    probed = (
+        ev_rows.unionByName(probe_rows)
+        .select(
+            "probe_of",
+            "is_probe",
+            F.sum(1 - F.col("is_probe")).over(w_prev).alias("n_ge"),
+            F.sum(F.when(F.col("is_probe") == 0, F.col("value"))).over(
+                w_prev
+            ).alias("s_ge"),
+        )
+        .filter(F.col("is_probe") == 1)
+        .select(
+            F.col("probe_of").alias("event_id"),
+            "n_ge",
+            F.coalesce("s_ge", F.lit(0.0)).alias("s_ge"),
+        )
+    )
+    return (
+        own.join(probed, "event_id")
+        .select(
+            "user_id",
+            "ts",
+            (F.col("n_own") + F.col("n_ge")).alias("n_24h"),
+            F.round(F.col("s_own") + F.col("s_ge"), 2).alias("sum_24h"),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
 # E14 — sessionization via Spark 4's native recursive CTE: the same
 # 30-minute-gap sessions as e04, expressed as a declarative chain walk
 # (head events recurse along immediate-successor links).  Third
@@ -772,6 +901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e12_weekly_change": e12_weekly_change,
     "e13_rolling_24h": e13_rolling_24h,
     "e14_sessions_recursive": e14_sessions_recursive,
+    "e16_rolling_24h_bucketed": e16_rolling_24h_bucketed,
 }
 
 ORACLE: dict[str, str] = {
@@ -789,4 +919,7 @@ ORACLE: dict[str, str] = {
     "e12_weekly_change": E12_SQL,
     "e13_rolling_24h": E13_SQL,
     "e14_sessions_recursive": E14_SQL,
+    # e16 = e13's bounded-partition twin: same output contract, same
+    # oracle (the d09/D08_SQL precedent)
+    "e16_rolling_24h_bucketed": E13_SQL,
 }

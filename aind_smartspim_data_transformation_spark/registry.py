@@ -34,8 +34,12 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # i01–i04 stay put: the r11 imaging_queries.py diff was i05-only
 # (verified from `git diff b65107c..2ece7b6`).  d16 is brand-new
 # (invariant (b)): bounded recall recovery for saturated LSH buckets.
+# e08's equi-key grew the 30-min bucket (zipf-sweep finding, SCALE.md
+# §6o) and e16 is the new bounded-partition rolling twin — both lead.
 _LEADING_R12 = [
     "d16_lsh_recovered_pairs",
+    "e08_interval_join",
+    "e16_rolling_24h_bucketed",
     "d03_dedup_minhash_lsh",
     "s09_kmeans_train",
     "n07_semantic_dedup",
@@ -115,7 +119,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     InMemoryRelations per pass.  An in-plan ``unpersist()`` is NOT an
     alternative: releasing at build time evicts the InMemoryRelation
     from the returned plan and the consumer recomputes the shared
-    subtree (measured r8→r9: n05 2→4, n15 2→6 wide exchanges).
+    subtree (measured r8→r9: n05 2→4, n15 2→6 wide exchanges).  Full
+    site census + session-lifetime policy: SCALE.md §6q.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _modules():

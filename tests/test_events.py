@@ -86,6 +86,66 @@ def test_recursive_sessions_equal_window_sessions(spark, sf_dir):
     assert e14 == e04
 
 
+def test_bucketed_rolling_equals_range_frame(spark, sf_dir):
+    """e16's bounded-partition rolling (own-bucket cumulative +
+    prev-bucket descending probe scan) is row-identical to e13's
+    native sliding RANGE frame — two formulations, one contract; the
+    bucketed form is the one whose window partitions stay one user-DAY
+    under a hot key (SCALE.md §6o)."""
+    a = sorted(map(tuple, events.e13_rolling_24h(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, events.e16_rolling_24h_bucketed(spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_bucketed_rolling_boundary_ties(spark, tmp_path):
+    """Planted boundary fixture for e16's two delicate orderings: an
+    event EXACTLY 24h before another (inclusive left boundary — must
+    count) and duplicate timestamps (tie-inclusive cumulative — every
+    tied row sees all its ties), both straddling a day-bucket edge."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 10, 0, 0, 30)  # 30 s into a UTC day
+    day = dt.timedelta(hours=24)
+    rows = [
+        # u1: e2 at base+day, e1 exactly 24h earlier (prev bucket,
+        # inclusive), e0 one µs before the frame (must NOT count)
+        (1, 10, base - dt.timedelta(microseconds=1), 1.0),
+        (2, 10, base, 2.0),
+        (3, 10, base + day, 4.0),
+        # u2: duplicate timestamps straddling nothing — tie inclusion
+        (4, 20, base, 8.0),
+        (5, 20, base, 16.0),
+    ]
+    spark.createDataFrame(
+        [(e, u, t, v, "click", "{}") for (e, u, t, v) in rows],
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["user_id"], r["ts"], r["n_24h"], r["sum_24h"])
+        for r in events.e16_rolling_24h_bucketed(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    expect = {
+        (10, rows[0][2], 1, 1.0),
+        (10, base, 2, 3.0),          # e0 + e1 (same bucket)
+        (10, base + day, 2, 6.0),    # e1 (exactly 24h back) + e2, NOT e0
+        (20, base, 2, 24.0),         # both ties see both rows
+        (20, base, 2, 24.0),
+    }
+    assert got == expect
+    # and the native frame agrees on the same fixture
+    native = {
+        (r["user_id"], r["ts"], r["n_24h"], r["sum_24h"])
+        for r in events.e13_rolling_24h(spark, str(tmp_path)).collect()
+    }
+    assert native == got
+
+
 def test_variant_props_equal_json_extract(spark, sf_dir):
     """x01 (VARIANT parse-once probe) matches e01 (per-path
     get_json_object) row for row — same contract, Spark-4-native type."""

@@ -207,7 +207,47 @@ ANNOTATIONS = {
         "integer-microsecond frame key; `specifiedwindowframe(RangeFrame, "
         "-86400000000, currentrow$())` — per-event trailing windows with "
         "state bounded by a user's 24-hour event count, the shape a "
-        "fixed-grid sliding bucket (e03) cannot express."
+        "fixed-grid sliding bucket (e03) cannot express.  KNOWN SKEW "
+        "LIMIT (SCALE.md §6o): the partition is one USER, and Spark "
+        "re-scans the sliding frame per row — a zipf hot key turns this "
+        "into one O(n·frame) task (killed at ~80 min, 100× skewed); e16 "
+        "below is the bounded-partition twin."
+    ),
+    "e16_rolling_24h_bucketed": (
+        "e13's skew-proof twin (identical output, same oracle). Look "
+        "for: BOTH window exchanges hashpartitioning on (user_id, "
+        "day-bucket) — never user_id alone, so the hot key's work "
+        "parallelizes across its days; the own-bucket cumulative as a "
+        "RangeFrame(unboundedpreceding$(), currentrow$()) (tie-inclusive, "
+        "O(n) incremental — growing frames are cheap, sliding frames are "
+        "not); the prev-bucket term as a UNION with probe rows scanned "
+        "by a DESCENDING RowFrame cumulative (counts ts' ≥ ts−24h "
+        "directly — no total-minus-below subtraction, no FP "
+        "cancellation); one final join back on event_id.  12.1 s on the "
+        "skewed 100× corpus where e13's native frame was killed at "
+        "~80 min."
+    ),
+    "e08_interval_join": (
+        "Click⋈purchase within [click, click+30min). Look for: the "
+        "equi-join keys (user_id, bkt) — user AND 30-minute bucket, "
+        "never user alone: the range predicate only filters WITHIN an "
+        "equi-key group, so a user_id-only key inherits a hot user's "
+        "skew QUADRATICALLY (437 s at 100× zipf; SCALE.md §6o).  The "
+        "purchase side carries a 2-element `Generate explode` (its own "
+        "bucket + the previous one) so every in-range pair matches "
+        "exactly once; the residual range condition rides the join as a "
+        "post-condition.  13.0 s on the same skewed corpus — 34×."
+    ),
+    "d16_lsh_recovered_pairs": (
+        "d03 with bounded recall inside saturated LSH buckets. Look "
+        "for: ONE ObjectHashAggregate bucket pass (same as d03 — the "
+        "signature pipeline is never computed twice); the pair expansion "
+        "as a single CASE over the sorted member array — full i<j "
+        "in-bucket pairs when |bucket| ≤ 64, first-K-representatives × "
+        "later-members when saturated (K·n, linear in bucket size); the "
+        "verify joins are SHUFFLE joins, not broadcast — recovered pairs "
+        "can reach K·n per boilerplate family (3.9M pairs at 100×), too "
+        "big to force onto the driver."
     ),
     "s08_ann_recall_panel": (
         "Multi-query ANN recall panel. Look for: the centroid index and "
