@@ -154,6 +154,14 @@ def click_purchase_interval_join(events: DataFrame, how: str = "inner") -> DataF
     until the watermark proves no purchase can still arrive inside its
     30-minute window, then emitted exactly once with NULL purchase
     columns (see :func:`click_purchase_outer_join`).
+
+    SKEW posture (SCALE.md §6o): batch e08 moved its equi-key to
+    (user_id, 30-min bucket) because a hot user turns a key group into
+    a nested loop over the user's WHOLE history.  This twin keeps the
+    plain user_id key deliberately: stream-stream join state is already
+    time-bounded by watermark + range, so a hot key's per-row match
+    work is capped at its ~2.5 h of buffered rows — the time window is
+    in the STATE EXPIRY here, where batch had to put it in the key.
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
