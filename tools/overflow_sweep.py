@@ -112,10 +112,16 @@ def build_scale_dir(
     rep = spark.range(factor).withColumnRenamed("id", "rep")
 
     if skew == "zipf":
+        # Hot sources stay INSIDE the column's value domain: testdata
+        # sources are 'src<INT>' and c09 parses that suffix
+        # (CAST(substring(source, 4) AS INT)) — the first full skewed
+        # sweep used 'hot_source_<r>' and c09 failed LOUDLY under ANSI
+        # (the §6h design working as intended; SCALE.md §6o).  src9xx
+        # ids are disjoint from the base corpus's src0..src9.
         source_expr = _zipf_case(
             _unit_uniform("doc_id", "rep"),
             skew_frac,
-            lambda r: f"'hot_source_{r}'",
+            lambda r: f"'src9{r:02d}'",
             "source",
         )
         user_expr = _zipf_case(
