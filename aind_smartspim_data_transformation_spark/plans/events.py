@@ -346,6 +346,23 @@ FROM per_user
 """
 
 
+def _bucket_us(width_us: int) -> str:
+    """Exact FLOOR division of ``unix_micros(ts)`` by a bucket width.
+
+    Spark's ``div`` truncates toward zero, so for pre-1970 timestamps
+    (negative micros) bucket 0 would span two widths and break the
+    "frame spans own bucket or the previous one" invariant e08/e16
+    rely on (ADVICE r12).  ``pmod`` is non-negative, ``x - pmod(x, w)``
+    is an exact multiple of ``w``, so the ``div`` is exact floor
+    division over the full long domain — identical to plain ``div`` on
+    the post-epoch testdata, plans re-sampled via _LEADING_R13.
+    """
+    return (
+        f"(unix_micros(ts) - pmod(unix_micros(ts), {width_us})) "
+        f"div {width_us}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # E8 — interval (stream-stream-shaped) join: click ⋈ purchase by the
 # same user within [click_ts, click_ts + 30 min).  This exact
@@ -376,7 +393,7 @@ def e08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("ts").alias("click_ts"),
-        F.expr(f"unix_micros(ts) div {_E08_BUCKET_US}").alias("bkt"),
+        F.expr(_bucket_us(_E08_BUCKET_US)).alias("bkt"),
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -384,7 +401,7 @@ def e08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
             "value",
-            F.expr(f"unix_micros(ts) div {_E08_BUCKET_US}").alias("pb"),
+            F.expr(_bucket_us(_E08_BUCKET_US)).alias("pb"),
         )
         .select(
             "p_user",
@@ -703,7 +720,7 @@ def e16_rolling_24h_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
         F.unix_micros("ts").alias("us"),
-        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("bkt"),
+        F.expr(_bucket_us(_DAY_US)).alias("bkt"),
     )
     w_own = (
         W.partitionBy("user_id", "bkt")
@@ -757,9 +774,23 @@ def e16_rolling_24h_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_probe") == 1)
         .select(
             F.col("probe_of").alias("event_id"),
-            "n_ge",
-            F.coalesce("s_ge", F.lit(0.0)).alias("s_ge"),
+            F.coalesce("n_ge", F.lit(0)).alias("n_ge"),
+            "s_ge",
         )
+    )
+    # Null-exact recomposition (ADVICE r12): a frame SUM ignores NULL
+    # values and is NULL only when the frame holds none — so the
+    # decomposed sum must be NULL exactly when BOTH terms are NULL
+    # (coalescing only one side would turn an all-NULL own-bucket
+    # prefix plus a non-NULL prev-bucket window into NULL where e13
+    # yields the prev-bucket sum).  Latent today — events.value is
+    # non-null in every corpus — but the twin must match e13 on any
+    # input.
+    s_sum = F.when(
+        F.col("s_own").isNull() & F.col("s_ge").isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.coalesce("s_own", F.lit(0.0)) + F.coalesce("s_ge", F.lit(0.0))
     )
     return (
         own.join(probed, "event_id")
@@ -767,7 +798,7 @@ def e16_rolling_24h_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             (F.col("n_own") + F.col("n_ge")).alias("n_24h"),
-            F.round(F.col("s_own") + F.col("s_ge"), 2).alias("sum_24h"),
+            F.round(s_sum, 2).alias("sum_24h"),
         )
         .orderBy("user_id", "ts")
     )

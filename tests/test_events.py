@@ -146,6 +146,83 @@ def test_bucketed_rolling_boundary_ties(spark, tmp_path):
     assert native == got
 
 
+def test_bucketed_rolling_pre_epoch_and_null_values(spark, tmp_path):
+    """Pins the two ADVICE-r12 latent divergences in one fixture.
+
+    (a) Pre-1970 timestamps: with truncating ``div``, bucket 0 spans
+    TWO day-widths (−24h, +24h), so e16's own-bucket cumulative counts
+    events up to 48h back — the exact floor-division bucket key keeps
+    the "frame spans own bucket or previous" invariant over the full
+    long domain.  (b) NULL values: a frame SUM is NULL only when the
+    frame holds NO non-null values, so an all-NULL own-bucket prefix
+    plus a non-NULL prev-bucket window must yield the prev-bucket sum,
+    and an all-NULL frame must yield NULL."""
+    import datetime as dt
+
+    rows = [
+        # u10 — pre-epoch day-bucket edge: e3's 24h frame contains e2
+        # but NOT e1; under truncating div all three share bucket 0 and
+        # the own-cumulative overcounts e3 as 3.
+        (1, 10, dt.datetime(1969, 12, 31, 0, 0, 30), 1.0),
+        (2, 10, dt.datetime(1969, 12, 31, 23, 0, 0), 2.0),
+        (3, 10, dt.datetime(1970, 1, 1, 1, 0, 0), 4.0),
+        # u20 — NULL own-bucket prefix, non-NULL prev-bucket window
+        # (crosses a day edge so s_own is NULL while s_ge is not).
+        (4, 20, dt.datetime(2024, 3, 9, 23, 0, 0), 8.0),
+        (5, 20, dt.datetime(2024, 3, 10, 1, 0, 0), None),
+        # u30 — all-NULL frame: sum_24h must be NULL, count still 1.
+        (6, 30, dt.datetime(2024, 3, 10, 12, 0, 0), None),
+    ]
+    spark.createDataFrame(
+        [(e, u, t, v, "click", "{}") for (e, u, t, v) in rows],
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["user_id"], r["ts"], r["n_24h"], r["sum_24h"])
+        for r in events.e16_rolling_24h_bucketed(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    expect = {
+        (10, rows[0][2], 1, 1.0),
+        (10, rows[1][2], 2, 3.0),
+        (10, rows[2][2], 2, 6.0),   # e2 + e3 only — e1 is 24.5h back
+        (20, rows[3][2], 1, 8.0),
+        (20, rows[4][2], 2, 8.0),   # NULL own prefix + prev-bucket 8.0
+        (30, rows[5][2], 1, None),  # all-NULL frame stays NULL
+    }
+    assert got == expect
+    # the native RANGE frame (bucket-free, null-ignoring) agrees
+    native = {
+        (r["user_id"], r["ts"], r["n_24h"], r["sum_24h"])
+        for r in events.e13_rolling_24h(spark, str(tmp_path)).collect()
+    }
+    assert native == got
+
+
+def test_interval_join_pre_epoch_buckets(spark, tmp_path):
+    """e08's 30-min bucket key must pair a pre-epoch click with a
+    post-epoch purchase 20 min later (the explode-two-buckets invariant
+    relies on exact floor division around zero)."""
+    import datetime as dt
+
+    rows = [
+        (1, 40, dt.datetime(1969, 12, 31, 23, 50, 0), 0.0, "click"),
+        (2, 40, dt.datetime(1970, 1, 1, 0, 10, 0), 5.0, "purchase"),
+    ]
+    spark.createDataFrame(
+        [(e, u, t, v, k, "{}") for (e, u, t, v, k) in rows],
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = events.e08_interval_join(spark, str(tmp_path)).collect()
+    assert [(r["user_id"], r["n_pairs"], r["attributed_value"]) for r in out] == [
+        (40, 1, 5.0)
+    ]
+
+
 def test_variant_props_equal_json_extract(spark, sf_dir):
     """x01 (VARIANT parse-once probe) matches e01 (per-path
     get_json_object) row for row — same contract, Spark-4-native type."""

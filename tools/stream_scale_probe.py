@@ -179,4 +179,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    # main() returns 1 on stream/batch parity failure — propagate it
+    # (ADVICE r12: a bare main() call always exited 0, so automation
+    # read a parity failure as success).
+    sys.exit(main())
