@@ -331,6 +331,95 @@ def _verify_jaccard_pairs(
     )
 
 
+def _verify_jaccard_pairs_digest_collapsed(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """d16's verify phase with d06's digest collapse composed in
+    (VERDICT r12 ask #1): byte-identical texts are jaccard 1.0 by
+    definition, so candidate pairs whose sha-256 digests agree are
+    emitted DIRECTLY and never reach the shingle join — on a
+    boilerplate-replicated corpus (exactly where d16's saturated
+    buckets appear) that is most of the recovered-pair volume.  The
+    remaining cross-digest pairs are verified at DIGEST granularity:
+    shingle sets are built once per distinct eligible digest (one
+    representative doc each, any rep works — jaccard is a function of
+    text alone), jaccard is computed once per distinct (dg1, dg2)
+    digest pair, and the verdict joins back to the doc-level pairs.
+    Verify volume drops from O(pairs) shingle-set replications to
+    O(distinct digest pairs); the emitted result set is IDENTICAL to
+    `_verify_jaccard_pairs` (asserted in tests/test_dedup.py).
+
+    Eligibility mirrors the shared verify exactly: a doc with fewer
+    than 3 tokens has no shingle set and never appears in output —
+    same-digest pairs carry the same text on both sides, so one
+    eligibility bit decides the pair; cross-digest ineligible digests
+    simply have no rep-set row and drop out of the joins.
+
+    Joins stay shuffle-side (never broadcast): recovered pairs reach
+    K·n per saturated family and the digest/rep tables are
+    candidate-sized — same posture as d16's pre-collapse verify.
+    """
+    cand_docs = (
+        cand.select(F.col("doc1").alias("doc_id"))
+        .union(cand.select(F.col("doc2")))
+        .distinct()
+    )
+    docs_cand = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(cand_docs), "doc_id"
+    )
+    dmap = docs_cand.select(
+        "doc_id",
+        F.sha2("text", 256).alias("dg"),
+        (F.size(F.split("text", " ")) >= 3).alias("eligible"),
+    ).persist()  # consumed 3× (pair sides + rep election); released by
+    # the harness's clearCache() between queries — SCALE.md §6q.
+    p = cand.join(
+        dmap.select(
+            F.col("doc_id").alias("doc1"),
+            F.col("dg").alias("dg1"),
+            F.col("eligible").alias("el1"),
+        ),
+        "doc1",
+    ).join(
+        dmap.select(F.col("doc_id").alias("doc2"), F.col("dg").alias("dg2")),
+        "doc2",
+    )
+    same = p.filter((F.col("dg1") == F.col("dg2")) & F.col("el1")).select(
+        "doc1", "doc2", F.lit(1.0).alias("jaccard")
+    )
+    cross = p.filter(F.col("dg1") != F.col("dg2")).select(
+        "doc1", "doc2", "dg1", "dg2"
+    )
+    # one rep doc per eligible digest; shingle sets keyed by digest
+    reps = dmap.filter("eligible").groupBy("dg").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    rep_sets = (
+        docs_cand.join(reps, "doc_id")
+        .withColumn("toks", F.split("text", " "))
+        .select("dg", F.explode(F.expr(_SHINGLES)).alias("sh"))
+        .groupBy("dg")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+    s1 = rep_sets.select(F.col("dg").alias("dg1"), F.col("shs").alias("shs1"))
+    s2 = rep_sets.select(F.col("dg").alias("dg2"), F.col("shs").alias("shs2"))
+    common = F.size(F.array_intersect("shs1", "shs2"))
+    jac = common / (F.size("shs1") + F.size("shs2") - common)
+    dver = (
+        cross.select("dg1", "dg2")
+        .distinct()
+        .join(s1, "dg1")
+        .join(s2, "dg2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("dg1", "dg2", "jaccard")
+    )
+    verified = cross.join(dver, ["dg1", "dg2"]).select(
+        "doc1", "doc2", "jaccard"
+    )
+    return same.unionByName(verified).orderBy("doc1", "doc2")
+
+
 def d03_dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, observation=None
 ) -> DataFrame:
@@ -410,17 +499,32 @@ def d16_lsh_recovered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the family reconstitutes as ONE component under d08/d09, so
     corpus-level dedup recall is fully recovered; only redundant
     member–member edges are sacrificed.  Unsaturated buckets expand
-    exactly as d03 (d16 ⊇ d03 row-for-row); verify is the shared exact
-    jaccard.  On a corpus with no saturated buckets d16 ≡ d03 — the
+    exactly as d03 (d16 ⊇ d03 row-for-row); verify is the exact
+    jaccard with d06's digest collapse composed in (r13, VERDICT r12
+    ask #1): byte-identical pairs short-circuit to 1.0 and cross-text
+    pairs verify once per distinct digest pair — see
+    `_verify_jaccard_pairs_digest_collapsed`.  On a corpus with no
+    saturated buckets d16 ≡ d03 — the
     planted >64-way-family fixture (tests/test_dedup.py) pins the
     recovery: d03 returns zero pairs, d16 returns the rep-pair set,
     oracle-matched."""
+    cand = _d16_candidates(spark, sf_dir)
+    # Recovered pairs can reach K·n per boilerplate family — too big to
+    # force-broadcast; the digest-collapsed verify joins shuffle.
+    return _verify_jaccard_pairs_digest_collapsed(spark, sf_dir, cand)
+
+
+def _d16_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d16's candidate-pair set (d03's expansion + the K·n capped
+    branch for saturated buckets).  Split out so the verify-volume
+    instrumentation (tools/d16_verify_volume.py) measures EXACTLY the
+    candidate stream d16 verifies."""
     bands = minhash_band_rows(load_table(spark, sf_dir, "documents"))
     pair_branch = (
         f"CASE WHEN size(ids) <= {MAX_BAND_BUCKET} THEN {_PAIRS_IN_BUCKET} "
         f"ELSE {_PAIRS_CAPPED} END"
     )
-    cand = (
+    return (
         bands.groupBy("band_id", "bkey")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
@@ -431,9 +535,6 @@ def d16_lsh_recovered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # harness's clearCache() — SCALE.md §6q.
         .persist()
     )
-    # Recovered pairs can reach K·n per boilerplate family — too big to
-    # force-broadcast; the verify joins shuffle instead.
-    return _verify_jaccard_pairs(spark, sf_dir, cand, broadcast_pairs=False)
 
 
 def d15_lsh_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

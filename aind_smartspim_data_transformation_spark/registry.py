@@ -36,6 +36,20 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # (invariant (b)): bounded recall recovery for saturated LSH buckets.
 # e08's equi-key grew the 30-min bucket (zipf-sweep finding, SCALE.md
 # §6o) and e16 is the new bounded-partition rolling twin — both lead.
+# Round-13 rotation (VERDICT r12 ask #3): queries whose plans changed
+# in r13.  d16's verify phase is now digest-collapsed (ask #1 — same
+# result set, new plan); e16 gained the exact floor-division bucket
+# key AND the null-exact sum recomposition (ADVICE r12); e08 gained
+# the floor-division bucket key.  No new registry keys this round
+# (the verdict's standing "do not add except where named" rule).
+_LEADING_R13 = [
+    "d16_lsh_recovered_pairs",
+    "e16_rolling_24h_bucketed",
+    "e08_interval_join",
+]
+
+# Kept so NOTES/VERDICT history stays greppable; no longer drives the
+# window.
 _LEADING_R12 = [
     "d16_lsh_recovered_pairs",
     "e08_interval_join",
@@ -67,7 +81,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R12 if k in d}
+    lead = {k: d[k] for k in _LEADING_R13 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 

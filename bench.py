@@ -86,6 +86,13 @@ def main() -> None:
             print(f"# warm-up {name} skipped: {exc}", file=sys.stderr)
     spark.catalog.clearCache()  # drop any persist() leftovers from warm-up
 
+    # Per-query noise telemetry (VERDICT r12 ask #7): every run is
+    # reported, plus whether the adaptive best-of CONVERGED (two
+    # fastest within 30%) — so a uniformly-inflated loaded-host round
+    # is machine-distinguishable from a real regression without
+    # digging out a local anchor (BASELINE.md protocol step 1).
+    run_log: dict[str, dict] = {}
+
     def time_query(name: str) -> float:
         fn = queries[name]
         # Adaptive best-of: the container shares a host and neighbor
@@ -94,6 +101,7 @@ def main() -> None:
         # then a steady-state measurement, not a noise draw.
         runs: list[float] = []
         n = 0
+        converged = False
         for attempt in range(4):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -103,10 +111,16 @@ def main() -> None:
             if attempt >= 1:
                 a, b = sorted(runs)[:2]
                 if b <= a * 1.3:
+                    converged = True
                     break
         best = round(min(runs), 4)
+        run_log[name] = {
+            "runs": [round(r, 4) for r in runs],
+            "converged": converged,
+        }
         print(
-            f"# {name}: {best:.3f}s ({n} rows, {len(runs)} runs)",
+            f"# {name}: {best:.3f}s ({n} rows, {len(runs)} runs, "
+            f"{'converged' if converged else 'NOT CONVERGED'})",
             file=sys.stderr,
         )
         return best
@@ -148,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": run_log,
                 "dedup_queries": dedup_timings,
                 "dedup_total_sec": round(sum(dedup_timings.values()), 4),
                 "imaging_e2e": imaging,

@@ -168,6 +168,57 @@ def test_d16_recovers_saturated_family(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(oracle)
 
 
+def test_digest_collapsed_verify_equals_shared_verify(spark, tmp_path):
+    """r13 (VERDICT r12 ask #1): the digest-collapsed verify phase must
+    emit EXACTLY the shared verify's result set on a corpus mixing
+    every eligibility/digest case — exact replicas (same-digest fast
+    path), near-dups above threshold (cross-digest rep verify), a
+    below-threshold pair (must be dropped by both), and sub-3-token
+    replicas (ineligible — no shingle set, no output from either)."""
+    near_a = "the quick brown fox jumps over the lazy dog today"
+    near_b = "the quick brown fox jumps over the lazy dog tonight"
+    far = "completely different words about mountains and oceans here"
+    rows = [
+        (0, near_a), (1, near_a), (2, near_a),       # replica family
+        (3, near_b),                                  # near-dup of 0-2
+        (4, far),                                     # far from all
+        (5, "too short"), (6, "too short"),           # ineligible pair
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    # candidate set: every i<j pair — exercises all branches without
+    # depending on LSH bucketing for this fixture
+    ids = [i for i, _ in rows]
+    cand = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "doc1 long, doc2 long"
+    )
+    shared = sorted(
+        map(
+            tuple,
+            dedup._verify_jaccard_pairs(
+                spark, str(tmp_path), cand, broadcast_pairs=False
+            ).collect(),
+        )
+    )
+    collapsed = sorted(
+        map(
+            tuple,
+            dedup._verify_jaccard_pairs_digest_collapsed(
+                spark, str(tmp_path), cand
+            ).collect(),
+        )
+    )
+    assert collapsed == shared
+    # sanity on the fixture's intent: replicas emitted at 1.0, the
+    # ineligible replica pair (5,6) absent, far doc absent
+    emitted = {(a, b) for a, b, _ in collapsed}
+    assert {(0, 1), (0, 2), (1, 2)} <= emitted
+    assert (5, 6) not in emitted
+    assert not any(4 in p for p in emitted)
+
+
 def test_d16_equals_d03_without_saturation(spark, sf_dir):
     """On a corpus with no saturated buckets (the base testdata — max
     observed bucket 13) d16 must be row-identical to d03."""
