@@ -804,6 +804,94 @@ def e16_rolling_24h_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e16_fused_two_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused candidate for e16 (VERDICT r12 ask #6): ONE window
+    partition pass over the event+probe union computes BOTH terms —
+    event rows take the own-bucket cumulative (RANGE asc, probes
+    contribute nothing via the is_probe filter), probe rows take the
+    prev-bucket descending cumulative — instead of e16's separate
+    own-bucket pass.  Saves one n-row exchange + one parquet scan; the
+    asc window now sorts 2n rows instead of n, and the event↔probe
+    join is unavoidable in both forms (an event and its probe live in
+    ADJACENT bucket partitions).  Row-identical to e16 by test; kept
+    unregistered unless the ABAB gate shows ≥1.3× on the unskewed
+    100× corpus (SCALE.md §6s records the decision)."""
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.expr(_bucket_us(_DAY_US)).alias("bkt"),
+    )
+    ev_rows = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("bkt").alias("pbkt"),
+        "us",
+        "value",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("probe_of"),
+    )
+    probe_rows = ev.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.lit(None).cast("timestamp").alias("ts"),
+        (F.col("bkt") - 1).alias("pbkt"),
+        (F.col("us") - F.lit(_DAY_US)).alias("us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("probe_of"),
+    )
+    is_ev = F.col("is_probe") == 0
+    w_asc = (
+        W.partitionBy("user_id", "pbkt")
+        .orderBy("us")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    w_desc = (
+        W.partitionBy("user_id", "pbkt")
+        .orderBy(F.desc("us"), F.asc("is_probe"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ann = ev_rows.unionByName(probe_rows).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_probe",
+        "probe_of",
+        F.sum(F.when(is_ev, 1)).over(w_asc).alias("n_own"),
+        F.sum(F.when(is_ev, F.col("value"))).over(w_asc).alias("s_own"),
+        F.sum(1 - F.col("is_probe")).over(w_desc).alias("n_ge"),
+        F.sum(F.when(is_ev, F.col("value"))).over(w_desc).alias("s_ge"),
+    )
+    own = ann.filter(is_ev).select(
+        "event_id", "user_id", "ts", "n_own", "s_own"
+    )
+    probed = ann.filter(F.col("is_probe") == 1).select(
+        F.col("probe_of").alias("event_id"),
+        F.coalesce("n_ge", F.lit(0)).alias("n_ge"),
+        "s_ge",
+    )
+    s_sum = F.when(
+        F.col("s_own").isNull() & F.col("s_ge").isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.coalesce("s_own", F.lit(0.0)) + F.coalesce("s_ge", F.lit(0.0))
+    )
+    return (
+        own.join(probed, "event_id")
+        .select(
+            "user_id",
+            "ts",
+            (F.col("n_own") + F.col("n_ge")).alias("n_24h"),
+            F.round(s_sum, 2).alias("sum_24h"),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # E14 — sessionization via Spark 4's native recursive CTE: the same
 # 30-minute-gap sessions as e04, expressed as a declarative chain walk

@@ -200,6 +200,25 @@ def test_bucketed_rolling_pre_epoch_and_null_values(spark, tmp_path):
         for r in events.e13_rolling_24h(spark, str(tmp_path)).collect()
     }
     assert native == got
+    # and the fused one-pass candidate agrees on the same edge fixture
+    fused = {
+        (r["user_id"], r["ts"], r["n_24h"], r["sum_24h"])
+        for r in events._e16_fused_two_frame(spark, str(tmp_path)).collect()
+    }
+    assert fused == got
+
+
+def test_fused_two_frame_equals_e16(spark, sf_dir):
+    """The fused one-pass candidate (r12 ask #6) must be row-identical
+    to e16 (and hence e13) — measured decision on which plan e16 uses
+    lives in SCALE.md §6s; equivalence is the precondition either way."""
+    a = sorted(
+        map(tuple, events.e16_rolling_24h_bucketed(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, events._e16_fused_two_frame(spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0
 
 
 def test_interval_join_pre_epoch_buckets(spark, tmp_path):

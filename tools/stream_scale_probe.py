@@ -49,6 +49,13 @@ from aind_smartspim_data_transformation_spark.streaming import (  # noqa: E402
 FACTOR = int(os.environ.get("STREAM_SCALE_FACTOR", "10"))
 N_FILES = int(os.environ.get("STREAM_SCALE_FILES", "16"))
 BASE = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+# STREAM_SCALE_SKEW=zipf (VERDICT r12 ask #5): re-key half the rows
+# onto 16 zipf-weighted hot users (same inverse-CDF as the batch
+# sweep; hot ids live at 2e9+r — positive, disjoint from re-keyed ids
+# AND from the negative straggler ids) so the probe measures what a
+# ~15%-of-stream hot key does to join/session STATE, not just walls.
+SKEW = os.environ.get("STREAM_SCALE_SKEW")
+HOT_BASE = 2_000_000_000
 SENTINEL_USER = 999_999_999
 
 
@@ -61,14 +68,26 @@ def main() -> int:
     src.mkdir()
     try:
         rep = spark.range(FACTOR).withColumnRenamed("id", "rep")
+        if SKEW == "zipf":
+            from tools.overflow_sweep import _unit_uniform, _zipf_case
+
+            user_expr = _zipf_case(
+                _unit_uniform("event_id", "rep"),
+                0.5,
+                lambda r: f"CAST({HOT_BASE + r} AS BIGINT)",
+                f"user_id * {FACTOR} + rep",
+            )
+        else:
+            user_expr = f"user_id * {FACTOR} + rep"
         ev = (
             spark.read.parquet(f"{BASE}/events.parquet")
             .crossJoin(rep)
             .select(
-                (F.col("user_id") * FACTOR + F.col("rep")).alias("user_id"),
+                F.expr(user_expr).alias("user_id"),
                 F.expr(
                     "CAST(ts AS TIMESTAMP) + make_interval(0,0,0,0,0,0,rep)"
                 ).alias("ts"),
+                "event_type",
                 "value",
             )
         )
@@ -93,26 +112,32 @@ def main() -> int:
             F.expr(
                 f"timestamp_micros({lo}) + make_interval(0,0,0,0,0,0,id % 3600)"
             ).alias("ts"),
+            F.lit("click").alias("event_type"),
             F.lit(1.0).alias("value"),
         ).coalesce(1).write.mode("append").parquet(str(src))
         # far-future sentinel advances the watermark past every deadline
         spark.createDataFrame(
-            [(SENTINEL_USER, datetime.datetime(2035, 1, 1), 0.0)],
-            "user_id long, ts timestamp, value double",
+            [(SENTINEL_USER, datetime.datetime(2035, 1, 1), "click", 0.0)],
+            "user_id long, ts timestamp, event_type string, value double",
         ).coalesce(1).write.mode("append").parquet(str(src))
 
+        schema = (
+            "user_id long, ts timestamp, event_type string, value double"
+        )
         stream = (
-            spark.readStream.schema("user_id long, ts timestamp, value double")
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(str(src))
             .withWatermark("ts", "120 seconds")
         )
+        ckpt_sess = str(tmp / "ckpt_sessions")
         t0 = time.perf_counter()
         q = (
             es.finalized_sessions(stream)
             .writeStream.outputMode("append")
             .format("memory")
             .queryName("scale_sessions")
+            .option("checkpointLocation", ckpt_sess)
             .start()
         )
         q.processAllAvailable()
@@ -152,6 +177,138 @@ def main() -> int:
         )
         n_batch = e04_sessionize(spark, str(batch_dir)).count()
 
+        # ------------------------------------------------------------------
+        # Stream-stream interval-join leg (VERDICT r12 ask #5): the
+        # batch e08 fix moved the time window into the JOIN KEY; this
+        # twin keeps user_id-only keys because watermark+range bound
+        # the state instead — under skew that claim was prose.  Measure
+        # it: run the join over the same (optionally zipf-hot) corpus
+        # and read the state store PER KEY via the state data source,
+        # reporting the max rows any single key ever buffered.
+        # ------------------------------------------------------------------
+        ckpt_join = str(tmp / "ckpt_join")
+        stream_j = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        t1 = time.perf_counter()
+        qj = (
+            es.click_purchase_interval_join(stream_j)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("skew_join")
+            .option("checkpointLocation", ckpt_join)
+            .start()
+        )
+        qj.processAllAvailable()
+        join_wall = time.perf_counter() - t1
+        join_max_state = 0
+        join_state_mem = 0
+        join_rows_per_batch = []
+        for p in qj.recentProgress:
+            ops = (p or {}).get("stateOperators") or []
+            if ops:
+                rows = sum(int(op.get("numRowsTotal", 0) or 0) for op in ops)
+                join_rows_per_batch.append(rows)
+                join_max_state = max(join_max_state, rows)
+                join_state_mem = max(
+                    join_state_mem,
+                    sum(int(op.get("memoryUsedBytes", 0) or 0) for op in ops),
+                )
+        qj.stop()
+        n_pairs_stream = spark.sql(
+            f"SELECT count(*) FROM skew_join WHERE user_id >= 0 "
+            f"AND user_id != {SENTINEL_USER}"
+        ).collect()[0][0]
+        # batch truth with e08's skew-safe bucketed equi-key (a plain
+        # user-keyed batch join would nested-loop the hot key — the
+        # exact flaw the bucket fix removed)
+        from aind_smartspim_data_transformation_spark.plans.events import (
+            _E08_BUCKET_US,
+            _bucket_us,
+        )
+
+        evb = (
+            spark.read.schema(schema)
+            .parquet(str(src))
+            .filter(f"user_id >= 0 AND user_id != {SENTINEL_USER}")
+        )
+        cb = evb.filter("event_type = 'click'").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.expr(_bucket_us(_E08_BUCKET_US)).alias("bkt"),
+        )
+        pb = (
+            evb.filter("event_type = 'purchase'")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.expr(_bucket_us(_E08_BUCKET_US)).alias("pbk"),
+            )
+            .select(
+                "p_user",
+                "p_ts",
+                F.explode(
+                    F.array(F.col("pbk"), F.col("pbk") - 1)
+                ).alias("bkt"),
+            )
+        )
+        n_pairs_batch = cb.join(
+            pb,
+            (F.col("user_id") == F.col("p_user"))
+            & (cb["bkt"] == pb["bkt"])
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (
+                F.col("p_ts")
+                < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).count()
+
+        def _per_key_max(ckpt: str, join_side: str | None) -> dict | None:
+            """Max state rows any single key held, across every
+            committed batch, via the state data source.  Returns None
+            when the reader cannot serve this store type."""
+            commits = Path(ckpt) / "commits"
+            bids = sorted(
+                int(f.name) for f in commits.glob("*") if f.name.isdigit()
+            )
+            best_rows, best_key, peak_bid = 0, None, None
+            for bid in bids:
+                try:
+                    r = spark.read.format("statestore").option(
+                        "batchId", bid
+                    )
+                    if join_side:
+                        r = r.option("joinSide", join_side)
+                    df = r.load(ckpt)
+                    kf = df.schema["key"].dataType.names[0]
+                    top = (
+                        df.groupBy(
+                            F.col("key").getField(kf).alias("k")
+                        )
+                        .count()
+                        .orderBy(F.desc("count"))
+                        .limit(1)
+                        .collect()
+                    )
+                except Exception:
+                    return None
+                if top and top[0]["count"] > best_rows:
+                    best_rows, best_key = top[0]["count"], top[0]["k"]
+                    peak_bid = bid
+            return {
+                "max_rows_one_key": best_rows,
+                "key": best_key,
+                "at_batch": peak_bid,
+            }
+
+        per_key = {
+            "join_left": _per_key_max(ckpt_join, "left"),
+            "join_right": _per_key_max(ckpt_join, "right"),
+            "sessions": _per_key_max(ckpt_sess, None),
+        }
+
         print(
             json.dumps(
                 {
@@ -170,10 +327,24 @@ def main() -> int:
                     "max_state_memory_mb": round(state_mem / 1e6, 1),
                     "state_rows_per_batch": per_batch_rows,
                     "events_per_sec": round(n_events / wall),
+                    "skew": SKEW,
+                    "join_wall_sec": round(join_wall, 1),
+                    "join_n_pairs_stream": n_pairs_stream,
+                    "join_n_pairs_batch_e08": n_pairs_batch,
+                    "join_max_state_rows": join_max_state,
+                    "join_max_state_memory_mb": round(
+                        join_state_mem / 1e6, 1
+                    ),
+                    "join_state_rows_per_batch": join_rows_per_batch,
+                    "per_key_state": per_key,
                 }
             )
         )
-        return 0 if n_sessions == n_batch else 1
+        return (
+            0
+            if n_sessions == n_batch and n_pairs_stream == n_pairs_batch
+            else 1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
