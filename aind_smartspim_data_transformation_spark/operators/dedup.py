@@ -286,8 +286,12 @@ def _verify_jaccard_pairs(
     cand: DataFrame,
     broadcast_pairs: bool = True,
 ) -> DataFrame:
-    """Shared verify phase for d03/d16: exact jaccard over candidate
-    pairs, keeping only pairs ≥ JACCARD_THRESHOLD.
+    """d03's verify phase: exact jaccard over candidate pairs, keeping
+    only pairs ≥ JACCARD_THRESHOLD.  (d16 used to share this; since
+    r13 it verifies through `_verify_jaccard_pairs_digest_collapsed`,
+    which is equivalence-tested against this one — d03 keeps the
+    simpler form because its unsaturated candidate set is
+    replica-light by construction.)
 
     Verification touches only candidate docs: broadcast-semi-filter the
     *documents* table down BEFORE tokenize/shingle/explode — the verify
