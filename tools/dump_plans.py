@@ -245,9 +245,15 @@ ANNOTATIONS = {
         "as a single CASE over the sorted member array — full i<j "
         "in-bucket pairs when |bucket| ≤ 64, first-K-representatives × "
         "later-members when saturated (K·n, linear in bucket size); the "
+        "r13 DIGEST COLLAPSE in the verify: a sha2(text) projection "
+        "splits pairs into same-digest (emitted directly at jaccard 1.0 "
+        "— no shingle work) and cross-digest (shingle sets built once "
+        "per DISTINCT digest via a min-doc_id rep, jaccard once per "
+        "distinct digest pair, verdict joined back) — 100.1× fewer "
+        "shingle rows / 6,024× fewer set-join rows at 100× zipf; the "
         "verify joins are SHUFFLE joins, not broadcast — recovered pairs "
-        "can reach K·n per boilerplate family (3.9M pairs at 100×), too "
-        "big to force onto the driver."
+        "can reach K·n per boilerplate family (40.5M pairs at 1000×), "
+        "too big to force onto the driver."
     ),
     "s08_ann_recall_panel": (
         "Multi-query ANN recall panel. Look for: the centroid index and "
