@@ -219,6 +219,58 @@ def test_digest_collapsed_verify_equals_shared_verify(spark, tmp_path):
     assert not any(4 in p for p in emitted)
 
 
+def test_digest_collapsed_verify_property(spark, tmp_path_factory):
+    """Property form of the r13 equivalence (VERDICT r12 ask #1): over
+    arbitrary small corpora drawn from a 4-token vocabulary — which
+    makes exact replicas, near-dups, disjoint texts, empty strings and
+    sub-3-token (ineligible) docs all common — the digest-collapsed
+    verify must emit EXACTLY the shared verify's rows for the all-pairs
+    candidate set.  Exact float equality on jaccard: same expressions
+    over the same shingle sets on both paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+    doc_text = st.lists(token, min_size=0, max_size=6).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=st.lists(doc_text, min_size=2, max_size=8))
+    def check(texts):
+        tmp = tmp_path_factory.mktemp("digest_prop")
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp / "documents.parquet")
+        )
+        n = len(texts)
+        cand = spark.createDataFrame(
+            [(a, b) for a in range(n) for b in range(n) if a < b],
+            "doc1 long, doc2 long",
+        )
+        shared = sorted(
+            map(
+                tuple,
+                dedup._verify_jaccard_pairs(
+                    spark, str(tmp), cand, broadcast_pairs=False
+                ).collect(),
+            )
+        )
+        collapsed = sorted(
+            map(
+                tuple,
+                dedup._verify_jaccard_pairs_digest_collapsed(
+                    spark, str(tmp), cand
+                ).collect(),
+            )
+        )
+        spark.catalog.clearCache()
+        assert collapsed == shared
+
+    check()
+
+
 def test_d16_equals_d03_without_saturation(spark, sf_dir):
     """On a corpus with no saturated buckets (the base testdata — max
     observed bucket 13) d16 must be row-identical to d03."""
