@@ -347,8 +347,10 @@ def _verify_jaccard_pairs_digest_collapsed(
     remaining cross-digest pairs are verified at DIGEST granularity:
     shingle sets are built once per distinct eligible digest (one
     representative doc each, any rep works — jaccard is a function of
-    text alone), jaccard is computed once per distinct (dg1, dg2)
-    digest pair, and the verdict joins back to the doc-level pairs.
+    text alone), jaccard is computed once per distinct UNORDERED
+    digest pair — (least, greatest)-canonicalized before the distinct,
+    so neither orientation of a pair verifies twice (ADVICE r13) —
+    and the verdict joins back to the doc-level pairs.
     Verify volume drops from O(pairs) shingle-set replications to
     O(distinct digest pairs); the emitted result set is IDENTICAL to
     `_verify_jaccard_pairs` (asserted in tests/test_dedup.py).
@@ -391,8 +393,17 @@ def _verify_jaccard_pairs_digest_collapsed(
     same = p.filter((F.col("dg1") == F.col("dg2")) & F.col("el1")).select(
         "doc1", "doc2", F.lit(1.0).alias("jaccard")
     )
+    # Canonicalize the digest pair BEFORE the distinct (ADVICE r13):
+    # doc1<doc2 does not order the digests, so the same unordered
+    # digest pair can reach dver in both orientations and be verified
+    # twice — correct (jaccard is symmetric) but up to 2× the distinct-
+    # digest-pair work the O(distinct digest pairs) claim implies.
+    # least/greatest keys the verify and the join-back identically.
     cross = p.filter(F.col("dg1") != F.col("dg2")).select(
-        "doc1", "doc2", "dg1", "dg2"
+        "doc1",
+        "doc2",
+        F.least("dg1", "dg2").alias("dga"),
+        F.greatest("dg1", "dg2").alias("dgb"),
     )
     # one rep doc per eligible digest; shingle sets keyed by digest
     reps = dmap.filter("eligible").groupBy("dg").agg(
@@ -405,20 +416,20 @@ def _verify_jaccard_pairs_digest_collapsed(
         .groupBy("dg")
         .agg(F.collect_set("sh").alias("shs"))
     )
-    s1 = rep_sets.select(F.col("dg").alias("dg1"), F.col("shs").alias("shs1"))
-    s2 = rep_sets.select(F.col("dg").alias("dg2"), F.col("shs").alias("shs2"))
+    s1 = rep_sets.select(F.col("dg").alias("dga"), F.col("shs").alias("shs1"))
+    s2 = rep_sets.select(F.col("dg").alias("dgb"), F.col("shs").alias("shs2"))
     common = F.size(F.array_intersect("shs1", "shs2"))
     jac = common / (F.size("shs1") + F.size("shs2") - common)
     dver = (
-        cross.select("dg1", "dg2")
+        cross.select("dga", "dgb")
         .distinct()
-        .join(s1, "dg1")
-        .join(s2, "dg2")
+        .join(s1, "dga")
+        .join(s2, "dgb")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("dg1", "dg2", "jaccard")
+        .select("dga", "dgb", "jaccard")
     )
-    verified = cross.join(dver, ["dg1", "dg2"]).select(
+    verified = cross.join(dver, ["dga", "dgb"]).select(
         "doc1", "doc2", "jaccard"
     )
     return same.unionByName(verified).orderBy("doc1", "doc2")

@@ -772,11 +772,11 @@ def e16_rolling_24h_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s_ge"),
         )
         .filter(F.col("is_probe") == 1)
-        .select(
-            F.col("probe_of").alias("event_id"),
-            F.coalesce("n_ge", F.lit(0)).alias("n_ge"),
-            "s_ge",
-        )
+        # n_ge is never NULL: the ROWS frame always contains the probe
+        # row itself, contributing a non-null 0 to sum(1 - is_probe) —
+        # so no coalesce (ADVICE r13: the one that sat here implied a
+        # NULL path that cannot occur).
+        .select(F.col("probe_of").alias("event_id"), "n_ge", "s_ge")
     )
     # Null-exact recomposition (ADVICE r12): a frame SUM ignores NULL
     # values and is NULL only when the frame holds none — so the
@@ -870,8 +870,10 @@ def _e16_fused_two_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "n_own", "s_own"
     )
     probed = ann.filter(F.col("is_probe") == 1).select(
+        # never NULL — the DESC frame holds the probe row's own 0
+        # (same argument as e16 proper; ADVICE r13)
         F.col("probe_of").alias("event_id"),
-        F.coalesce("n_ge", F.lit(0)).alias("n_ge"),
+        "n_ge",
         "s_ge",
     )
     s_sum = F.when(

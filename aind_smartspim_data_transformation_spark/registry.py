@@ -42,14 +42,26 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # key AND the null-exact sum recomposition (ADVICE r12); e08 gained
 # the floor-division bucket key.  No new registry keys this round
 # (the verdict's standing "do not add except where named" rule).
+# Round-14 rotation (VERDICT r13 ask #5): queries whose plans changed
+# in r14.  d16's cross-digest verify now canonicalizes the digest
+# pair before the distinct (ADVICE r13 — halves worst-case rep-set
+# join volume, same result set); e16 dropped the dead n_ge coalesce
+# (ADVICE r13 — provably-non-null frame sum, plan simplification).
+# e14 stays put: the pointer-jumping reformulation was built and
+# measured but the registered rCTE plan is unchanged (see SCALE.md
+# §6s for the decision).  No new registry keys.
+_LEADING_R14 = [
+    "d16_lsh_recovered_pairs",
+    "e16_rolling_24h_bucketed",
+]
+
+# Kept so NOTES/VERDICT history stays greppable; no longer drive the
+# window.
 _LEADING_R13 = [
     "d16_lsh_recovered_pairs",
     "e16_rolling_24h_bucketed",
     "e08_interval_join",
 ]
-
-# Kept so NOTES/VERDICT history stays greppable; no longer drives the
-# window.
 _LEADING_R12 = [
     "d16_lsh_recovered_pairs",
     "e08_interval_join",
@@ -81,7 +93,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R13 if k in d}
+    lead = {k: d[k] for k in _LEADING_R14 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 
