@@ -98,6 +98,45 @@ def parse_pytest_counts(output: str) -> str:
     )
 
 
+def check_evidence() -> None:
+    """Evidence-rule enforcement (VERDICT r13 ask #2): every
+    `tools/*.{json,jsonl,log}` path cited in SCALE.md or any
+    NOTES_r*.md must exist and be non-empty (≥16 bytes — the r13
+    failure mode was a 1-byte file holding a lone newline, committed
+    where a measured per-key-state table's artifact should have been).
+    The rule itself stood since r13; this makes the gate red instead
+    of trusting the citer."""
+    import re
+
+    pat = re.compile(r"tools/[A-Za-z0-9_\-./]+?\.(?:json|jsonl|log)\b")
+    cited: dict[str, list[str]] = {}
+    for doc in sorted([REPO / "SCALE.md", *REPO.glob("NOTES_r*.md")]):
+        for m in pat.finditer(doc.read_text()):
+            cited.setdefault(m.group(0), []).append(doc.name)
+    bad = []
+    for rel, docs in sorted(cited.items()):
+        p = REPO / rel
+        if not p.is_file():
+            bad.append(f"  MISSING {rel} (cited in {', '.join(sorted(set(docs)))})")
+        elif p.stat().st_size < 16:
+            bad.append(
+                f"  EMPTY ({p.stat().st_size} B) {rel} "
+                f"(cited in {', '.join(sorted(set(docs)))})"
+            )
+    if bad:
+        print(
+            "ROUND-CLOSE FAILED at evidence check — cited artifacts "
+            "missing or empty:\n" + "\n".join(bad),
+            flush=True,
+        )
+        sys.exit(5)
+    print(
+        f"== evidence check: {len(cited)} cited tools artifacts, "
+        "all present and non-empty",
+        flush=True,
+    )
+
+
 def main() -> None:
     skip_pytest = "--skip-pytest" in sys.argv
     dirty = subprocess.run(
@@ -116,6 +155,7 @@ def main() -> None:
         capture_output=True, text=True, check=True,
     ).stdout.strip()
     print(f"== gate tree: HEAD={head}", flush=True)
+    check_evidence()
     pytest_frag = "pytest SKIPPED (--skip-pytest)"
     if not skip_pytest:
         # no -q: the "collected N items" header must appear so the

@@ -20,7 +20,15 @@ stream and records what a 24/7 operator would watch:
   stateOperators), and the finalized session count is cross-checked
   against batch e04 on the same corpus (stragglers/sentinel excluded).
 
-Prints ONE JSON line.  Run:  python tools/stream_scale_probe.py
+Prints ONE JSON line AND writes it to an artifact file (VERDICT r13
+"what's wrong" #1: the r13 skew run's stdout was captured into an
+empty redirect, committing a 1-byte artifact while SCALE.md §6p cited
+its numbers — the probe now persists its own evidence so a botched
+shell redirect can never void it again).  Default artifact:
+tools/stream_probe_<skew>.json next to this script; override with
+--out <path>.
+
+Run:  python tools/stream_scale_probe.py [--out path.json]
 """
 
 from __future__ import annotations
@@ -309,8 +317,7 @@ def main() -> int:
             "sessions": _per_key_max(ckpt_sess, None),
         }
 
-        print(
-            json.dumps(
+        summary = json.dumps(
                 {
                     "metric": "stream_sessions_wall_sec",
                     "value": round(wall, 1),
@@ -338,8 +345,21 @@ def main() -> int:
                     "join_state_rows_per_batch": join_rows_per_batch,
                     "per_key_state": per_key,
                 }
-            )
         )
+        print(summary)
+        # Self-persisted artifact (VERDICT r13 ask #1): written by the
+        # probe, not by a shell redirect, so the committed evidence
+        # can't be empty while the stdout numbers were real.
+        out = None
+        argv = sys.argv[1:]
+        if "--out" in argv:
+            out = Path(argv[argv.index("--out") + 1])
+        else:
+            out = Path(__file__).parent / (
+                f"stream_probe_{SKEW or 'uniform'}.json"
+            )
+        out.write_text(summary + "\n")
+        print(f"artifact written: {out}", file=sys.stderr)
         return (
             0
             if n_sessions == n_batch and n_pairs_stream == n_pairs_batch
