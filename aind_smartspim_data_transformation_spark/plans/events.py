@@ -980,6 +980,83 @@ def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-jumping (doubling) reformulation of e14's session walk
+    (VERDICT r13 ask #4, builder's NOTES_r13 "next flaw" #3): the rCTE
+    replays ONE chain step per iteration, so a hot user's longest
+    session sets the iteration count — the 100×-zipf wall.  Here every
+    event starts with a pointer at its predecessor (heads self-loop)
+    and each round composes ptr ← ptr(ptr), halving every event's
+    remaining distance to its session head: O(log longest-chain)
+    rounds total, the d09 large/small-star trick applied to a path.
+
+    Row-identical to e14/e04's sessions by construction (pointer
+    convergence lands every event on the nearest preceding head — the
+    session head) and by test (tests/test_events.py).  Each round is
+    one shuffle join on (user_id, ptr); unlike the rCTE — which keeps
+    the hot user's whole chain in ONE task's iteration sequence — the
+    join key spreads a hot user's rows across ptr values, so skew
+    DILUTES with each round instead of serializing.  Rounds
+    localCheckpoint (the d09 convention): truncates lineage and
+    materializes, so the convergence probe is a cheap scan, not a
+    re-execution."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    nodes = base.withColumn(
+        "is_head",
+        F.col("prev_ts").isNull()
+        | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+    )
+    cur = nodes.select(
+        "user_id",
+        "ts",
+        "rn",
+        F.when(F.col("is_head"), F.col("rn"))
+        .otherwise(F.col("rn") - 1)
+        .alias("ptr"),
+    ).localCheckpoint()
+    while True:
+        m = cur.select(
+            F.col("user_id").alias("m_uid"),
+            F.col("rn").alias("m_rn"),
+            F.col("ptr").alias("m_ptr"),
+        )
+        nxt = (
+            cur.join(
+                m,
+                (F.col("user_id") == F.col("m_uid"))
+                & (F.col("ptr") == F.col("m_rn")),
+            )
+            .select(
+                "user_id",
+                "ts",
+                "rn",
+                F.col("m_ptr").alias("ptr"),
+                (F.col("m_ptr") != F.col("ptr")).alias("moved"),
+            )
+            .localCheckpoint()
+        )
+        cur = nxt.drop("moved")
+        if nxt.filter("moved").limit(1).count() == 0:
+            break
+    return (
+        cur.groupBy("user_id", F.col("ptr").alias("head_rn"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
 E14_SQL = """
 WITH RECURSIVE base AS (
   SELECT user_id, ts,

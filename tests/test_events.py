@@ -86,6 +86,60 @@ def test_recursive_sessions_equal_window_sessions(spark, sf_dir):
     assert e14 == e04
 
 
+def test_pointer_jumping_sessions_equal_recursive(spark, sf_dir):
+    """r14 (VERDICT r13 ask #4): the pointer-jumping (doubling)
+    reformulation must be row-identical to the rCTE chain walk — same
+    sessions, O(log longest-chain) shuffle rounds instead of one
+    recursion level per chain step (the 100x-zipf hot-user wall; the
+    rCTE also fails loudly past 100-event sessions on its level
+    guard, which pointer jumping has no need of)."""
+    rcte = sorted(
+        map(tuple, events.e14_sessions_recursive(spark, sf_dir).collect())
+    )
+    ptr = sorted(
+        map(tuple, events._e14_pointer_jumping(spark, sf_dir).collect())
+    )
+    assert ptr == rcte and len(ptr) > 0
+
+
+def test_pointer_jumping_handles_long_chains_and_ties(spark, tmp_path):
+    """Shapes the base fixture lacks: a session LONGER than the rCTE's
+    100-level guard (300 same-gap events — the zipf-hot-user shape in
+    miniature; the rCTE would fail loudly here, so e04 is the truth
+    twin), same-timestamp events within one user (the rn tie-break on
+    event_id), and single-event sessions."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: one 300-event session, 10 s apart (< 1800 s gap)
+    for i in range(300):
+        rows.append((eid, 1, t0 + dt.timedelta(seconds=10 * i)))
+        eid += 1
+    # user 2: two same-timestamp events then a gap then a single event
+    rows.append((eid, 2, t0)); eid += 1
+    rows.append((eid, 2, t0)); eid += 1
+    rows.append((eid, 2, t0 + dt.timedelta(seconds=5000))); eid += 1
+    spark.createDataFrame(
+        [(e, u, ts, "click", 1.0, "{}") for e, u, ts in rows],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    e04 = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in events.e04_sessionize(spark, str(tmp_path)).collect()
+    )
+    ptr = sorted(
+        map(
+            tuple,
+            events._e14_pointer_jumping(spark, str(tmp_path)).collect(),
+        )
+    )
+    assert ptr == e04
+    assert any(n == 300 for _, _, _, n in ptr)  # the long chain survived
+
+
 def test_bucketed_rolling_equals_range_frame(spark, sf_dir):
     """e16's bounded-partition rolling (own-bucket cumulative +
     prev-bucket descending probe scan) is row-identical to e13's
