@@ -895,21 +895,46 @@ def _e16_fused_two_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# E14 — sessionization via Spark 4's native recursive CTE: the same
-# 30-minute-gap sessions as e04, expressed as a declarative chain walk
-# (head events recurse along immediate-successor links).  Third
-# formulation of the contract (e04 window scan, streaming
-# session_window, recursive CTE), asserted row-identical to e04 in
-# tests.
+# E14 — the same 30-minute-gap sessions as e04, via recursive chain
+# traversal.  FOUR formulations of one contract now exist (e04 window
+# scan, streaming session_window, recursive CTE, pointer jumping), all
+# asserted row-identical in tests.  The REGISTERED e14 plan is the
+# pointer-jumping one since r14 (see e14_sessions_recursive); the
+# native-rCTE chain walk below (e14_sessions_rcte) stays as the
+# declarative diagnostic surface — Spark 4 rCTE semantics demonstrated
+# and oracle-pinned at small SF.
 #
-# Termination and cost are structural: each recursion step strictly
-# advances event time along a per-user chain, and total recursive rows
-# = total events (each event appears in exactly one chain prefix) —
-# linear, not the quadratic blow-up a reachability rCTE would risk.
-# Spark 4 rCTEs support UNION ALL only (no distinct-fixpoint), which
-# this shape never needs.
+# rCTE termination and cost are structural: each recursion step
+# strictly advances event time along a per-user chain, and total
+# recursive rows = total events (each event appears in exactly one
+# chain prefix) — linear rows, but LEVELS = longest chain, which is
+# the skew wall (and the 100-level guard's loud failure) pointer
+# jumping removes.  Spark 4 rCTEs support UNION ALL only (no
+# distinct-fixpoint), which this shape never needs.
 # ---------------------------------------------------------------------------
 def e14_sessions_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e14's REGISTERED plan — pointer-jumping since r14 (VERDICT r13
+    ask #4, measured decision; artifact
+    `tools/e14_pointer_probe_r14_100x_zipf.json`): on the 100× zipf
+    corpus the pointer-jumping formulation computes all 4,883,560
+    sessions in ~205 s while the rCTE chain walk cannot finish at all
+    — it fails its 100-level recursion guard on the hot user's
+    1.48M-event session (RECURSION_LEVEL_LIMIT_EXCEEDED, the
+    documented loud failure), and with the guard raised it is
+    iteration-count-bound (one JOIN per chain step — ≥1.48M levels)
+    and timed out at the probe bound.  Adoption clears e14's standing
+    zipf-sweep waiver: every registered query now completes under
+    skew.
+
+    The declarative rCTE twin stays in-tree as `e14_sessions_rcte`
+    (small-SF diagnostic surface, row-identity-tested); the DuckDB
+    oracle remains the recursive SQL (E14_SQL) — same answer, so the
+    strict gate pins the two formulations against each other at every
+    sweep."""
+    return _e14_pointer_jumping(spark, sf_dir)
+
+
+def e14_sessions_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The chain links on a per-user ROW NUMBER (ts, event_id order),
     # not on ts: two events of one user sharing a timestamp would make
     # a ts-keyed join match both rows, forking the chain and

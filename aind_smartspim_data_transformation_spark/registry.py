@@ -46,11 +46,12 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # in r14.  d16's cross-digest verify now canonicalizes the digest
 # pair before the distinct (ADVICE r13 — halves worst-case rep-set
 # join volume, same result set); e16 dropped the dead n_ge coalesce
-# (ADVICE r13 — provably-non-null frame sum, plan simplification).
-# e14 stays put: the pointer-jumping reformulation was built and
-# measured but the registered rCTE plan is unchanged (see SCALE.md
-# §6s for the decision).  No new registry keys.
+# (ADVICE r13 — provably-non-null frame sum, plan simplification);
+# e14's registered plan IS the pointer-jumping formulation now
+# (VERDICT r13 ask #4, measured adoption — the rCTE twin stays
+# in-tree as e14_sessions_rcte; SCALE.md §6t).  No new registry keys.
 _LEADING_R14 = [
+    "e14_sessions_recursive",
     "d16_lsh_recovered_pairs",
     "e16_rolling_24h_bucketed",
 ]

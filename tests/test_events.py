@@ -81,7 +81,7 @@ def test_recursive_sessions_equal_window_sessions(spark, sf_dir):
     )
     e14 = sorted(
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in events.e14_sessions_recursive(spark, sf_dir).collect()
+        for r in events.e14_sessions_rcte(spark, sf_dir).collect()
     )
     assert e14 == e04
 
@@ -94,7 +94,7 @@ def test_pointer_jumping_sessions_equal_recursive(spark, sf_dir):
     rCTE also fails loudly past 100-event sessions on its level
     guard, which pointer jumping has no need of)."""
     rcte = sorted(
-        map(tuple, events.e14_sessions_recursive(spark, sf_dir).collect())
+        map(tuple, events.e14_sessions_rcte(spark, sf_dir).collect())
     )
     ptr = sorted(
         map(tuple, events._e14_pointer_jumping(spark, sf_dir).collect())
@@ -327,7 +327,7 @@ def test_recursive_sessions_duplicate_timestamps(spark, tmp_path):
     ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
     got = [
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in events.e14_sessions_recursive(spark, str(tmp_path)).collect()
+        for r in events.e14_sessions_rcte(spark, str(tmp_path)).collect()
     ]
     assert got == [
         (7, dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 10, 10), 3),
@@ -349,7 +349,7 @@ def test_recursive_sessions_guard_scoped_to_cloned_session(spark, sf_dir):
     every later rCTE inherited the loosened guard)."""
     key = "spark.sql.cteRecursionRowLimit"
     before = spark.conf.get(key)
-    df = events.e14_sessions_recursive(spark, sf_dir)
+    df = events.e14_sessions_rcte(spark, sf_dir)
     assert spark.conf.get(key) == before  # unchanged at build time
     assert df.count() > 0  # executes under the scoped (loosened) guard
     assert spark.conf.get(key) == before  # unchanged after execution
@@ -375,7 +375,7 @@ def test_recursive_sessions_clone_mirrors_parent_confs(spark, sf_dir):
     before = spark.conf.get("spark.sql.ansi.enabled")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
-        df = events.e14_sessions_recursive(spark, sf_dir)
+        df = events.e14_sessions_rcte(spark, sf_dir)
         _, scoped = _E14_SCOPED[spark]
         assert scoped.conf.get("spark.sql.ansi.enabled") == "true"
         assert df.count() > 0  # executes under the mirrored ANSI conf
@@ -385,7 +385,7 @@ def test_recursive_sessions_clone_mirrors_parent_confs(spark, sf_dir):
         # limit a still-lazy earlier DataFrame will execute under
         lim = int(scoped.conf.get("spark.sql.cteRecursionRowLimit"))
         scoped.conf.set("spark.sql.cteRecursionRowLimit", str(lim + 7))
-        events.e14_sessions_recursive(spark, sf_dir)
+        events.e14_sessions_rcte(spark, sf_dir)
         assert (
             int(scoped.conf.get("spark.sql.cteRecursionRowLimit"))
             == lim + 7

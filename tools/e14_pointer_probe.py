@@ -49,7 +49,10 @@ def run_one(mode: str, corpus: str) -> int:
     if mode == "pointer":
         fn = E._e14_pointer_jumping
     else:
-        fn = E.e14_sessions_recursive
+        # the rCTE formulation — named e14_sessions_rcte since the r14
+        # adoption (the registered e14_sessions_recursive IS pointer
+        # jumping now, so measuring it as "rcte" would be circular)
+        fn = E.e14_sessions_rcte
         if mode == "rcte_raised":
             # rcte with default confs fails LOUDLY at level 101
             # (RECURSION_LEVEL_LIMIT_EXCEEDED — any session longer
@@ -90,17 +93,20 @@ def main() -> int:
     if args.mode:
         return run_one(args.mode, args.dir)
 
-    from aind_smartspim_data_transformation_spark.session import (
-        build_local_session,
-    )
-    from tools.overflow_sweep import build_scale_dir
+    if args.dir:
+        tmp = args.dir  # reuse a prebuilt corpus
+    else:
+        from aind_smartspim_data_transformation_spark.session import (
+            build_local_session,
+        )
+        from tools.overflow_sweep import build_scale_dir
 
-    tmp = tempfile.mkdtemp(prefix="e14_probe_")
-    spark = build_local_session(
-        app_name="e14-probe-build", driver_memory="32g"
-    )
-    build_scale_dir(spark, args.base, tmp, args.factor, skew=args.skew)
-    spark.stop()
+        tmp = tempfile.mkdtemp(prefix="e14_probe_")
+        spark = build_local_session(
+            app_name="e14-probe-build", driver_memory="32g"
+        )
+        build_scale_dir(spark, args.base, tmp, args.factor, skew=args.skew)
+        spark.stop()
 
     runs: list[dict] = []
     for rep in range(args.reps):
