@@ -487,9 +487,13 @@ def _verify_jaccard_pairs_signature_collapsed(
     APPROXIMATE BY DESIGN — this changes emitted values, which is why
     the registered d16 contract stays on the digest path:
     - same-signature pairs are emitted as jaccard 1.0 without shingle
-      verification (their true jaccard is typically 0.97–1.0 but can in
-      principle sit below threshold — minhash agreement is evidence,
-      not proof);
+      verification (their true jaccard is typically 0.97–1.0 but can
+      sit below threshold — minhash agreement is evidence, not proof:
+      a below-threshold pair at true jaccard j slips through at the
+      textbook rate j^16, MEASURED at 2.68% worst case for j = 0.798
+      and falling to 2e-5 by j = 0.51, length-independent —
+      tools/d16_sig_false_rate.py, artifact
+      tools/d16_sig_false_rate_r14.json);
     - cross-signature pairs carry their signature-REPRESENTATIVES'
       jaccard, not their own (within-family variance folds onto the
       rep pair's value).
