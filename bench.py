@@ -64,9 +64,32 @@ DEDUP_BENCH = (
 _COUNT_ONLY = {"d07_simhash_hamming_pairs"}
 
 
+def _host_calibration(reps: int = 3) -> float:
+    """Fixed single-core CPU reference: sha256 over 128 MiB, min-of-N
+    seconds.  The r13 convergence flags catch a NOISY host (two
+    fastest runs disagreeing) but not a HOMOGENEOUSLY SLOW window —
+    every r14 sf0.1 anchor query read ~1.3× elevated with
+    converged=true (NOTES_r14).  This constant-work loop gives
+    cross-round comparisons an absolute denominator: walls from two
+    rounds are comparable only after dividing out their calibration
+    ratio.  Single-threaded on purpose — Spark tasks are per-core, so
+    per-core speed (frequency scaling, steal time) is the confounder
+    to measure."""
+    import hashlib
+
+    buf = bytes(range(256)) * (128 * 1024 * 1024 // 256)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        hashlib.sha256(buf).hexdigest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    calib_pre = _host_calibration()
     spark = build_local_session(app_name="bench", driver_memory="32g")
     # JVM warm-up: codegen pipeline + parquet reader paths (tiny sf0.001
     # dim table — NOT the benchmark data, which stays cold).
@@ -166,6 +189,14 @@ def main() -> None:
                 "dedup_queries": dedup_timings,
                 "dedup_total_sec": round(sum(dedup_timings.values()), 4),
                 "imaging_e2e": imaging,
+                # pre/post absolute host-speed reference (see
+                # _host_calibration): divergent pre/post = load arrived
+                # mid-bench; elevated both = slow host window — the
+                # case converged=true cannot flag.
+                "host_calibration_sec": {
+                    "pre": calib_pre,
+                    "post": _host_calibration(),
+                },
                 "sf": sf,
             }
         )
