@@ -1022,9 +1022,42 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot user's whole chain in ONE task's iteration sequence — the
     join key spreads a hot user's rows across ptr values, so skew
     DILUTES with each round instead of serializing.  Rounds
-    localCheckpoint (the d09 convention): truncates lineage and
-    materializes, so the convergence probe is a cheap scan, not a
-    re-execution."""
+    localCheckpoint (the d09 convention): truncates lineage (the
+    self-referential join would otherwise double the plan every
+    round) and materializes, so the convergence probe is a cheap
+    scan, not a re-execution.
+
+    Storage is bounded at TWO live generations (r14): once generation
+    k is materialized, generation k−1 feeds nothing — its checkpoint
+    blocks are released immediately.  Without the release, ~log2(max
+    chain) generations accumulate and the 1000×-zipf corpus (100M
+    rows × ~27 rounds) OOMs the driver heap at round ~12 with
+    unrecoverable `Block rdd_N does not exist` errors (measured —
+    tools/e14_pointer_probe_r14_1000x_zipf.json records the pre-fix
+    failure at 1177 s).  Neither `DataFrame.unpersist()` nor
+    `toRdd().unpersist()` reaches a local checkpoint's blocks, so the
+    release tracks the JVM RDD handles that became persistent across
+    this thread's own localCheckpoint call (set-diff of
+    `getPersistentRDDs` ids) and unpersists exactly those — never a
+    foreign cache."""
+    from pyspark import StorageLevel
+
+    sc = spark.sparkContext
+    # Serialized, disk-spillable generations (PySpark's
+    # MEMORY_AND_DISK is JVM-serialized): the default deserialized
+    # object store holds ~3× the bytes per row, and at 100M rows ×
+    # two live generations that alone OOMed a 32g heap mid-round
+    # even with the release below in place (measured, same artifact).
+    _GEN_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+    def _pids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _new_handles(before: set) -> list:
+        jmap = sc._jsc.getPersistentRDDs()
+        return [
+            jmap.get(k) for k in jmap.keySet().toArray() if k not in before
+        ]
     ev = _ev(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     base = ev.select(
@@ -1038,6 +1071,7 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_ts").isNull()
         | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
     )
+    before = _pids()
     cur = nodes.select(
         "user_id",
         "ts",
@@ -1045,13 +1079,15 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("is_head"), F.col("rn"))
         .otherwise(F.col("rn") - 1)
         .alias("ptr"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_GEN_LEVEL)
+    cur_handles = _new_handles(before)
     while True:
         m = cur.select(
             F.col("user_id").alias("m_uid"),
             F.col("rn").alias("m_rn"),
             F.col("ptr").alias("m_ptr"),
         )
+        before = _pids()
         nxt = (
             cur.join(
                 m,
@@ -1065,8 +1101,14 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m_ptr").alias("ptr"),
                 (F.col("m_ptr") != F.col("ptr")).alias("moved"),
             )
-            .localCheckpoint()
+            # eager: materialized on return, so the consumed
+            # generation below is safe to drop
+            .localCheckpoint(storageLevel=_GEN_LEVEL)
         )
+        nxt_handles = _new_handles(before)
+        for h in cur_handles:
+            h.unpersist(False)
+        cur_handles = nxt_handles
         cur = nxt.drop("moved")
         if nxt.filter("moved").limit(1).count() == 0:
             break
