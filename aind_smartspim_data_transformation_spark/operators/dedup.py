@@ -37,7 +37,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aind_smartspim_data_transformation_spark.tables import load_table
+from aind_smartspim_data_transformation_spark.tables import (
+    load_table,
+    spread_unsplittable_scan,
+)
 
 N_MINHASH = 16
 N_BANDS = 8  # r = 2 rows per band
@@ -47,6 +50,14 @@ JACCARD_THRESHOLD = 0.8
 # quadratic in-bucket pair expansion.  Bounds LSH worst-case pair count.
 MAX_BAND_BUCKET = 64
 MAX_SHINGLE_DF = 100  # stop-gram cap for the inverted-index join (d02)
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, round-robin spread when the file cannot split
+    (r15, guide §2.5): the tokenize→md5 pipelines above this scan are
+    the dominant per-task cost of the dedup family, and the one-file
+    testdata layout would serialize them onto a single task."""
+    return spread_unsplittable_scan(load_table(spark, sf_dir, "documents"))
 
 # 3-word shingles.  toks[i] is 0-based in Spark SQL.  Dedup happens
 # relationally AFTER explode: array_distinct() is O(n²) per array and
@@ -58,8 +69,9 @@ _SHINGLES = (
 
 
 def _shingle_rows_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) — 3-word shingles WITH duplicates (no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, sh) — 3-word shingles WITH duplicates (no pre-shuffle
+    beyond the conditional unsplittable-scan spread)."""
+    docs = _docs_spread(spark, sf_dir)
     return (
         docs.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
@@ -307,7 +319,7 @@ def _verify_jaccard_pairs(
         .union(cand.select(F.col("doc2")))
         .distinct()
     )
-    docs_cand = load_table(spark, sf_dir, "documents").join(
+    docs_cand = _docs_spread(spark, sf_dir).join(
         F.broadcast(cand_docs), "doc_id"
     )
     # one shingle-SET per candidate doc (collect_set dedups in the agg);
@@ -370,7 +382,7 @@ def _verify_jaccard_pairs_digest_collapsed(
         .union(cand.select(F.col("doc2")))
         .distinct()
     )
-    docs_cand = load_table(spark, sf_dir, "documents").join(
+    docs_cand = _docs_spread(spark, sf_dir).join(
         F.broadcast(cand_docs), "doc_id"
     )
     dmap = docs_cand.select(
@@ -510,7 +522,7 @@ def _verify_jaccard_pairs_signature_collapsed(
         .union(cand.select(F.col("doc2")))
         .distinct()
     )
-    docs_cand = load_table(spark, sf_dir, "documents").join(
+    docs_cand = _docs_spread(spark, sf_dir).join(
         F.broadcast(cand_docs), "doc_id"
     )
     sigs = _full_signatures(docs_cand).persist()  # consumed 3× (pair
@@ -565,7 +577,7 @@ def d03_dedup_minhash_lsh(
     # The signature pipeline (minhash_band_rows) is consumed exactly
     # once — the verify pass below re-shingles only candidate docs —
     # so nothing here needs caching.
-    bands = minhash_band_rows(load_table(spark, sf_dir, "documents"))
+    bands = minhash_band_rows(_docs_spread(spark, sf_dir))
     # Candidate pairs by grouping each band bucket and expanding i<j
     # combinations in-bucket — ONE pass over the signature pipeline and
     # one shuffle on the band key, where a bands⋈bands self-join would
@@ -669,7 +681,7 @@ def _d16_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch for saturated buckets).  Split out so the verify-volume
     instrumentation (tools/d16_verify_volume.py) measures EXACTLY the
     candidate stream d16 verifies."""
-    bands = minhash_band_rows(load_table(spark, sf_dir, "documents"))
+    bands = minhash_band_rows(_docs_spread(spark, sf_dir))
     pair_branch = (
         f"CASE WHEN size(ids) <= {MAX_BAND_BUCKET} THEN {_PAIRS_IN_BUCKET} "
         f"ELSE {_PAIRS_CAPPED} END"
@@ -697,7 +709,7 @@ def d15_lsh_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen — all from the same bucket-size aggregate d03 already
     computes, so the figures are definitionally the ones d03 acted on.
     One row always (zeros on a healthy corpus)."""
-    bands = minhash_band_rows(load_table(spark, sf_dir, "documents"))
+    bands = minhash_band_rows(_docs_spread(spark, sf_dir))
     sizes = bands.groupBy("band_id", "bkey").agg(F.count("*").alias("n"))
     sat = F.col("n") > MAX_BAND_BUCKET
     return sizes.agg(
@@ -816,7 +828,7 @@ D16_SQL = f"""
 # ---------------------------------------------------------------------------
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 16-bit token-vote signatures (d04/d07)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
@@ -893,7 +905,10 @@ def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aind_smartspim_data_transformation_spark.operators import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
-    # per-row bucket expression: no explode, no shuffle (similarity.py)
+    # per-row bucket expression: no explode, no shuffle (similarity.py).
+    # r15 measured: a scan spread here is a WASH (the folds are cheap);
+    # the cost is the post-shuffle pair loop below, fixed by the
+    # explicit AQE-exempt join repartition (see `cross`).
     wb = e.withColumn("bucket", S._bucket_expr())
     # FAT-GROUP GUARD (r10, same class as n07's fat-cell collapse):
     # group EXACT-duplicate vectors before the pair loop, run the
@@ -925,16 +940,23 @@ def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nrm", F.sqrt(S._norm_sq("embedding")))
     )
+    # r15 (n07's pair-loop lesson applied here, measured 2.4×: 2.52 s
+    # → 1.05 s at sf0.1, 3/3 interleaved reps): the pair loop is
+    # quadratic interpreted-cosine WORK over tiny INPUT bytes, the
+    # shape AQE coalesces onto ~1 task.  Explicit repartition is
+    # AQE-exempt and satisfies the join's clustering, so the loop runs
+    # as parallel tasks at any corpus size; pair set unchanged.
+    n_parts = 4 * spark.sparkContext.defaultParallelism
     a = groups.select(
         "bucket", F.col("rep").alias("rep_a"),
         F.col("embedding").alias("va"), F.col("ids").alias("ids_a"),
         F.col("nrm").alias("na"),
-    )
+    ).repartition(n_parts, "bucket")
     b = groups.select(
         F.col("bucket").alias("bucket_b"), F.col("rep").alias("rep_b"),
         F.col("embedding").alias("vb"), F.col("ids").alias("ids_b"),
         F.col("nrm").alias("nb"),
-    )
+    ).repartition(n_parts, "bucket_b")
     # NULL-divisor guard: a zero-norm (or NaN-norm) vector makes the
     # denominator 0, which under Spark-4 ANSI mode THROWS on double
     # division while DuckDB yields NULL — guarding the divisor to NULL

@@ -747,7 +747,14 @@ def lloyd_train(
 
 
 def s09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from aind_smartspim_data_transformation_spark.tables import (
+        spread_unsplittable_scan,
+    )
+
+    # r15: conditional scan spread (guide §2.5) — parallelizes the
+    # quantize transform and the literal-centroid assignment folds that
+    # run scan-side; no-op whenever the scan already splits.
+    e = spread_unsplittable_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr(
             f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT))"

@@ -17,7 +17,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aind_smartspim_data_transformation_spark.tables import load_table
+from aind_smartspim_data_transformation_spark.tables import (
+    load_table,
+    spread_unsplittable_scan,
+)
 
 
 def _idiv(num, den):
@@ -33,7 +36,10 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # r15: conditional round-robin spread of the unsplittable one-file
+    # scan (guide §2.5) — the tokenize/regex projections of the text
+    # family otherwise run as a single task; no-op on splittable input.
+    return spread_unsplittable_scan(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

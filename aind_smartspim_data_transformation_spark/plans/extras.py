@@ -1351,7 +1351,16 @@ def n07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity as S,
     )
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from aind_smartspim_data_transformation_spark.tables import (
+        spread_unsplittable_scan,
+    )
+
+    # r15: conditional scan spread (guide §2.5) — the quantize
+    # transforms and every Lloyd assignment pass run scan-side and
+    # would otherwise serialize on the one-file scan's single task.
+    e = spread_unsplittable_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(
         "vec_id",
         F.expr(
             f"transform(embedding, v -> "

@@ -38,6 +38,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_unsplittable_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a BATCH DataFrame whose physical plan
+    yields fewer partitions than the session's default parallelism —
+    the optimization-guide §2.5 remedy for an unsplittable input.
+
+    The sf testdata ships each table as ONE single-row-group parquet
+    file, so a scan cannot split no matter how small
+    ``maxPartitionBytes`` goes, and every scan-side pipeline stage
+    (tokenize → md5 shingles, LSH folds, partial aggregation) runs as
+    ONE task regardless of cores (measured r15: d03's candidate pass
+    3.7 s → 2.5 s at sf0.1 once spread).  Strictly scale-adaptive: a
+    production table is thousands of splits, so the guard makes this a
+    no-op there; it fires only for genuinely unsplittable stragglers
+    (one giant gzip, a single-row-group file) where one round-robin
+    exchange of the base rows buys full-cluster parallelism for the
+    compute above it.  Deterministic under retries: the input is a
+    deterministic scan and ``spark.sql.execution.sortBeforeRepartition``
+    stays at its default.  Batch-only (``df.rdd`` would fail on a
+    streaming frame); callers in streaming plans use the narrow
+    per-row variants instead.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with a normalized microsecond-timestamp ``ts``.
 
