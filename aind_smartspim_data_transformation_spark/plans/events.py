@@ -660,6 +660,27 @@ _DAY_US = 24 * 3600 * 1_000_000
 
 
 def e13_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e13's REGISTERED plan — the bucketed formulation since r15
+    (VERDICT r14 ask #1, the e14-adoption precedent; guide §2.5): the
+    native per-user RANGE frame is O(n_user × frame) on ONE task and
+    was measured KILLED (~80 min, still running) at the 100×-zipf
+    decade on the hot user's 1.48M-event partition, while the bucketed
+    twin computes the same 10M rows in ~9.5 s
+    (tools/overflow_sweep_r14_100x_zipf_changed.log) — every window
+    partition is one user-DAY, so a hot key parallelizes across its
+    days.  Row-identical by construction and by test
+    (tests/test_events.py::test_bucketed_rolling_equals_range_frame);
+    the DuckDB oracle stays the native RANGE-frame SQL (E13_SQL), so
+    the strict gate pins the two formulations against each other at
+    every sweep.  The native frame survives as the diagnostic twin
+    `e13_rolling_24h_native` (the pedagogical W-frame surface)."""
+    return e16_rolling_24h_bucketed(spark, sf_dir)
+
+
+def e13_rolling_24h_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin: the literal sliding RANGE frame (unregistered
+    since r15 — see e13_rolling_24h).  O(n_user × frame) per partition;
+    correct, and the simplest statement of the contract."""
     ev = _ev(spark, sf_dir)
     w = (
         W.partitionBy("user_id")
@@ -1005,6 +1026,21 @@ def e14_sessions_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Checkpoint RDD handles the LAST _e14_pointer_jumping build left
+# alive (the returned DataFrame's plan references them); released at
+# the start of the NEXT build — see the release comment in the loop.
+_E14_LIVE_HANDLES: list = []
+
+
+def _ck_rdd_handle(df: DataFrame):
+    """The exact JVM RDD handle backing a ``localCheckpoint``'d
+    DataFrame: its analyzed plan is the LogicalRDD wrapping the
+    persisted internal RDD, so ``unpersist`` through this handle can
+    only ever touch THIS checkpoint's blocks — never a concurrent
+    thread's cache (VERDICT r14 "what's wrong" #2)."""
+    return df._jdf.queryExecution().analyzed().rdd()
+
+
 def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointer-jumping (doubling) reformulation of e14's session walk
     (VERDICT r13 ask #4, builder's NOTES_r13 "next flaw" #3): the rCTE
@@ -1027,22 +1063,52 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
     round) and materializes, so the convergence probe is a cheap
     scan, not a re-execution.
 
-    Storage is bounded at TWO live generations (r14): once generation
-    k is materialized, generation k−1 feeds nothing — its checkpoint
-    blocks are released immediately.  Without the release, ~log2(max
-    chain) generations accumulate and the 1000×-zipf corpus (100M
-    rows × ~27 rounds) OOMs the driver heap at round ~12 with
-    unrecoverable `Block rdd_N does not exist` errors (measured —
-    tools/e14_pointer_probe_r14_1000x_zipf.json records the pre-fix
-    failure at 1177 s).  Neither `DataFrame.unpersist()` nor
-    `toRdd().unpersist()` reaches a local checkpoint's blocks, so the
-    release tracks the JVM RDD handles that became persistent across
-    this thread's own localCheckpoint call (set-diff of
-    `getPersistentRDDs` ids) and unpersists exactly those — never a
-    foreign cache."""
+    Storage is bounded (r14, tightened r15): consumed generations are
+    released as soon as their successor is materialized.  Without the
+    release, ~log2(max chain) generations accumulate and the
+    1000×-zipf corpus (100M rows × ~27 rounds) OOMs the driver heap at
+    round ~12 with unrecoverable `Block rdd_N does not exist` errors
+    (measured — tools/e14_pointer_probe_r14_1000x_zipf.json records
+    the pre-fix failure at 1177 s).  Neither `DataFrame.unpersist()`
+    nor `toRdd().unpersist()` reaches a local checkpoint's blocks; the
+    release derives the EXACT JVM RDD handle from the checkpointed
+    DataFrame itself (`_ck_rdd_handle` — its analyzed plan is the
+    LogicalRDD wrapping the persisted RDD), so a persist from a
+    concurrent thread of the same session can never be captured
+    (VERDICT r14 "what's wrong" #2 / ADVICE r14 — the r14 mechanism
+    set-diffed the GLOBAL getPersistentRDDs map around the call).
+
+    r15 (VERDICT r14 ask #7): CONVERGED-ROW FILTERING was built,
+    row-identity-verified (same 4,883,560 sessions at 100× zipf) and
+    REJECTED on the ABAB gate — 0.87× at 100× zipf, 2/3 interleaved
+    pairs clearly slower (tools/r15_e14_filter_probe.json).  Why the
+    geometric-shrink intuition fails: filtering only thins the join's
+    LEFT side (10M→~1.5M rows after round 2 on this corpus), but the
+    mapping (right) side must stay corpus-sized every round — an
+    active row can target any long-converged node — and the added
+    per-round work (separate done-part and active-part checkpoint
+    jobs, a k-part union feeding the mapping) costs more than the
+    left-side shuffle saving.  The candidate stays in-tree as
+    `_e14_pointer_jumping_filtered` so the probe remains
+    reproducible; do not re-adopt without a corpus where the LEFT
+    side dominates the join cost."""
+    # Release any checkpoint blocks a PREVIOUS e14 build of this
+    # process left alive (ADVICE r14: the final generation's blocks
+    # outlive the returned DataFrame until GC; clearCache() does not
+    # reach them).  Safe because the parts recorded here are e14's
+    # own, and a new build supersedes the old result frame in every
+    # harness (bench, sweeps, strict verify) — repeated-invocation
+    # sweeps no longer accumulate corpus-sized block sets.
+    global _E14_LIVE_HANDLES
+    for h in _E14_LIVE_HANDLES:
+        try:
+            h.unpersist(False)
+        except Exception:
+            pass
+    _E14_LIVE_HANDLES = []
+
     from pyspark import StorageLevel
 
-    sc = spark.sparkContext
     # Serialized, disk-spillable generations (PySpark's
     # MEMORY_AND_DISK is JVM-serialized): the default deserialized
     # object store holds ~3× the bytes per row, and at 100M rows ×
@@ -1050,14 +1116,6 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # even with the release below in place (measured, same artifact).
     _GEN_LEVEL = StorageLevel.MEMORY_AND_DISK
 
-    def _pids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-    def _new_handles(before: set) -> list:
-        jmap = sc._jsc.getPersistentRDDs()
-        return [
-            jmap.get(k) for k in jmap.keySet().toArray() if k not in before
-        ]
     ev = _ev(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     base = ev.select(
@@ -1071,7 +1129,6 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_ts").isNull()
         | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
     )
-    before = _pids()
     cur = nodes.select(
         "user_id",
         "ts",
@@ -1080,14 +1137,13 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("rn") - 1)
         .alias("ptr"),
     ).localCheckpoint(storageLevel=_GEN_LEVEL)
-    cur_handles = _new_handles(before)
+    cur_h = _ck_rdd_handle(cur)
     while True:
         m = cur.select(
             F.col("user_id").alias("m_uid"),
             F.col("rn").alias("m_rn"),
             F.col("ptr").alias("m_ptr"),
         )
-        before = _pids()
         nxt = (
             cur.join(
                 m,
@@ -1105,15 +1161,132 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
             # generation below is safe to drop
             .localCheckpoint(storageLevel=_GEN_LEVEL)
         )
-        nxt_handles = _new_handles(before)
-        for h in cur_handles:
-            h.unpersist(False)
-        cur_handles = nxt_handles
-        cur = nxt.drop("moved")
+        nxt_h = _ck_rdd_handle(nxt)
+        cur_h.unpersist(False)
+        cur, cur_h = nxt.drop("moved"), nxt_h
         if nxt.filter("moved").limit(1).count() == 0:
             break
+    # The FINAL generation's blocks back the returned (lazy) result —
+    # they must stay alive for the caller, so record the handle for
+    # the NEXT build's release above (ADVICE r14 #2: GC/ContextCleaner
+    # reclamation is nondeterministic across a long sweep).
+    _E14_LIVE_HANDLES.append(cur_h)
     return (
         cur.groupBy("user_id", F.col("ptr").alias("head_rn"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+def _e14_pointer_jumping_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REJECTED candidate (VERDICT r14 ask #7), kept so the ABAB probe
+    stays reproducible (tools/r15_e14_filter_probe.py /
+    tools/r15_e14_filter_probe.json): converged rows leave the join's
+    LEFT side each round, but the mapping (right) side must stay
+    corpus-sized — an active row can target any long-converged node —
+    so the saving is bounded at the left side's shuffle share and the
+    added per-round jobs (done-part + active-part checkpoints, k-part
+    mapping union) cost more: 0.87× at 100× zipf, 2/3 interleaved
+    pairs clearly slower.  Row-identical to the registered loop (same
+    4,883,560 sessions at 100× zipf; small-SF identity by test)."""
+    global _E14_LIVE_HANDLES
+    for h in _E14_LIVE_HANDLES:
+        try:
+            h.unpersist(False)
+        except Exception:
+            pass
+    _E14_LIVE_HANDLES = []
+
+    from pyspark import StorageLevel
+
+    _GEN_LEVEL = StorageLevel.MEMORY_AND_DISK
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    nodes = base.withColumn(
+        "is_head",
+        F.col("prev_ts").isNull()
+        | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+    )
+    active = nodes.select(
+        "user_id",
+        "ts",
+        "rn",
+        F.when(F.col("is_head"), F.col("rn"))
+        .otherwise(F.col("rn") - 1)
+        .alias("ptr"),
+    ).localCheckpoint(storageLevel=_GEN_LEVEL)
+    active_h = _ck_rdd_handle(active)
+    done_parts: list[DataFrame] = []
+    while True:
+        mapping = active.select(
+            F.col("user_id").alias("m_uid"),
+            F.col("rn").alias("m_rn"),
+            F.col("ptr").alias("m_ptr"),
+        )
+        for d in done_parts:
+            mapping = mapping.unionByName(
+                d.select(
+                    F.col("user_id").alias("m_uid"),
+                    F.col("rn").alias("m_rn"),
+                    F.col("ptr").alias("m_ptr"),
+                )
+            )
+        nxt = (
+            active.join(
+                mapping,
+                (F.col("user_id") == F.col("m_uid"))
+                & (F.col("ptr") == F.col("m_rn")),
+            )
+            .select(
+                "user_id",
+                "ts",
+                "rn",
+                F.col("m_ptr").alias("ptr"),
+                (F.col("m_ptr") != F.col("ptr")).alias("moved"),
+            )
+            # eager: materialized on return, so the generations
+            # consumed below are safe to drop
+            .localCheckpoint(storageLevel=_GEN_LEVEL)
+        )
+        nxt_h = _ck_rdd_handle(nxt)
+        # newly-converged rows leave the loop for good (cheap filter
+        # jobs over the materialized nxt blocks, not re-executions)
+        new_done = nxt.filter(~F.col("moved")).drop("moved").localCheckpoint(
+            storageLevel=_GEN_LEVEL
+        )
+        done_parts.append(new_done)
+        _E14_LIVE_HANDLES.append(_ck_rdd_handle(new_done))
+        still_moving = nxt.filter("moved").limit(1).count() > 0
+        if not still_moving:
+            nxt_h.unpersist(False)
+            active_h.unpersist(False)
+            break
+        new_active = (
+            nxt.filter("moved").drop("moved")
+            .localCheckpoint(storageLevel=_GEN_LEVEL)
+        )
+        new_active_h = _ck_rdd_handle(new_active)
+        nxt_h.unpersist(False)
+        active_h.unpersist(False)
+        active, active_h = new_active, new_active_h
+    out = done_parts[0]
+    for d in done_parts[1:]:
+        out = out.unionByName(d)
+    return (
+        out.groupBy("user_id", F.col("ptr").alias("head_rn"))
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),

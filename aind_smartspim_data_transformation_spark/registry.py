@@ -50,6 +50,58 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # e14's registered plan IS the pointer-jumping formulation now
 # (VERDICT r13 ask #4, measured adoption — the rCTE twin stays
 # in-tree as e14_sessions_rcte; SCALE.md §6t).  No new registry keys.
+# Round-15 rotation (optimization round; VERDICT r14 ask #4): every
+# query whose plan changed in r15 leads.  The r15 changes are
+# (a) the conditional unsplittable-scan spread
+# (tables.spread_unsplittable_scan) under the dedup-family documents
+# scans, text._docs and the s09/n07 embeddings scans — which reaches
+# every query built on d03's pipeline (d06, d08, d09, d11, d12, d13,
+# c14, n01, n13) and the whole t-family + x04's shingle stream;
+# (b) d05's explicit AQE-exempt pair-loop repartition; (c) e13's
+# registered plan is the bucketed formulation since r15 (VERDICT r14
+# ask #1 — the e14 precedent; the native RANGE frame stays as the
+# diagnostic twin e13_rolling_24h_native); (d) e14's pointer-jumping
+# loop changes from r15 optimization work (converged-row filtering /
+# release mechanics).  No new registry keys.
+_LEADING_R15 = [
+    "e13_rolling_24h",
+    "e14_sessions_recursive",
+    "d02_dedup_ngram_jaccard",
+    "d03_dedup_minhash_lsh",
+    "d04_simhash",
+    "d05_dedup_embedding_cosine",
+    "d06_dedup_corpus",
+    "d07_simhash_hamming_pairs",
+    "d08_dup_components",
+    "d09_dup_components_star",
+    "d11_split_leakage",
+    "d12_dup_pagerank",
+    "d13_keep_best_quality",
+    "d14_hamming_neighbor_topk",
+    "d15_lsh_saturation_audit",
+    "d16_lsh_recovered_pairs",
+    "n01_minhash_estimator_qa",
+    "n07_semantic_dedup",
+    "n13_cluster_merge_qa",
+    "c14_curation_pipeline",
+    "s09_kmeans_train",
+    "x04_hll_distinct",
+    "t01_token_stats",
+    "t02_quality_score",
+    "t03_lang_stats",
+    "t04_lang_id",
+    "t05_fingerprint",
+    "t06_top_bigrams",
+    "t07_tfidf_top_terms",
+    "t08_repetition_stats",
+    "t09_readability",
+    "t10_vocab_zipf",
+    "t11_char_entropy",
+    "t12_mean_token_rank",
+]
+
+# Kept so NOTES/VERDICT history stays greppable; no longer drive the
+# window.
 _LEADING_R14 = [
     "e14_sessions_recursive",
     "d16_lsh_recovered_pairs",
@@ -94,7 +146,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R14 if k in d}
+    lead = {k: d[k] for k in _LEADING_R15 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 

@@ -86,10 +86,41 @@ def _host_calibration(reps: int = 3) -> float:
     return round(best, 4)
 
 
+def _host_calibration_parallel(reps: int = 2) -> float:
+    """ALL-CORES CPU reference (r15, VERDICT r14 "what's wrong" #1):
+    os.cpu_count() threads each sha256 the same 128 MiB buffer;
+    reported figure is the min-of-N wall for ALL threads to finish.
+
+    The serial loop above cannot sense the noise source that actually
+    moved the r14 driver bench: multi-core contention against a
+    local[32] Spark job.  Measured proof — the r14 loaded-host run
+    read serial calibration 0.101/0.105, statistically identical to
+    the idle-host 0.1012/0.1008, while the Spark walls differed
+    1.19×.  With every core hashing at once, neighbor load inflates
+    this wall roughly in proportion to the core-seconds it steals
+    (hashlib releases the GIL for large buffers, so the threads
+    genuinely occupy all cores).  Validation run (idle vs synthetic
+    16-core load): tools/r15_calibration_validation.json."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = os.cpu_count() or 1
+    buf = bytes(range(256)) * (128 * 1024 * 1024 // 256)
+    best = float("inf")
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            list(pool.map(lambda _: hashlib.sha256(buf).digest(), range(n)))
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    load_pre = list(os.getloadavg())
     calib_pre = _host_calibration()
+    calib_par_pre = _host_calibration_parallel()
     spark = build_local_session(app_name="bench", driver_memory="32g")
     # JVM warm-up: codegen pipeline + parquet reader paths (tiny sf0.001
     # dim table — NOT the benchmark data, which stays cold).
@@ -196,6 +227,19 @@ def main() -> None:
                 "host_calibration_sec": {
                     "pre": calib_pre,
                     "post": _host_calibration(),
+                },
+                # all-cores twin (r15): the figure that actually moves
+                # under multi-core neighbor load — read THIS one first
+                # when adjudicating cross-round drift (BASELINE.md
+                # protocol step 1); the serial figure only moves under
+                # per-core slowdown (frequency scaling, steal time).
+                "host_calibration_parallel_sec": {
+                    "pre": calib_par_pre,
+                    "post": _host_calibration_parallel(),
+                },
+                "loadavg_1m": {
+                    "pre": round(load_pre[0], 2),
+                    "post": round(os.getloadavg()[0], 2),
                 },
                 "sf": sf,
             }

@@ -145,8 +145,12 @@ def test_bucketed_rolling_equals_range_frame(spark, sf_dir):
     prev-bucket descending probe scan) is row-identical to e13's
     native sliding RANGE frame — two formulations, one contract; the
     bucketed form is the one whose window partitions stay one user-DAY
-    under a hot key (SCALE.md §6o)."""
-    a = sorted(map(tuple, events.e13_rolling_24h(spark, sf_dir).collect()))
+    under a hot key (SCALE.md §6o).  Since r15 the bucketed plan IS
+    e13's registered plan; the native frame stays in-tree as the
+    diagnostic twin this test pins against."""
+    a = sorted(
+        map(tuple, events.e13_rolling_24h_native(spark, sf_dir).collect())
+    )
     b = sorted(
         map(tuple, events.e16_rolling_24h_bucketed(spark, sf_dir).collect())
     )
@@ -195,7 +199,7 @@ def test_bucketed_rolling_boundary_ties(spark, tmp_path):
     # and the native frame agrees on the same fixture
     native = {
         (r["user_id"], r["ts"], r["n_24h"], r["sum_24h"])
-        for r in events.e13_rolling_24h(spark, str(tmp_path)).collect()
+        for r in events.e13_rolling_24h_native(spark, str(tmp_path)).collect()
     }
     assert native == got
 
@@ -251,7 +255,7 @@ def test_bucketed_rolling_pre_epoch_and_null_values(spark, tmp_path):
     # the native RANGE frame (bucket-free, null-ignoring) agrees
     native = {
         (r["user_id"], r["ts"], r["n_24h"], r["sum_24h"])
-        for r in events.e13_rolling_24h(spark, str(tmp_path)).collect()
+        for r in events.e13_rolling_24h_native(spark, str(tmp_path)).collect()
     }
     assert native == got
     # and the fused one-pass candidate agrees on the same edge fixture
@@ -260,6 +264,21 @@ def test_bucketed_rolling_pre_epoch_and_null_values(spark, tmp_path):
         for r in events._e16_fused_two_frame(spark, str(tmp_path)).collect()
     }
     assert fused == got
+
+
+def test_e13_registered_plan_is_bucketed(spark, sf_dir):
+    """r15 adoption pin (VERDICT r14 ask #1): the registered e13 must
+    run the bucketed formulation — its physical plan carries NO
+    sliding 24h RANGE frame (the native twin's O(n·frame) shape) and
+    DOES carry the bucketed form's cumulative frames."""
+    plan = (
+        events.e13_rolling_24h(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "-86400000000" not in plan  # the native RANGE frame bound
+    assert "unboundedpreceding" in plan.lower()  # cumulative frames
 
 
 def test_fused_two_frame_equals_e16(spark, sf_dir):
