@@ -635,15 +635,22 @@ ORDER BY e.query_id
 KM_K = 4
 KM_ITERS = 2
 KM_SCALE = 1000
-# Assignment-path threshold (SCALE.md §6j "6j decision", VERDICT r10
-# ask #6): the literal-centroid expression tree is K inline structs —
-# ideal while K is a registry constant (≤16 today: whole-stage
-# codegen, zero Python), but at IVF-production K (~10k) it would
-# inline 10k expression trees into one projection.  Above this bound
-# lloyd_train switches to the numpy/mapInPandas assignment (same
-# narrow no-corpus-shuffle shape; Arrow-batched; exact int64
-# arithmetic so results are cell-for-cell identical — pinned by
-# tests/test_similarity.py::test_lloyd_pandas_assignment_identical).
+# Assignment-path history (SCALE.md §6j, VERDICT r10 ask #6; REVERSED
+# by measurement in r15): the literal-centroid expression tree is K
+# inline structs of d-term zip_with/aggregate folds.  Those
+# higher-order functions are CodegenFallback — interpreted, not
+# codegen'd — and the r15 optimization round measured the numpy
+# mapInPandas assignment 3× faster per pass at registry K=16, d=64
+# (0.47–0.98 s vs 1.39–1.51 s over the sf0.1 corpus) and 1.6× on
+# n07 end-to-end (6.17→3.84 s min-over-min, interleaved; see
+# OPTIMIZATION_r15.md).  "auto" therefore routes to the pandas
+# assignment at EVERY K now; the expression path stays in-tree as the
+# zero-Python diagnostic twin (`assign_mode="expr"`), cell-for-cell
+# identical by exact int64 arithmetic — pinned by
+# tests/test_similarity.py::test_lloyd_pandas_assignment_identical.
+# KM_EXPR_MAX_K survives as the guard above which the expr path is
+# refused outright (a 10k-centroid literal projection is a planning
+# hazard, the r15 §2 "unrolled expressions" lesson).
 KM_EXPR_MAX_K = 256
 
 
@@ -707,29 +714,51 @@ def lloyd_train(
     mean update.  Returns (final assignment with a ``cell`` column, the
     final centroid list).
 
-    ``assign_mode``: "expr" inlines K literal-centroid expressions
-    (whole-stage codegen — the small-K registry path), "pandas" uses
-    the vectorized numpy argmin (the K≈10k scale path, §6j), "auto"
-    picks by ``KM_EXPR_MAX_K``.  Both produce identical cells (exact
-    int64 arithmetic, same tie rule) — pinned by test."""
+    ``assign_mode``: "pandas" (and "auto", which now always routes to
+    it — the r15 measured decision, see the KM_EXPR_MAX_K comment)
+    uses the vectorized numpy argmin; "expr" inlines K
+    literal-centroid expressions (the zero-Python diagnostic twin,
+    refused above ``KM_EXPR_MAX_K`` where the literal projection is a
+    planning hazard).  Both produce identical cells (exact int64
+    arithmetic, same tie rule) — pinned by test.
+
+    r15 (guide §4.1 "pass only the columns the function needs"): the
+    update-feeding iteration passes run over a narrow ``x``-only
+    projection, so ``e``'s payload columns (n07 carries the 64-double
+    raw vector) never cross the Arrow boundary during training; only
+    the RETURNED final assignment — which the caller consumes lazily —
+    carries the full row."""
     if assign_mode not in ("auto", "expr", "pandas"):
         raise ValueError(f"unknown assign_mode: {assign_mode}")
-    use_pandas = (k > KM_EXPR_MAX_K) if assign_mode == "auto" else (
-        assign_mode == "pandas"
-    )
+    use_expr = assign_mode == "expr"
+    if use_expr and k > KM_EXPR_MAX_K:
+        raise ValueError(
+            f"assign_mode='expr' refused at k={k} > {KM_EXPR_MAX_K}: "
+            "the literal-centroid projection is a planning hazard"
+        )
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["x"]])
         for r in e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).collect()
     ]
     cents.sort()
+    xonly = e.select("x")
     assigned = None
-    for _ in range(iters):
-        if use_pandas:
-            assigned = _kmeans_assign_pandas(e, cents)
-        else:
+    for i in range(iters):
+        if use_expr:
+            # diagnostic twin: the pre-r15 shape, full-width assignment
+            # every pass
             assigned = e.withColumn("cell", _kmeans_assign(e, cents))
+            src = assigned
+        else:
+            # narrow iteration frame: ships only `x` through Arrow
+            src = _kmeans_assign_pandas(xonly, cents)
+            if i == iters - 1:
+                # the returned assignment (lazy — executed by the
+                # caller's plan) under the SAME centroids as `src`,
+                # over the full row
+                assigned = _kmeans_assign_pandas(e, cents)
         new_cents = (
-            assigned.select("cell", F.posexplode("x").alias("dim", "val"))
+            src.select("cell", F.posexplode("x").alias("dim", "val"))
             .groupBy("cell", "dim")
             .agg(F.expr("sum(val) div count(*)").alias("m"))
             .groupBy("cell")

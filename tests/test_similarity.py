@@ -152,13 +152,16 @@ def test_ivf_cells_prune_files_when_partitioned(spark, sf_dir, tmp_path):
 
 
 def test_lloyd_pandas_assignment_identical(spark, sf_dir):
-    """§6j large-K decision (VERDICT r10 ask #6, option a): the
-    mapInPandas assignment path must be cell-for-cell AND
+    """§6j assignment-path pin (VERDICT r10 ask #6; routing REVERSED
+    in r15): the mapInPandas assignment path must be cell-for-cell AND
     centroid-for-centroid identical to the literal-expression path at
     registry K — exact int64 arithmetic and the same (d2, cid) tie
-    rule, so not approximately equal: EQUAL.  Auto mode must pick the
-    expression plan at registry K (no Python in the registry hot path)
-    and the pandas plan above KM_EXPR_MAX_K."""
+    rule, so not approximately equal: EQUAL.  Since r15, auto mode
+    routes to the pandas plan at EVERY K (the interpreted zip_with
+    folds of the expression path measured 3× slower per pass at K=16;
+    OPTIMIZATION_r15.md); the expression path survives as the
+    explicit zero-Python diagnostic twin and is refused above
+    KM_EXPR_MAX_K."""
     from pyspark.sql import functions as F
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -179,22 +182,27 @@ def test_lloyd_pandas_assignment_identical(spark, sf_dir):
     cells_pd = {r["vec_id"]: r["cell"] for r in a_pd.select("vec_id", "cell").collect()}
     assert cells_expr == cells_pd
 
-    # auto mode routes by K: registry K stays JVM-side (no InMemory
-    # python eval in the plan), K > KM_EXPR_MAX_K goes to mapInPandas
+    # r15 routing pin: auto mode is the pandas plan at EVERY K —
+    # the registered hot path carries the vectorized assignment
     plan_small = (
         similarity.lloyd_train(e, similarity.KM_K, 1)[0]
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "MapInPandas" not in plan_small
-    assert similarity.KM_EXPR_MAX_K >= 16  # registry K values fit under it
+    assert "MapInPandas" in plan_small
 
-    # the pandas path's PLAN is MapInPandas (shape check, tiny iters)
-    plan_pd = (
-        a_pd._jdf.queryExecution().executedPlan().toString()
+    # the expr diagnostic twin stays Python-free, and is refused at a
+    # K whose literal projection would be a planning hazard
+    plan_expr = (
+        similarity.lloyd_train(e, similarity.KM_K, 1, assign_mode="expr")[0]
+        ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "MapInPandas" in plan_pd
+    assert "MapInPandas" not in plan_expr
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         similarity.lloyd_train(e, similarity.KM_K, 1, assign_mode="nope")
+    with _pytest.raises(ValueError):
+        similarity.lloyd_train(
+            e, similarity.KM_EXPR_MAX_K + 1, 1, assign_mode="expr"
+        )
