@@ -12,6 +12,9 @@ date/key-partitioned parquet lake; nothing here changes.
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -32,10 +35,41 @@ TABLE_NAMES = (
 DIM_TABLES = ("region", "nation", "supplier")
 
 
+# Per-session memo of loaded tables, keyed by (path, mtime).  This
+# caches the ANALYZED LAZY PLAN only — driver-side metadata (parquet
+# footer schema + file listing), the same class of thing Spark's own
+# per-session file-index cache holds; never rows, never results: every
+# action over the returned frame still reads the parquet from disk.
+# Why (r15, guide §1.2 step 2 / §7.3): `spark.read.parquet` re-reads
+# the footer and re-infers the schema on EVERY call — measured
+# 0.17–0.29 s per call at the bench SF — a pure per-query driver fixed
+# cost paid by each of a query's table loads on each timed run.  The
+# mtime in the key makes a rewritten fixture (tests overwrite tmp
+# paths in place) miss cleanly; distinct sessions (e.g. e14's scoped
+# clone) get distinct memos and die with their session (WeakKey).
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _path_mtime(path: str) -> float:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (path, _path_mtime(path))
+    df = memo.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        memo[key] = df
+    return df
 
 
 def spread_unsplittable_scan(df: DataFrame) -> DataFrame:
@@ -61,10 +95,21 @@ def spread_unsplittable_scan(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
+    # The probe converts the plan to an RDD — ~0.1 s of driver work per
+    # call (measured r15).  Memoize it ON the DataFrame object: callers
+    # probe the memoized load_table frames, so each (session, path)
+    # pays once per process.  Layout-dependent only (file count/sizes
+    # vs maxPartitionBytes), so it is as stable as the frame itself.
+    n = getattr(df, "_spread_nparts", None)
+    if n is None:
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        try:
+            df._spread_nparts = n
+        except Exception:
+            pass
     if n >= target:
         return df
     return df.repartition(target)
@@ -82,8 +127,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    path = f"{sf_dir}/events.parquet"
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (path, _path_mtime(path))
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts", "")
     if ts_type in ("bigint", "long"):
         # Integer division: ns epoch ≈ 1.7e18 exceeds double's 2^53
@@ -94,6 +145,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wall clock; downstream plans (epoch-second gap arithmetic in
         # sessionization, window()) expect plain TIMESTAMP.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    memo[key] = df
     return df
 
 
