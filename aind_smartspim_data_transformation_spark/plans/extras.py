@@ -756,7 +756,15 @@ def n01_minhash_estimator_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         d03_dedup_minhash_lsh,
     )
 
-    pairs = d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    # r15 (guide §2.4): persist the d03 output — this plan references it
+    # THREE times (both pair_docs union branches + the final pair join),
+    # and without the persist each reference re-executes d03's whole
+    # verify pipeline (measured: n01 exec 6.3–8.2 s, ~3× d03's own
+    # wall; the lazy plan carried 50 parquet scans).  Tiny (|pairs|
+    # rows); released by the harness's clearCache() — SCALE.md §6q.
+    pairs = (
+        d03_dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2").persist()
+    )
     pair_docs = (
         pairs.select(F.col("doc1").alias("doc_id"))
         .union(pairs.select(F.col("doc2")))
@@ -2039,11 +2047,14 @@ def n13_cluster_merge_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         d03_dedup_minhash_lsh,
     )
 
+    # r15 (guide §2.4): persist — consumed twice (components input +
+    # the evid pair join); without it each reference re-executes d03's
+    # verify pipeline.  Released by the harness's clearCache().
     pairs = d03_dedup_minhash_lsh(spark, sf_dir).select(
         "doc1",
         "doc2",
         F.expr("CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)").alias("bps"),
-    )
+    ).persist()
     comp = connected_components_star(pairs.select("doc1", "doc2"))
     sizes = comp.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("n_members")
