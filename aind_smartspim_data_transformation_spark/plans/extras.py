@@ -319,7 +319,14 @@ def t12_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # r15: persist — distributed_order_stats scans its input three
+    # times (quantile bounds + offset partials + the ranked pass; its
+    # docstring says "persist upstream"), and this explode+groupBy over
+    # every token is exactly the expensive input that contract is
+    # about.  Every sibling caller (t10, n05/n06/n14/n15/n19, n18)
+    # already persists; t12 was the one that recomputed.  Released by
+    # the harness's clearCache() — SCALE.md §6q.
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n")).persist()
     from aind_smartspim_data_transformation_spark.operators.scale_utils import (
         distributed_order_stats,
     )
@@ -2490,6 +2497,12 @@ def n18_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1, totals = distributed_order_stats(
         scored, "tok", tie_cols=("doc_id",), rank_col="rank_len"
     )
+    # r15: persist the FIRST rank pass — the second
+    # distributed_order_stats call scans its input three times
+    # (quantile bounds + offset partials + final), and without this
+    # each scan re-runs r1's whole bucket-join-window pipeline.
+    # Released by the harness's clearCache() — SCALE.md §6q.
+    r1 = r1.persist()
     r2, _ = distributed_order_stats(
         r1, "ttr_milli", tie_cols=("doc_id",), rank_col="rank_ttr"
     )

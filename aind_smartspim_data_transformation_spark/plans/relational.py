@@ -39,7 +39,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aind_smartspim_data_transformation_spark.tables import load_table
+from aind_smartspim_data_transformation_spark.tables import (
+    load_table,
+    spread_unsplittable_scan,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -724,7 +727,14 @@ ORDER BY g_nation, g_prio, n_name, o_orderpriority
 # interpolation — hash-identical, unlike the approx sketches.
 # ---------------------------------------------------------------------------
 def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r15 (guide §2.5): exact percentile() is an ObjectHashAggregate
+    # whose partial pass buffers every value — heavy per-row agg work,
+    # unlike the cheap sum/count q-family aggregates where the spread
+    # exchange measurably LOSES (OPTIMIZATION_r15.md §6).  Measured
+    # interleaved at sf0.1: 2.56 → 2.15 s min-over-min, 3/4 pairs.
+    # Column pruning pushes the 3-column projection below the
+    # round-robin exchange, so the spread shuffles narrow rows.
+    li = spread_unsplittable_scan(_t(spark, sf_dir, "lineitem"))
     return (
         li.groupBy("l_returnflag")
         .agg(

@@ -85,6 +85,7 @@ _LEADING_R15 = [
     "n13_cluster_merge_qa",
     "c14_curation_pipeline",
     "s09_kmeans_train",
+    "q23_percentiles",
     "x04_hll_distinct",
     "t01_token_stats",
     "t02_quality_score",
