@@ -34,7 +34,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from aind_smartspim_data_transformation_spark.tables import load_table
+from aind_smartspim_data_transformation_spark.tables import (
+    load_table,
+    spread_unsplittable_scan,
+)
 
 SEQ_LEN = 2048  # c02 token budget per packed sequence
 CHUNK_TOKS = 64  # c03 window length in tokens
@@ -441,7 +444,14 @@ def c08_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Guard docs shorter than CONTAM_N tokens: Spark's sequence(1, 0) is
     # the DESCENDING [1, 0] (not empty like DuckDB's generate_series),
     # and the i=0 step would make slice() raise INVALID_PARAMETER_VALUE.
-    shingled = docs.select(
+    # r15 (guide §2.5): spread the unsplittable scan under the
+    # CONTAM_N-gram explode — the tokenize/array_join work is the same
+    # heavy scan-side compute class as the dedup family's shingle
+    # pipelines, and BOTH shingled branches (eval distinct + train
+    # semi-join) re-run it; the round-robin exchange also makes the
+    # subtree exchange-reusable.  Measured interleaved at sf0.1:
+    # 2.13 → 1.25 s min-over-min, 5/6 pairs (OPTIMIZATION_r15.md §18).
+    shingled = spread_unsplittable_scan(docs).select(
         "doc_id",
         "source",
         F.explode(

@@ -1610,7 +1610,13 @@ D10_WINDOW = 8  # tokens per fingerprinted span
 
 def d10_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = D10_WINDOW
-    docs = load_table(spark, sf_dir, "documents")
+    # r15 (guide §2.5): spread the unsplittable scan under the 8-token
+    # window explode+md5 — the same heavy scan-side compute class as
+    # the shingle pipelines, and BOTH wins references (dup-hash groupBy
+    # + the flagged semi-join) re-run it.  Measured interleaved at
+    # sf0.1: 2.15 → 0.98 s min-over-min, 3/3 pairs
+    # (OPTIMIZATION_r15.md §18).
+    docs = _docs_spread(spark, sf_dir)
     wins = (
         docs.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= w)

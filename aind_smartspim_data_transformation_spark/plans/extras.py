@@ -45,7 +45,10 @@ from aind_smartspim_data_transformation_spark.operators.corpus import (
 )
 from aind_smartspim_data_transformation_spark.operators import layout as _layout
 from aind_smartspim_data_transformation_spark.operators import sketch as _sketch
-from aind_smartspim_data_transformation_spark.tables import load_table
+from aind_smartspim_data_transformation_spark.tables import (
+    load_table,
+    spread_unsplittable_scan,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1675,7 +1678,14 @@ N9_MAX_SRCS = 16
 def n09_cross_source_contamination(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r15 (guide §2.5): spread the unsplittable scan under the window
+    # explode+md5 (same class as c08/d10; measured 3/3 interleaved
+    # pairs, 2.14 → 1.88 s min — the h-shuffle above dominates more
+    # here, so the win is smaller).  The round-robin exchange sits
+    # BELOW the distinct exchange, so the ReusedExchange sharing the
+    # shingle subtree across the three consumers (plan-pinned) is
+    # unchanged.
+    docs = spread_unsplittable_scan(load_table(spark, sf_dir, "documents"))
     w = N9_WINDOW
     shingles = (
         docs.withColumn("toks", F.split("text", " "))

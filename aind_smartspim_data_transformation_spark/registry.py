@@ -86,6 +86,9 @@ _LEADING_R15 = [
     "c14_curation_pipeline",
     "s09_kmeans_train",
     "q23_percentiles",
+    "c08_contamination",
+    "d10_substring_coverage",
+    "n09_cross_source_contamination",
     "x04_hll_distinct",
     "t01_token_stats",
     "t02_quality_score",
