@@ -1134,11 +1134,25 @@ def _hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a small fraction of the sig space (sf0.1: ~2k distinct sigs →
     # ~10⁴ pairs).  If signatures ever widen past 16 bits, drop the
     # hint and let the shuffled join plan itself.
+    # r16 (VERDICT r15 ask #3): the salt key is wrapped in coalesce so
+    # it is NON-NULLABLE.  A bare `doc1 % B` made the bk==bk2 join
+    # infer `isnotnull(doc_id % 8)`, which pushed down to THIS
+    # consumer's documents scan only — a canonical-plan mismatch that
+    # blocked AQE's runtime stage-cache reuse of the whole
+    # scan→explode→md5→vote-aggregate signature subtree against the
+    # query's other four consumers (measured: executed plan had 2
+    # documents scans / 3 ReusedExchange; with coalesce the isnotnull
+    # folds away and ALL consumers share ONE scan+sig computation).
+    # Semantics unchanged: doc_id is the non-null PK, and coalesce is
+    # the identity on non-null input.
     m1 = (
         sigs.select(F.col("doc_id").alias("doc1"), "simhash")
         .join(F.broadcast(allp), "simhash")
         .select(
-            "doc1", "sig2", "hamming", (F.col("doc1") % B).alias("bk")
+            "doc1",
+            "sig2",
+            "hamming",
+            F.coalesce(F.col("doc1") % B, F.lit(0)).alias("bk"),
         )
         .repartition(n_parts, "sig2", "bk")
     )
@@ -1316,7 +1330,14 @@ def d14_hamming_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "hamming", F.explode("top_ids").alias("nbr_id")
         )
-        .filter(F.col("nbr_id") != F.col("doc_id"))
+        # r16 (VERDICT r15 ask #3): null-safe inequality, NOT `!=` — a
+        # plain != made the planner infer `isnotnull(doc_id)` and push
+        # it to THIS consumer's documents scan only, spoiling the
+        # canonical match that lets AQE's stage cache share the
+        # signature subtree with the ranked/groups chain (measured: 2
+        # documents scans → 1 after this change).  doc_id is the
+        # non-null PK, so <=> and != decide identically on every row.
+        .filter(~F.col("nbr_id").eqNullSafe(F.col("doc_id")))
     )
     w = W.partitionBy("doc_id").orderBy("hamming", "nbr_id")
     return (

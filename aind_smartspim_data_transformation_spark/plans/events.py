@@ -1026,10 +1026,37 @@ def e14_sessions_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Checkpoint RDD handles the LAST _e14_pointer_jumping build left
-# alive (the returned DataFrame's plan references them); released at
-# the start of the NEXT build — see the release comment in the loop.
-_E14_LIVE_HANDLES: list = []
+# Checkpoint RDD handles still potentially referenced by a returned
+# _e14_pointer_jumping frame, as (weakref-to-result-frame, handle)
+# pairs.  r16 (VERDICT r15 "what's wrong" #2): the r15 registry was a
+# flat list released unconditionally at the start of the NEXT build,
+# which reintroduced a lifetime hazard — with two e14 result frames
+# alive at once (two threads, or a harness holding the old frame while
+# building a new one) the second build unpersisted blocks the first
+# frame's plan still referenced (`Block rdd_N does not exist`).  Keyed
+# by the result frame, a handle is released only once its frame is
+# garbage — pinned by tests/test_events.py::
+# test_e14_two_result_frames_alive_concurrently.
+_E14_LIVE_HANDLES: list = []  # [(weakref.ref(result_frame), rdd_handle)]
+
+
+def _e14_release_dead_handles() -> None:
+    """Unpersist checkpoint blocks whose result frame has been
+    collected; keep handles whose frame is still alive.  Called at the
+    start of every build so repeated-invocation sweeps (bench, strict
+    verify) never accumulate corpus-sized block sets — the r15
+    behavior — without the next build ever touching a live frame."""
+    global _E14_LIVE_HANDLES
+    still_live = []
+    for ref, h in _E14_LIVE_HANDLES:
+        if ref() is None:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass
+        else:
+            still_live.append((ref, h))
+    _E14_LIVE_HANDLES = still_live
 
 
 def _ck_rdd_handle(df: DataFrame):
@@ -1092,20 +1119,15 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_e14_pointer_jumping_filtered` so the probe remains
     reproducible; do not re-adopt without a corpus where the LEFT
     side dominates the join cost."""
-    # Release any checkpoint blocks a PREVIOUS e14 build of this
-    # process left alive (ADVICE r14: the final generation's blocks
-    # outlive the returned DataFrame until GC; clearCache() does not
-    # reach them).  Safe because the parts recorded here are e14's
-    # own, and a new build supersedes the old result frame in every
-    # harness (bench, sweeps, strict verify) — repeated-invocation
-    # sweeps no longer accumulate corpus-sized block sets.
-    global _E14_LIVE_HANDLES
-    for h in _E14_LIVE_HANDLES:
-        try:
-            h.unpersist(False)
-        except Exception:
-            pass
-    _E14_LIVE_HANDLES = []
+    # Release any checkpoint blocks whose result frame a PREVIOUS e14
+    # build of this process has since dropped (ADVICE r14: the final
+    # generation's blocks outlive the returned DataFrame until GC;
+    # clearCache() does not reach them).  r16: release is keyed by the
+    # result frame's liveness, so a still-alive older result is never
+    # invalidated (see _e14_release_dead_handles).
+    import weakref
+
+    _e14_release_dead_handles()
 
     from pyspark import StorageLevel
 
@@ -1167,11 +1189,12 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
         if nxt.filter("moved").limit(1).count() == 0:
             break
     # The FINAL generation's blocks back the returned (lazy) result —
-    # they must stay alive for the caller, so record the handle for
-    # the NEXT build's release above (ADVICE r14 #2: GC/ContextCleaner
-    # reclamation is nondeterministic across a long sweep).
-    _E14_LIVE_HANDLES.append(cur_h)
-    return (
+    # they must stay alive for the caller, so register the handle
+    # KEYED BY the result frame: a later build (or sweep iteration)
+    # releases it only once this frame is garbage (ADVICE r14 #2:
+    # GC/ContextCleaner reclamation is nondeterministic across a long
+    # sweep, so the explicit release stays).
+    result = (
         cur.groupBy("user_id", F.col("ptr").alias("head_rn"))
         .agg(
             F.min("ts").alias("session_start"),
@@ -1181,6 +1204,8 @@ def _e14_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     )
+    _E14_LIVE_HANDLES.append((weakref.ref(result), cur_h))
+    return result
 
 
 def _e14_pointer_jumping_filtered(
@@ -1196,13 +1221,9 @@ def _e14_pointer_jumping_filtered(
     mapping union) cost more: 0.87× at 100× zipf, 2/3 interleaved
     pairs clearly slower.  Row-identical to the registered loop (same
     4,883,560 sessions at 100× zipf; small-SF identity by test)."""
-    global _E14_LIVE_HANDLES
-    for h in _E14_LIVE_HANDLES:
-        try:
-            h.unpersist(False)
-        except Exception:
-            pass
-    _E14_LIVE_HANDLES = []
+    import weakref
+
+    _e14_release_dead_handles()
 
     from pyspark import StorageLevel
 
@@ -1230,6 +1251,7 @@ def _e14_pointer_jumping_filtered(
     ).localCheckpoint(storageLevel=_GEN_LEVEL)
     active_h = _ck_rdd_handle(active)
     done_parts: list[DataFrame] = []
+    result_handles: list = []  # done-part blocks backing the result
     while True:
         mapping = active.select(
             F.col("user_id").alias("m_uid"),
@@ -1268,7 +1290,7 @@ def _e14_pointer_jumping_filtered(
             storageLevel=_GEN_LEVEL
         )
         done_parts.append(new_done)
-        _E14_LIVE_HANDLES.append(_ck_rdd_handle(new_done))
+        result_handles.append(_ck_rdd_handle(new_done))
         still_moving = nxt.filter("moved").limit(1).count() > 0
         if not still_moving:
             nxt_h.unpersist(False)
@@ -1285,7 +1307,7 @@ def _e14_pointer_jumping_filtered(
     out = done_parts[0]
     for d in done_parts[1:]:
         out = out.unionByName(d)
-    return (
+    result = (
         out.groupBy("user_id", F.col("ptr").alias("head_rn"))
         .agg(
             F.min("ts").alias("session_start"),
@@ -1295,6 +1317,9 @@ def _e14_pointer_jumping_filtered(
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     )
+    for h in result_handles:
+        _E14_LIVE_HANDLES.append((weakref.ref(result), h))
+    return result
 
 
 E14_SQL = """

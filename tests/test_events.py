@@ -102,6 +102,29 @@ def test_pointer_jumping_sessions_equal_recursive(spark, sf_dir):
     assert ptr == rcte and len(ptr) > 0
 
 
+def test_e14_two_result_frames_alive_concurrently(spark, sf_dir):
+    """r16 (VERDICT r15 "what's wrong" #2): building a SECOND e14
+    result while the first frame is still alive must not unpersist the
+    first frame's checkpoint blocks (the r15 registry released the
+    previous build's handles unconditionally → `Block rdd_N does not
+    exist` on the older frame).  Handles are now keyed by the result
+    frame and released only once it is garbage."""
+    import gc
+
+    a = events._e14_pointer_jumping(spark, sf_dir)
+    a_rows = sorted(map(tuple, a.collect()))
+    b = events._e14_pointer_jumping(spark, sf_dir)  # a alive here
+    # the OLDER frame must still execute off its checkpoint blocks
+    assert sorted(map(tuple, a.collect())) == a_rows
+    assert sorted(map(tuple, b.collect())) == a_rows
+    # once a result frame is garbage, the next release pass drops its
+    # handle (no unbounded accumulation across a sweep)
+    del a, b
+    gc.collect()
+    events._e14_release_dead_handles()
+    assert events._E14_LIVE_HANDLES == []
+
+
 def test_pointer_jumping_handles_long_chains_and_ties(spark, tmp_path):
     """Shapes the base fixture lacks: a session LONGER than the rCTE's
     100-level guard (300 same-gap events — the zipf-hot-user shape in
