@@ -63,6 +63,30 @@ from aind_smartspim_data_transformation_spark.plans import relational
 # diagnostic twin e13_rolling_24h_native); (d) e14's pointer-jumping
 # loop changes from r15 optimization work (converged-row filtering /
 # release mechanics).  No new registry keys.
+# Round-16 rotation (optimization round 2; VERDICT r15 ask #7): every
+# query whose plan or operator internals r16 touched leads.  (a) s10/
+# s11's PQ encode+ADC moved from literal codebook/LUT expression trees
+# to the vectorized numpy mapInPandas (VERDICT r15 ask #1; expression
+# twins stay in-tree, identity pinned by test); (b) d07's salt key and
+# d14's self-pair filter were de-spoiled (coalesce / null-safe <=>) so
+# AQE's runtime stage cache shares ONE signature subtree across all
+# consumers (ask #3 — executed plans now 1 documents scan, was 2; d04
+# rotated too as a _simhash_sigs consumer, belt-and-braces); (c)
+# e14's checkpoint-handle registry is keyed by the result frame (ask
+# #8 — release mechanics only, plan unchanged, rotated on the n18
+# lesson: every touched query gets driver verification).  No new
+# registry keys.
+_LEADING_R16 = [
+    "s10_pq_adc",
+    "s11_ivf_pq_search",
+    "d04_simhash",
+    "d07_simhash_hamming_pairs",
+    "d14_hamming_neighbor_topk",
+    "e14_sessions_recursive",
+]
+
+# Kept so NOTES/VERDICT history stays greppable; no longer drive the
+# window.
 _LEADING_R15 = [
     "e13_rolling_24h",
     "e14_sessions_recursive",
@@ -150,7 +174,7 @@ def _rotate(d: dict) -> dict:
     # fails loudly on that (an assert HERE would conflict with the
     # defensive-import design above — one broken module must degrade
     # the registry, not destroy it, when the driver imports this file).
-    lead = {k: d[k] for k in _LEADING_R15 if k in d}
+    lead = {k: d[k] for k in _LEADING_R16 if k in d}
     lead.update((k, v) for k, v in d.items() if k not in lead)
     return lead
 

@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+(r16: the bulky per-run noise telemetry — `query_runs` — is emitted on
+STDERR as `# query_runs: {...}` so the stdout contract line stays
+short; the r14 line grew long enough that the driver's tail capture
+truncated it and the round lost its PERF comparison.)
 
 Each query is executed to completion (results are collected — headline
 results are small aggregates / top-ks), timed individually after a JVM
@@ -62,6 +67,18 @@ DEDUP_BENCH = (
     "d14_hamming_neighbor_topk",
 )
 _COUNT_ONLY = {"d07_simhash_hamming_pairs"}
+
+# Graph / d03-consumer family (r16, VERDICT r15 ask #4): the
+# registry's most expensive block — the shared-candidate persist +
+# loop-fusion wins of r15 (n01 90→37 jobs, d08 57→41) — was invisible
+# to BENCH because neither HEADLINE nor DEDUP_BENCH samples it.
+# Reported as its own block, NOT folded into total_query_sec, which
+# stays comparable round-over-round.
+GRAPH_BENCH = (
+    "n01_minhash_estimator_qa",
+    "c14_curation_pipeline",
+    "d08_dup_components",
+)
 
 
 def _host_calibration(reps: int = 3) -> float:
@@ -133,7 +150,7 @@ def main() -> None:
     # Per-query-shape warm-up at sf0.001 (~100× smaller than the
     # benchmark data): compiles each plan's whole-stage codegen once so
     # the timed runs below measure engine throughput, not JIT compile.
-    for name in HEADLINE + DEDUP_BENCH:
+    for name in HEADLINE + DEDUP_BENCH + GRAPH_BENCH:
         try:
             queries[name](spark, "/root/testdata/sf0.001").collect()
         except Exception as exc:  # warm-up must never fail the bench
@@ -181,6 +198,7 @@ def main() -> None:
 
     timings = {name: time_query(name) for name in HEADLINE}
     dedup_timings = {name: time_query(name) for name in DEDUP_BENCH}
+    graph_timings = {name: time_query(name) for name in GRAPH_BENCH}
 
     # Imaging end-to-end (scan → decode → pyramid → OME-Zarr) on a
     # generated 2000×1600 stack tree, graduated from
@@ -199,16 +217,34 @@ def main() -> None:
         # wall-clock (= max throughput) is the honest statistic per
         # BASELINE.md's own protocol.  All N throughputs are reported
         # so a noise draw is visible instead of needing adjudication.
+        # r16 (VERDICT r15 ask #6): N raised to 5 and a parallel
+        # host-calibration sample is taken IMMEDIATELY BEFORE each
+        # attempt, so each throughput figure carries its own load
+        # context — cross-round imaging drift (the r15 driver number
+        # halved on pure host noise) becomes adjudicable from the
+        # artifact alone, per-run, without a judge re-run.
         n_sl = int(os.environ.get("IMG_BENCH_SLICES", "64"))
-        reps = int(os.environ.get("IMG_BENCH_REPS", "3"))
-        attempts = [run_e2e(spark, n_sl) for _ in range(reps)]
+        reps = int(os.environ.get("IMG_BENCH_REPS", "5"))
+        attempts = []
+        run_calibs = []
+        for _ in range(reps):
+            run_calibs.append(_host_calibration_parallel(reps=1))
+            attempts.append(run_e2e(spark, n_sl))
         imaging = dict(max(attempts, key=lambda m: m["mb_per_sec"]))
         imaging["runs"] = [m["mb_per_sec"] for m in attempts]
+        imaging["runs_calibration_parallel_sec"] = run_calibs
         print(f"# imaging_e2e: {imaging}", file=sys.stderr)
     except Exception as exc:  # imaging bench must never fail the harness
         print(f"# imaging e2e skipped: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # r16 (VERDICT r15 ask #2): the per-run noise telemetry is the
+    # bulky field that grew the one-line JSON past the driver's tail
+    # capture (BENCH_r14 parsed:null silently cost r15 its whole PERF
+    # comparison).  It moves to STDERR — same content, still committed
+    # in local artifacts — so the stdout contract line stays short
+    # enough that truncation-from-the-front can never reach it.
+    print(f"# query_runs: {json.dumps(run_log)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -216,9 +252,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "query_runs": run_log,
                 "dedup_queries": dedup_timings,
                 "dedup_total_sec": round(sum(dedup_timings.values()), 4),
+                "graph_queries": graph_timings,
+                "graph_total_sec": round(sum(graph_timings.values()), 4),
                 "imaging_e2e": imaging,
                 # pre/post absolute host-speed reference (see
                 # _host_calibration): divergent pre/post = load arrived

@@ -61,10 +61,19 @@ MAX_WIDE_EXCHANGES = {
     "n19_tier_source_mix": 4,       # observed 3 (r7): ntile + cell agg + tier window
 }
 
-# Queries whose plan MUST share the d03 candidate-pair subtree instead
-# of recomputing the MinHash/verify pipeline per consumer: their final
-# plans must contain at least one ReusedExchange (observed r6: d13=2,
-# c14=3 reuse nodes at both test SFs).
+# Queries whose plan MUST share multi-referenced subtrees instead of
+# recomputing them per consumer: their final plans must contain at
+# least one ReusedExchange.  r16 runtime audit (VERDICT r15 ask #5,
+# tools/r16_d13c14_reuse_probe.py): for d13/c14 the d03 pair pipeline
+# itself does NOT appear in the collected plan at all — the
+# connected_components_star loop localCheckpoints it, so it executes
+# exactly once during build and the final plan reads a LogicalRDD
+# (stronger than exchange reuse; a persist would only add a barrier
+# on top of the existing checkpoint).  What the pin matches — and
+# what must keep firing — is the reuse across the comp/labels
+# consumers: d13=2 (labels agg shared by union+roots anti-join; comp
+# shared by members+score join), c14=3 (same two + the surviving
+# broadcast).  Observed 2/3 at sf0.01 and sf0.1, r16.
 REQUIRE_REUSED_EXCHANGE = {
     "d13_keep_best_quality",
     "c14_curation_pipeline",

@@ -124,7 +124,7 @@ def test_oracle_result_types_are_driver_hash_safe():
 
 
 def test_rotation_keys_resolve():
-    """Every _LEADING_R15 rotation key must exist in the merged registry
+    """Every _LEADING_R16 rotation key must exist in the merged registry
     (a typo or renamed key would otherwise silently trail outside the
     driver's ~50-entry sample window, defeating the rotation's whole
     purpose), and the rotated dicts must lead with exactly those keys."""
@@ -132,10 +132,10 @@ def test_rotation_keys_resolve():
 
     q = registry.all_queries()
     o = registry.all_oracles()
-    missing = [k for k in registry._LEADING_R15 if k not in q]
+    missing = [k for k in registry._LEADING_R16 if k not in q]
     assert not missing, f"rotation keys missing from registry: {missing}"
-    n = len(registry._LEADING_R15)
-    assert list(q)[:n] == registry._LEADING_R15
+    n = len(registry._LEADING_R16)
+    assert list(q)[:n] == registry._LEADING_R16
     # every leading entry is oracle-backed (the window exists to earn
     # green CORRECTNESS rows, not rows-only checks)
-    assert [k for k in registry._LEADING_R15 if k not in o] == []
+    assert [k for k in registry._LEADING_R16 if k not in o] == []

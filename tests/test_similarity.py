@@ -53,15 +53,41 @@ def test_s05_assignment_has_no_pervector_shuffle(spark, sf_dir):
 
 
 def test_s10_pq_scan_is_shuffle_free(spark, sf_dir):
-    """PQ-ADC is a narrow map over literal codebooks/LUT: encoding +
-    distance estimation must plan with ZERO exchanges before the
-    TakeOrderedAndProject top-k — the shape that scans a billion codes
-    in one pass."""
+    """PQ-ADC is a narrow map (r16: a numpy mapInPandas — codebooks
+    and LUT ride the task closure): encoding + distance estimation
+    must plan with ZERO exchanges before the TakeOrderedAndProject
+    top-k — the shape that scans a billion codes in one pass."""
     df = similarity.s10_pq_adc(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no posexplode of the embedding
+    assert "MapInPandas" in plan  # the r16 vectorized encode
+
+
+def test_s10_pandas_equals_expr(spark, sf_dir):
+    """r16 (VERDICT r15 ask #1): the registered numpy PQ plan must be
+    row-for-row identical to the literal codebook/LUT expression twin
+    — exact int64 arithmetic and the same first-minimum (d2, k) tie
+    rule, so EQUAL, not approximately equal."""
+    got = [tuple(r) for r in similarity.s10_pq_adc(spark, sf_dir).collect()]
+    ref = [
+        tuple(r) for r in similarity._s10_pq_adc_expr(spark, sf_dir).collect()
+    ]
+    assert got == ref and len(got) == similarity.PQ_TOPK
+
+
+def test_s11_pandas_equals_expr(spark, sf_dir):
+    """Same identity pin for the composed IVF-PQ search (coarse
+    assignment tie rule included)."""
+    got = [
+        tuple(r) for r in similarity.s11_ivf_pq_search(spark, sf_dir).collect()
+    ]
+    ref = [
+        tuple(r)
+        for r in similarity._s11_ivf_pq_search_expr(spark, sf_dir).collect()
+    ]
+    assert got == ref and len(got) == similarity.IVFPQ_TOPK
 
 
 def test_s11_plan_scan_is_narrow_and_pruned(spark, sf_dir):
