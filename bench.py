@@ -80,6 +80,15 @@ GRAPH_BENCH = (
     "d08_dup_components",
 )
 
+# PQ/ANN family (r16): s10/s11 carry this round's largest per-query
+# win (literal codebook/LUT expression trees → numpy mapInPandas,
+# 4.6×/7.6× interleaved) but sat in no bench block — additive block so
+# the change is driver-measurable.  NOT folded into total_query_sec.
+PQ_BENCH = (
+    "s10_pq_adc",
+    "s11_ivf_pq_search",
+)
+
 
 def _host_calibration(reps: int = 3) -> float:
     """Fixed single-core CPU reference: sha256 over 128 MiB, min-of-N
@@ -150,7 +159,7 @@ def main() -> None:
     # Per-query-shape warm-up at sf0.001 (~100× smaller than the
     # benchmark data): compiles each plan's whole-stage codegen once so
     # the timed runs below measure engine throughput, not JIT compile.
-    for name in HEADLINE + DEDUP_BENCH + GRAPH_BENCH:
+    for name in HEADLINE + DEDUP_BENCH + GRAPH_BENCH + PQ_BENCH:
         try:
             queries[name](spark, "/root/testdata/sf0.001").collect()
         except Exception as exc:  # warm-up must never fail the bench
@@ -199,6 +208,7 @@ def main() -> None:
     timings = {name: time_query(name) for name in HEADLINE}
     dedup_timings = {name: time_query(name) for name in DEDUP_BENCH}
     graph_timings = {name: time_query(name) for name in GRAPH_BENCH}
+    pq_timings = {name: time_query(name) for name in PQ_BENCH}
 
     # Imaging end-to-end (scan → decode → pyramid → OME-Zarr) on a
     # generated 2000×1600 stack tree, graduated from
@@ -256,6 +266,8 @@ def main() -> None:
                 "dedup_total_sec": round(sum(dedup_timings.values()), 4),
                 "graph_queries": graph_timings,
                 "graph_total_sec": round(sum(graph_timings.values()), 4),
+                "pq_queries": pq_timings,
+                "pq_total_sec": round(sum(pq_timings.values()), 4),
                 "imaging_e2e": imaging,
                 # pre/post absolute host-speed reference (see
                 # _host_calibration): divergent pre/post = load arrived
