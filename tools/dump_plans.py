@@ -319,12 +319,15 @@ ANNOTATIONS = {
     ),
     "s10_pq_adc": (
         "Product quantization + asymmetric distance computation. Look "
-        "for: ZERO Exchange nodes before `TakeOrderedAndProject` — "
-        "codebooks and the query's distance LUT are literals, so "
-        "encoding (per-subspace argmin folds) and distance estimation "
-        "(8 element_at lookups) run in one narrow WholeStageCodegen-"
-        "adjacent map over the corpus. The billion-code single-pass "
-        "scan shape (plan-asserted in tests/test_similarity.py)."
+        "for: ZERO Exchange nodes before `TakeOrderedAndProject`, and "
+        "(since r16) ONE `MapInPandas` node — codebooks and the "
+        "query's distance LUT ride the task closure of a vectorized "
+        "numpy kernel (the pre-r16 literal-expression folds were "
+        "CodegenFallback and their constant-tree analysis dominated "
+        "the wall; 4.6x interleaved — OPTIMIZATION_r16.md §2; the "
+        "expression twin `_s10_pq_adc_expr` stays in-tree, identity-"
+        "pinned). The billion-code single-pass scan shape "
+        "(plan-asserted in tests/test_similarity.py)."
     ),
     "c10_pii_redaction": (
         "PII redaction accounting. Look for: a single narrow Project "
@@ -463,14 +466,17 @@ ANNOTATIONS = {
         "it on real parquet footers)."
     ),
     "s11_ivf_pq_search": (
-        "The COMPOSED IVF-PQ query (round 5): coarse probe → PQ-ADC "
-        "scan → exact re-rank. Look for: ONE parquet scan; centroid "
-        "assignment, cell filter, PQ codes and the ADC sum all inside "
-        "a single WholeStageCodegen span (centroids + LUT are "
-        "literals); NO Exchange hashpartitioning anywhere; the "
-        "shortlist is TakeOrderedAndProject(20) and the exact re-rank "
-        "touches only those 20 rows. At scale `cell` is the partition "
-        "key and the nprobe filter prunes files."
+        "The COMPOSED IVF-PQ query (round 5; numpy kernel since r16): "
+        "coarse probe → PQ-ADC scan → exact re-rank. Look for: ONE "
+        "parquet scan; centroid assignment, cell filter, PQ codes, "
+        "the ADC sum and the exact distance all inside ONE "
+        "`MapInPandas` (centroids + codebooks + LUT in the task "
+        "closure — 7.6x interleaved vs the literal-expression twin "
+        "`_s11_ivf_pq_search_expr`, which stays identity-pinned); NO "
+        "Exchange hashpartitioning anywhere; the shortlist is "
+        "TakeOrderedAndProject(20) over narrow (id, cell, d2) rows. "
+        "At scale `cell` is the partition key and the nprobe filter "
+        "prunes files."
     ),
     "c13_mixture_rebalance": (
         "Temperature-scaled mixture weights (round 5). Look for: one "
